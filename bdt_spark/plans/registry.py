@@ -1,0 +1,111 @@
+"""Query registry: one entry per declared operator/query (SURVEY.md §2).
+
+Each spec carries a Spark callable `(spark, sf_dir) -> DataFrame` and an
+optional DuckDB oracle SQL string. The driver hash-compares both sides at
+sf0.01 (order-insensitive, columns sorted by name) — so every computed column
+is aliased identically on both sides.
+
+Determinism strategy for float aggregates (the reference validated engine
+outputs with an epsilon compare, compare.rs:31-45; we aim for exact):
+- SUM over doubles is accumulation-order dependent → both sides compute
+  `CAST(SUM(CAST(expr AS DECIMAL(p,8)) ) AS DOUBLE)`. The double->decimal
+  conversion is a pointwise deterministic rounding, decimal addition is
+  exact and associative, and the final decimal->double cast is identical in
+  both engines. Fixture measures are 2-decimal doubles, so nothing is lost.
+- AVG/VAR/STDDEV/CORR are derived from decimal-exact sums with plain double
+  arithmetic (deterministic IEEE ops on identical inputs).
+
+Many queries are written in a *common SQL subset* that parses identically in
+Spark SQL and DuckDB — for those, the oracle string is literally the same
+text (`sql_query`). Dialect-divergent queries carry two texts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bdt_spark.sources.io import load_fixture_tables
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def query(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+):
+    """Decorator form for DataFrame-API queries."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        register(QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc))
+        return fn
+
+    return deco
+
+
+def sql_query(
+    name: str,
+    sql: str,
+    oracle: str | None = "same",
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> QuerySpec:
+    """Register a SQL-text query. oracle='same' reuses the Spark SQL text as
+    the DuckDB oracle (common-subset queries); pass a different string for
+    dialect-divergent queries; None for rows-only checks."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_fixture_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    oracle_text = sql if oracle == "same" else oracle
+    return register(QuerySpec(name=name, fn=fn, oracle=oracle_text, tags=tags, doc=doc))
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# Determinism helpers (used by plan modules when composing SQL text).
+# ---------------------------------------------------------------------------
+
+
+def dsum(expr: str, alias: str, scale: int = 8, prec: int = 30) -> str:
+    """Accumulation-order-proof SUM of a double expression."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
+
+
+def davg(expr: str, alias: str, scale: int = 8, prec: int = 30) -> str:
+    """Deterministic AVG: decimal-exact sum / count."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def isum(expr: str, alias: str) -> str:
+    """Integer SUM pinned to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)."""
+    return f"CAST(SUM({expr}) AS BIGINT) AS {alias}"

@@ -1,0 +1,435 @@
+"""TPC-H-style queries adapted to the driver fixture star schema (FIXTURES.md).
+
+The reference demonstrates exactly this workload: its README runs TPC-H q1 at
+sf10 through `bdt query` (reference README.md:119-135), delegating to the SQL
+engine (main.rs:182). Here each query is the same declarative SQL handed to
+Catalyst; the DuckDB oracle is the identical text (common SQL subset).
+
+Scale notes (100 TB design point):
+- lineitem/orders are the fact tables — every join keeps them on the probe
+  side; dims (region/nation/customer/supplier/part) are broadcast-sized at
+  any realistic SF, and Catalyst auto-broadcasts them under the threshold.
+- Aggregations are partial+final (map-side combine) automatically.
+- All filters are simple column predicates → pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from bdt_spark.plans.registry import davg, dsum, isum, sql_query
+
+# --- q1: pricing summary report (reference README.md:119-135) ---------------
+sql_query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+    doc="TPC-H q1 on fixture lineitem; the reference's flagship demo query.",
+)
+
+# --- q3: shipping priority --------------------------------------------------
+sql_query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+
+# --- q4: order priority checking (correlated EXISTS -> semi join) -----------
+sql_query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "semi-join"),
+)
+
+# --- q5: local supplier volume (6-table join) -------------------------------
+sql_query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("tpch", "join"),
+)
+
+# --- q6: forecasting revenue change -----------------------------------------
+sql_query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+
+# --- q7: volume shipping between two nations --------------------------------
+sql_query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "derived-table"),
+)
+
+# --- q8: market share (CASE ratio by year) ----------------------------------
+sql_query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                    AS DECIMAL(30,8))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "case"),
+)
+
+# --- q9: product type profit (no ps_supplycost in fixture; retailprice proxy)
+sql_query(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, {dsum('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "like"),
+)
+
+# --- q10: returned item reporting -------------------------------------------
+sql_query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+
+# --- q11: important stock (HAVING vs scalar subquery over total) ------------
+sql_query(
+    "tpch_q11_important_stock",
+    f"""
+    SELECT p_brand, {dsum('p_retailprice * p_size', 'value')}
+    FROM part
+    GROUP BY p_brand
+    HAVING SUM(CAST(p_retailprice * p_size AS DECIMAL(30,8)))
+         > (SELECT SUM(CAST(p_retailprice * p_size AS DECIMAL(30,8))) * 0.03
+            FROM part)
+    ORDER BY value DESC
+    """,
+    tags=("tpch", "having", "scalar-subquery"),
+)
+
+# --- q12: priority classification (CASE aggregation) ------------------------
+sql_query(
+    "tpch_q12_priority_class",
+    f"""
+    SELECT l_linestatus,
+           {isum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END",
+                 'high_line_count')},
+           {isum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END",
+                 'low_line_count')}
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("tpch", "case", "agg"),
+)
+
+# --- q13: customer order-count distribution (left join + double group) ------
+sql_query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "left-join", "agg"),
+)
+
+# --- q14: promotion effect ---------------------------------------------------
+sql_query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(30,8))) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("tpch", "case", "join"),
+)
+
+# --- q15: top supplier (scalar subquery over an aggregate CTE) --------------
+sql_query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "cte", "scalar-subquery"),
+)
+
+# --- q16: brand/type/size counts with NOT IN subquery -----------------------
+sql_query(
+    "tpch_q16_parts_supplier",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 19, 3)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "count-distinct"),
+)
+
+# --- q17: small-quantity-order revenue (correlated scalar subquery) ---------
+sql_query(
+    "tpch_q17_small_quantity",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "correlated-subquery"),
+)
+
+# --- q18: large volume customers (HAVING + IN subquery) ---------------------
+sql_query(
+    "tpch_q18_large_volume",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {dsum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "in-subquery", "having"),
+)
+
+# --- q19: discounted revenue (OR-of-ANDs pushdown stress) -------------------
+sql_query(
+    "tpch_q19_disjunctive_filter",
+    f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    tags=("tpch", "filter"),
+)
+
+# --- q20: nested semi-joins --------------------------------------------------
+sql_query(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%e%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "semi-join"),
+)
+
+# --- q21: waiting suppliers (EXISTS + NOT EXISTS combo) ---------------------
+sql_query(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    tags=("tpch", "exists", "not-exists"),
+)
+
+# --- q22: global sales opportunity (anti join + scalar subquery) ------------
+sql_query(
+    "tpch_q22_global_sales",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           {dsum('c_acctbal', 'totacctbal')}
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+
+# --- q2-style: min-price part per brand (correlated min) --------------------
+sql_query(
+    "tpch_q2_min_cost_part",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    ORDER BY p_brand, p_partkey
+    """,
+    tags=("tpch", "correlated-subquery"),
+)

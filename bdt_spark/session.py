@@ -1,0 +1,70 @@
+"""SparkSession factory — the rebuild's equivalent of the reference's
+SessionContext construction (src/bin/main.rs:110-112, which enables
+information_schema; Spark exposes the same metadata via spark.catalog).
+
+Config choices and why they matter at 100 TB:
+- AQE on: runtime re-plan (partition coalescing, skew-join splitting,
+  dynamic broadcast) is the single biggest scale lever Spark has.
+- ANSI mode left at the Spark 4 default (on): matches DataFusion's and
+  DuckDB's error-on-overflow semantics (SURVEY §2 B2 conformance note).
+- UTC session timezone: DuckDB timestamps are UTC-naive; pinning UTC makes
+  oracle comparison exact.
+- Arrow enabled: vectorized pandas interchange for the Pandas-UDF operators.
+- shuffle.partitions sized from env (default 32 ≈ local cores). On a real
+  cluster this is set per-deployment; AQE coalescing makes the exact number
+  forgiving.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Match reference behavior: CSV header on by default is handled at read
+    # sites; nothing session-level needed.
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Spark 4 refuses parquet TIMESTAMP(NANOS) outright; read them as long
+    # and convert to micros-truncated timestamps in io.read_file (matches
+    # DuckDB's nanos->micros truncation; SURVEY §1.2 divergence note).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "bdt_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the session. Mirrors reference main.rs:110-112."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
