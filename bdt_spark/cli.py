@@ -1,0 +1,206 @@
+"""CLI — the reference's command surface (src/bin/main.rs:27-99).
+
+Subcommands mirror bdt v0.18.0 one-for-one:
+  view, schema, count, query, convert, view-parquet-meta, compare
+
+`python -m bdt_spark.cli <subcommand> ...`
+
+Errors print to stderr and exit 1 (the reference exits -1, main.rs:102-108;
+1 is the POSIX-conventional equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from bdt_spark.session import get_spark
+from bdt_spark.sources.io import (
+    read_file,
+    register_dir,
+    register_table,
+    table_name_from_path,
+)
+
+
+def cmd_view(args) -> None:
+    # main.rs:30-36, 114-127: default limit 10; --limit 0 = everything
+    spark = get_spark("bdt_view")
+    df = read_file(spark, args.table)
+    n = args.limit if args.limit > 0 else df.count()
+    df.show(n, truncate=False)
+
+
+def cmd_schema(args) -> None:
+    # main.rs:37-41, 128-135 (information_schema.columns equivalent)
+    spark = get_spark("bdt_schema")
+    df = read_file(spark, args.table)
+    rows = [(f.name, f.dataType.simpleString(), "YES" if f.nullable else "NO")
+            for f in df.schema.fields]
+    w = max(len(r[0]) for r in rows)
+    print(f"{'column_name':<{w}}  {'data_type':<20}  is_nullable")
+    for name, typ, nullable in rows:
+        print(f"{name:<{w}}  {typ:<20}  {nullable}")
+
+
+def cmd_count(args) -> None:
+    # main.rs:55-59, 226-232
+    spark = get_spark("bdt_count")
+    df = read_file(spark, args.table)
+    print(df.count())
+
+
+def cmd_query(args) -> None:
+    # main.rs:60-81, 146-225
+    spark = get_spark("bdt_query")
+    if args.tables_dir:
+        register_dir(spark, args.tables_dir)
+    for path in args.table or []:
+        register_table(spark, table_name_from_path(path), path)
+    if args.sql and args.sql_file:
+        raise SystemExit("provide either --sql or --sql-file, not both")
+    if args.sql_file:
+        with open(args.sql_file) as f:
+            sql = f.read()
+    elif args.sql:
+        sql = args.sql
+    else:
+        raise SystemExit("no SQL provided (--sql or --sql-file)")
+    df = spark.sql(sql)
+    if args.verbose:
+        df.explain()  # main.rs:183-186
+    if args.output:
+        # csv and parquet only, like main.rs:188-221
+        from bdt_spark.operators.convert import UnsupportedOutputError
+        from bdt_spark.sources.io import file_format
+
+        fmt = file_format(args.output)
+        if fmt == "csv":
+            df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+                args.output + ".dir"
+            )
+            _single(args.output)
+        elif fmt == "parquet":
+            df.coalesce(1).write.mode("overwrite").parquet(args.output + ".dir")
+            _single(args.output)
+        else:
+            raise UnsupportedOutputError(
+                f"unsupported output format: {args.output!r}"
+            )
+    else:
+        df.show(truncate=False)
+
+
+def _single(output: str) -> None:
+    import glob
+    import os
+    import shutil
+
+    parts = sorted(glob.glob(os.path.join(output + ".dir", "part-*")))
+    if os.path.exists(output) and os.path.isfile(output):
+        os.remove(output)
+    shutil.move(parts[0], output)
+    shutil.rmtree(output + ".dir", ignore_errors=True)
+
+
+def cmd_convert(args) -> None:
+    # main.rs:42-54 -> convert.rs
+    from bdt_spark.operators.convert import convert
+
+    spark = get_spark("bdt_convert")
+    convert(
+        spark,
+        args.input,
+        args.output,
+        single_file=args.single_file,
+        zstd=args.zstd,
+    )
+
+
+def cmd_meta(args) -> None:
+    # main.rs:82-86 -> parquet.rs
+    from bdt_spark.operators.meta import format_parquet_meta, read_parquet_meta
+
+    print(format_parquet_meta(read_parquet_meta(args.table)))
+
+
+def cmd_compare(args) -> None:
+    # main.rs:87-99 -> compare.rs
+    from bdt_spark.operators.compare import compare_files
+
+    spark = get_spark("bdt_compare") if args.method == "hash" else None
+    res = compare_files(
+        spark,
+        args.file1,
+        args.file2,
+        epsilon=args.epsilon,
+        header=not args.no_header_row,
+        method=args.method,
+    )
+    print(res.message)
+    if not res.ok:
+        raise SystemExit(1)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bdt_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("view", help="view a file's first rows")
+    v.add_argument("table")
+    v.add_argument("--limit", type=int, default=10)
+    v.set_defaults(fn=cmd_view)
+
+    s = sub.add_parser("schema", help="view a file's schema")
+    s.add_argument("table")
+    s.set_defaults(fn=cmd_schema)
+
+    c = sub.add_parser("count", help="count rows in a file")
+    c.add_argument("--table", dest="table", required=True)
+    c.set_defaults(fn=cmd_count)
+
+    q = sub.add_parser("query", help="run SQL against registered files")
+    q.add_argument("--table", action="append")
+    q.add_argument("--tables", dest="tables_dir")
+    q.add_argument("--sql")
+    q.add_argument("--sql-file")
+    q.add_argument("--output")
+    q.add_argument("--verbose", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    cv = sub.add_parser("convert", help="convert between file formats")
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("-s", "--single-file", action="store_true")
+    cv.add_argument("-z", "--zstd", action="store_true")
+    cv.set_defaults(fn=cmd_convert)
+
+    m = sub.add_parser("view-parquet-meta", help="print parquet footer metadata")
+    m.add_argument("table")
+    m.set_defaults(fn=cmd_meta)
+
+    cp = sub.add_parser("compare", help="compare two files")
+    cp.add_argument("file1")
+    cp.add_argument("file2")
+    cp.add_argument("-e", "--epsilon", type=float, default=None)
+    cp.add_argument("-n", "--no-header-row", action="store_true")
+    cp.add_argument("--method", choices=["positional", "hash"],
+                    default="positional")
+    cp.set_defaults(fn=cmd_compare)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        args.fn(args)
+    except SystemExit:
+        raise
+    except Exception as e:  # error surface: main.rs:102-108
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""File comparison — `bdt compare` (reference src/compare.rs:10-143).
+
+Two modes:
+
+- `positional` (reference semantics): row-by-row, in file order. The
+  reference collects both files fully into driver memory and zips rows
+  (compare.rs:116-143, utils.rs:89-209 RowIter); we do the driver-side
+  equivalent with pyarrow, but *columnwise/vectorized* instead of
+  cell-by-cell Python. Report shape mirrors ComparisonResult
+  (compare.rs:72-114): count mismatch, schema-width mismatch, or first
+  differing (row, column, left, right).
+
+- `hash` (the 100 TB mode — an improvement the reference lacks): fully
+  distributed multiset equality via Spark `exceptAll` both ways; no
+  driver materialization, no row-order assumption. Epsilon is honored by
+  rounding floats to ceil(-log10(eps)) digits on both sides (documented
+  approximation of pairwise epsilon, which is undefined without row order).
+
+Fixes vs the reference (documented, SURVEY §2 compare notes):
+- Epsilon compares |l - r| < eps; the reference's `(l - r) < eps` is
+  signed (compare.rs:36,40) and passes any negative difference.
+- Types beyond the reference's RowIter (timestamps, decimals, nested) are
+  supported instead of `todo!()` panicking (utils.rs:193-196).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession, functions as F
+
+from bdt_spark.sources.io import file_format, read_file
+
+
+@dataclass
+class ComparisonResult:
+    ok: bool
+    message: str
+
+    def __str__(self) -> str:  # CLI-friendly, mirrors compare.rs:92-113
+        return self.message
+
+
+def _read_arrow_table(path: str, header: bool = True):
+    fmt = file_format(path)
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+    if fmt == "csv":
+        import pyarrow.csv as pacsv
+
+        opts = pacsv.ReadOptions(autogenerate_column_names=not header)
+        return pacsv.read_csv(path, read_options=opts)
+    # The reference restricts compare to csv/parquet (compare.rs:121-142);
+    # we additionally accept json via pyarrow.
+    if fmt == "json":
+        import pyarrow.json as pajson
+
+        return pajson.read_json(path)
+    raise ValueError(f"unsupported format for compare: {path!r}")
+
+
+def compare_files(
+    spark: SparkSession | None,
+    path1: str,
+    path2: str,
+    *,
+    epsilon: float | None = None,
+    header: bool = True,
+    method: str = "positional",
+) -> ComparisonResult:
+    if method == "hash":
+        if spark is None:
+            raise ValueError("hash method requires a SparkSession")
+        return _compare_hash(spark, path1, path2, epsilon=epsilon, header=header)
+    return _compare_positional(path1, path2, epsilon=epsilon, header=header)
+
+
+def _compare_positional(
+    path1: str, path2: str, *, epsilon: float | None, header: bool
+) -> ComparisonResult:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t1 = _read_arrow_table(path1, header)
+    t2 = _read_arrow_table(path2, header)
+
+    # count mismatch first (compare.rs:22-24, 66-67)
+    if t1.num_rows != t2.num_rows:
+        return ComparisonResult(
+            False,
+            f"Row counts do not match: {t1.num_rows} != {t2.num_rows}",
+        )
+    # schema width (row-length mismatch, compare.rs:56-63)
+    if t1.num_columns != t2.num_columns:
+        return ComparisonResult(
+            False,
+            f"Rows have different lengths: {t1.num_columns} != {t2.num_columns}",
+        )
+
+    for ci in range(t1.num_columns):
+        c1 = t1.column(ci).combine_chunks()
+        c2 = t2.column(ci).combine_chunks()
+        if pa.types.is_floating(c1.type) and pa.types.is_floating(c2.type):
+            a = c1.to_numpy(zero_copy_only=False).astype("float64")
+            b = c2.to_numpy(zero_copy_only=False).astype("float64")
+            nan_both = np.isnan(a) & np.isnan(b)
+            if epsilon is not None:
+                bad = ~(nan_both | (np.abs(a - b) < epsilon))
+            else:
+                bad = ~(nan_both | (a == b))
+            # nulls: arrow nulls became NaN above only for float; use validity
+            n1 = np.asarray(c1.is_null())
+            n2 = np.asarray(c2.is_null())
+            bad = (bad & ~(n1 & n2)) | (n1 != n2)
+            idx = np.flatnonzero(bad)
+            if idx.size:
+                ri = int(idx[0])
+                return _diff(ri, ci, c1[ri].as_py(), c2[ri].as_py())
+        else:
+            if c1.type != c2.type:
+                try:
+                    c2 = pc.cast(c2, c1.type)
+                except pa.ArrowInvalid:
+                    return ComparisonResult(
+                        False,
+                        f"Column {ci} types are incomparable: "
+                        f"{c1.type} != {c2.type}",
+                    )
+            neq = pc.fill_null(pc.not_equal(c1, c2), False)
+            null_diff = pc.xor(c1.is_null(), c2.is_null())
+            bad = pc.or_(neq, null_diff)
+            idx = np.flatnonzero(np.asarray(bad))
+            if idx.size:
+                ri = int(idx[0])
+                return _diff(ri, ci, c1[ri].as_py(), c2[ri].as_py())
+
+    return ComparisonResult(True, "Files match")
+
+
+def _diff(row: int, col: int, left, right) -> ComparisonResult:
+    # mirrors compare.rs:47-52 first-diff reporting
+    return ComparisonResult(
+        False,
+        f"Row {row} does not match. {left} != {right} at position {col}",
+    )
+
+
+def _compare_hash(
+    spark: SparkSession,
+    path1: str,
+    path2: str,
+    *,
+    epsilon: float | None,
+    header: bool,
+) -> ComparisonResult:
+    df1 = read_file(spark, path1, header=header)
+    df2 = read_file(spark, path2, header=header)
+
+    n1, n2 = df1.count(), df2.count()
+    if n1 != n2:
+        return ComparisonResult(False, f"Row counts do not match: {n1} != {n2}")
+    if len(df1.columns) != len(df2.columns):
+        return ComparisonResult(
+            False,
+            f"Rows have different lengths: {len(df1.columns)} != {len(df2.columns)}",
+        )
+
+    if epsilon is not None:
+        digits = max(0, math.ceil(-math.log10(epsilon)))
+        for df_name in ("df1", "df2"):
+            df = df1 if df_name == "df1" else df2
+            rounded = [
+                F.round(F.col(c), digits).alias(c)
+                if t in ("float", "double")
+                else F.col(c)
+                for c, t in df.dtypes
+            ]
+            if df_name == "df1":
+                df1 = df.select(rounded)
+            else:
+                df2 = df.select(rounded)
+    df2 = df2.toDF(*df1.columns)
+
+    extra1 = df1.exceptAll(df2).count()
+    if extra1:
+        return ComparisonResult(
+            False, f"{extra1} rows in {path1} have no match in {path2}"
+        )
+    extra2 = df2.exceptAll(df1).count()
+    if extra2:
+        return ComparisonResult(
+            False, f"{extra2} rows in {path2} have no match in {path1}"
+        )
+    return ComparisonResult(True, "Files match")

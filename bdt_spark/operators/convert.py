@@ -1,0 +1,79 @@
+"""Format conversion — `bdt convert` (reference src/convert.rs:14-54).
+
+Reads any supported input format (extension dispatch, utils.rs:12-23) and
+writes csv/json/parquet. Mirrors the reference's writer surface:
+- `single_file`: one output file at exactly the requested path
+  (convert.rs:22 single_file_output) — Spark writes a part-file directory,
+  so we coalesce(1) and move the part file.
+- `zstd`: parquet compression zstd + dictionary off, approximating the
+  reference's zstd-level-8 + PLAIN encoding WriterProperties
+  (convert.rs:23-34; Spark exposes no codec level or per-column encoding —
+  documented divergence; created_by is not settable in Spark, cosmetic).
+- Avro output rejected, matching convert.rs:37-39.
+
+Scale: convert is a pure scan->sink plan — no shuffle at all unless
+`single_file` forces coalesce(1). At 100 TB you convert WITHOUT
+single_file and let each task write its own part file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from bdt_spark.sources.io import file_format, read_file
+
+
+class UnsupportedOutputError(ValueError):
+    """Mirrors the reference's unsupported-output error (convert.rs:37-39)."""
+
+
+def convert(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    *,
+    single_file: bool = False,
+    zstd: bool = False,
+    header: bool = True,
+) -> None:
+    out_fmt = file_format(output_path)
+    if out_fmt not in ("csv", "json", "parquet"):
+        raise UnsupportedOutputError(
+            f"unsupported output format for path: {output_path!r}"
+        )
+    df = read_file(spark, input_path, header=header)
+    if single_file:
+        df = df.coalesce(1)
+
+    target_dir = output_path if not single_file else output_path + "._spark_tmp"
+    writer = df.write.mode("overwrite")
+    if out_fmt == "csv":
+        writer = writer.option("header", "true")
+        if zstd:
+            writer = writer.option("compression", "zstd")
+        writer.csv(target_dir)
+    elif out_fmt == "json":
+        if zstd:
+            writer = writer.option("compression", "zstd")
+        writer.json(target_dir)
+    else:
+        writer = writer.option("compression", "zstd" if zstd else "snappy")
+        if zstd:
+            # Approximate the reference's PLAIN encoding (convert.rs:30).
+            writer = writer.option("parquet.enable.dictionary", "false")
+        writer.parquet(target_dir)
+
+    if single_file:
+        parts = sorted(glob.glob(os.path.join(target_dir, "part-*")))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected 1 part file, found {len(parts)}")
+        if os.path.exists(output_path):
+            os.remove(output_path) if os.path.isfile(output_path) else shutil.rmtree(
+                output_path
+            )
+        shutil.move(parts[0], output_path)
+        shutil.rmtree(target_dir, ignore_errors=True)

@@ -1,1 +1,732 @@
-"""LLM-data-pipeline queries (dedup/similarity/text) — populated next."""
+"""LLM-training-data-pipeline operators (dedup / similarity / text analysis).
+
+These extend the reference's surface (BASELINE.json north_star): the reference
+is a generic SQL frontend (ctx.sql, reference src/bin/main.rs:182); a modern
+100 TB training-data pipeline needs first-class dedup, ANN similarity, and
+text-quality operators. Each is expressed Spark-declaratively so Catalyst
+plans it (no driver loops), and each SQL-expressible one carries a DuckDB
+oracle in its own dialect for the correctness gate.
+
+Cross-engine determinism:
+- All "random" hash families are MD5-derived (identical hex output in both
+  engines); min-hash uses the lexicographic min of md5 hex strings (a valid
+  uniform permutation min).
+- Hex->int: Spark `CONV(h,16,10)` vs DuckDB `CAST('0x'||h AS BIGINT)`.
+- Float math is pinned to DOUBLE with sequential folds on both sides
+  (Spark `aggregate`, DuckDB `list_reduce`), rounded before hashing.
+
+Scale design (100 TB):
+- MinHash LSH: linear map-side shingle+signature pass, shuffle only on
+  (band, bucket-key) — near-uniform keys; candidate verification touches
+  only bucket-collision pairs, never O(n^2).
+- SimHash: one narrow shuffle on (doc_id) for the bit-vote aggregation,
+  then an exact groupBy on the 16-bit fingerprint.
+- ANN: query side is tiny -> broadcast; corpus scan stays partitioned
+  (brute force), or hyperplane-LSH buckets co-partition candidates.
+- Pairwise (n-gram Jaccard, cosine near-dup) queries are *blocked*
+  (lang / label) — the O(n^2) stays inside blocks; at 100 TB you would
+  first run the LSH variant to get candidates.
+"""
+
+from __future__ import annotations
+
+from bdt_spark.plans.registry import dsum, isum, sql_query
+
+# ---------------------------------------------------------------------------
+# helpers: per-dialect SQL fragments
+# ---------------------------------------------------------------------------
+
+K_HASH = 8          # minhash signature length
+N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS = 2)
+JACCARD_T = 0.5     # verification threshold
+SIM_BITS = 16       # simhash fingerprint width
+
+
+def _spark_shingles(src: str = "text") -> str:
+    """Distinct word 3-shingles of lower(text) — Spark dialect."""
+    w = f"split(lower({src}), ' ')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({w}) - 2, 1)),"
+        f" i -> concat_ws(' ', element_at({w}, i), element_at({w}, i + 1),"
+        f" element_at({w}, i + 2))))"
+    )
+
+
+def _duck_shingles(src: str = "text") -> str:
+    w = f"string_split(lower({src}), ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({w}) - 2, 1) + 1),"
+        f" i -> {w}[i] || ' ' || {w}[i + 1] || ' ' || {w}[i + 2]))"
+    )
+
+
+def _spark_minhash(j: int) -> str:
+    return f"array_min(transform(shingles, s -> md5(concat('{j}#', s)))) AS h{j}"
+
+
+def _duck_minhash(j: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{j}#' || s))) AS h{j}"
+
+
+def _band_keys(dialect: str) -> str:
+    rows = K_HASH // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        sig = ", ".join(f"h{b * rows + r}" for r in range(rows))
+        if dialect == "spark":
+            parts.append(f"concat('b{b}:', md5(concat({sig})))")
+        else:
+            sig_cat = " || ".join(f"h{b * rows + r}" for r in range(rows))
+            parts.append(f"'b{b}:' || md5({sig_cat})")
+    arr = ", ".join(parts)
+    return f"array({arr})" if dialect == "spark" else f"[{arr}]"
+
+
+def _minhash_lsh_sql(dialect: str) -> str:
+    """Full MinHash-LSH near-dup pair detection, one SQL text per dialect."""
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    sigs = ",\n         ".join(
+        (_spark_minhash if spark else _duck_minhash)(j) for j in range(K_HASH)
+    )
+    explode = (
+        f"explode({_band_keys('spark')})" if spark else f"unnest({_band_keys('duck')})"
+    )
+    if spark:
+        jac = (
+            "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
+            " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
+        )
+    else:
+        jac = (
+            "ROUND(len(list_intersect(sa.shingles, sb.shingles)) /"
+            " CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6)"
+        )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sigs}
+      FROM sh
+    ),
+    buckets AS (
+      SELECT doc_id, {explode} AS bkey FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {jac} AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE {jac} >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+sql_query(
+    "dedup_minhash_lsh",
+    _minhash_lsh_sql("spark"),
+    oracle=_minhash_lsh_sql("duck"),
+    tags=("dedup", "lsh", "minhash"),
+    doc=(
+        "Near-duplicate pairs via MinHash LSH: word-3-shingles -> "
+        f"{K_HASH}-hash signature (lex-min of seeded md5) -> {N_BANDS} bands "
+        "-> bucket self-join -> exact-Jaccard verification at "
+        f">= {JACCARD_T}. Shuffle only on band keys; verification only on "
+        "candidates (100 TB-safe)."
+    ),
+)
+
+# --- exact dedup ------------------------------------------------------------
+
+sql_query(
+    "dedup_exact_text",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY text_hash
+    """,
+    tags=("dedup", "exact"),
+    doc="Exact dedup: hash-groupBy on md5(text); survivors = MIN(doc_id). "
+    "Map-side partial agg then one shuffle on the hash — the canonical "
+    "exact-dedup plan at any scale.",
+)
+
+sql_query(
+    "dedup_exact_normalized",
+    """
+    SELECT norm_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS norm_hash
+      FROM documents) t
+    GROUP BY norm_hash
+    HAVING COUNT(*) > 1
+    ORDER BY norm_hash
+    """,
+    oracle="""
+    SELECT norm_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm_hash
+      FROM documents) t
+    GROUP BY norm_hash
+    HAVING COUNT(*) > 1
+    ORDER BY norm_hash
+    """,
+    tags=("dedup", "exact"),
+    doc="Exact dedup after lowercase+strip-punctuation normalization.",
+)
+
+
+# --- simhash ----------------------------------------------------------------
+
+
+def _simhash_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        hexint = "CAST(CONV(SUBSTR(MD5(word), 1, 8), 16, 10) AS BIGINT)"
+        shift = lambda b: f"(SHIFTRIGHT(hv, {b}) & 1)"  # noqa: E731
+        explode = "explode(split(lower(text), ' '))"
+    else:
+        hexint = "CAST('0x' || SUBSTR(MD5(word), 1, 8) AS BIGINT)"
+        shift = lambda b: f"((hv >> {b}) & 1)"  # noqa: E731
+        explode = "unnest(string_split(lower(text), ' '))"
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN {shift(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {explode} AS word FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {hexint} AS hv FROM w
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    )
+    SELECT CAST({fp} AS BIGINT) AS simhash,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM votes
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY simhash
+    """
+
+
+sql_query(
+    "dedup_simhash",
+    _simhash_sql("spark"),
+    oracle=_simhash_sql("duck"),
+    tags=("dedup", "simhash"),
+    doc=f"{SIM_BITS}-bit SimHash fingerprint (md5-derived bit votes over "
+    "words); groups sharing a fingerprint are near-dup clusters. One narrow "
+    "shuffle on doc_id, one on the fingerprint.",
+)
+
+
+# --- n-gram Jaccard (blocked pairwise) --------------------------------------
+
+
+def _ngram_jaccard_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    if spark:
+        jac = (
+            "ROUND(size(array_intersect(a.shingles, b.shingles)) /"
+            " CAST(size(array_union(a.shingles, b.shingles)) AS DOUBLE), 6)"
+        )
+    else:
+        jac = (
+            "ROUND(len(list_intersect(a.shingles, b.shingles)) /"
+            " CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6)"
+        )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {shingles} AS shingles
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {jac} >= 0.2
+    ORDER BY doc_a, doc_b
+    """
+
+
+sql_query(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard_sql("spark"),
+    oracle=_ngram_jaccard_sql("duck"),
+    tags=("dedup", "jaccard"),
+    doc="Blocked pairwise 3-gram Jaccard (block = lang). The O(n^2) stays "
+    "inside blocks; at scale the MinHash-LSH query supplies candidates "
+    "instead of the block cross-join.",
+)
+
+
+# --- embedding cosine (near-dup + ANN) --------------------------------------
+
+
+def _cos(dialect: str, a: str, b: str) -> str:
+    """Deterministic double-precision cosine with sequential folds."""
+    if dialect == "spark":
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nrm = (
+            lambda e: f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
+            " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+    else:
+        dot = (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), i ->"
+            f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+            " (x, y) -> x + y)"
+        )
+        nrm = (
+            lambda e: f"SQRT(list_reduce(list_transform({e}, x ->"
+            " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+        )
+    return f"ROUND({dot} / ({nrm(a)} * {nrm(b)}), 6)"
+
+
+def _cosine_neardup_sql(dialect: str) -> str:
+    cos = _cos(dialect, "a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.9
+    ORDER BY vec_a, vec_b
+    """
+
+
+sql_query(
+    "dedup_embedding_cosine",
+    _cosine_neardup_sql("spark"),
+    oracle=_cosine_neardup_sql("duck"),
+    tags=("dedup", "embedding", "cosine"),
+    doc="Embedding near-dup: label-blocked pairwise cosine >= 0.9. Blocking "
+    "keys bound the pair count; at 100 TB the hyperplane-LSH buckets below "
+    "replace the label block.",
+)
+
+
+def _topk_bruteforce_sql(dialect: str) -> str:
+    cos = _cos(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH queries AS (
+      SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rk
+      FROM queries q
+      JOIN embeddings c ON c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk
+    FROM scored WHERE rk <= 10
+    ORDER BY q_id, rk
+    """
+
+
+sql_query(
+    "similarity_topk_bruteforce",
+    _topk_bruteforce_sql("spark"),
+    oracle=_topk_bruteforce_sql("duck"),
+    tags=("similarity", "ann", "topk"),
+    doc="Brute-force cosine top-10 for 5 query vectors. The query side is "
+    "broadcast (tiny); the corpus scan stays fully partitioned; ranking is a "
+    "per-query window — the exact-ANN baseline at any scale.",
+)
+
+
+# Deterministic pseudo-random hyperplanes for sign-LSH, generated once from
+# a fixed literal table (md5-free: plain LCG values inlined as SQL literals
+# so both engines see identical constants).
+def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    out = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64 — deterministic, engine-independent (computed here)
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(round((state % 2000003) / 1000001.5 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def _lsh_bucket_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    planes = _hyperplanes()
+    bits = []
+    for p, row in enumerate(planes):
+        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in row)
+        arr = f"array({lit})" if spark else f"[{lit}]"
+        if spark:
+            dot = (
+                f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+                " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + v)"
+            )
+        else:
+            dot = (
+                f"list_reduce(list_transform(range(1, len(embedding) + 1),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]),"
+                " (x, y) -> x + y)"
+            )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    SELECT CAST({bucket} AS INT) AS bucket,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+    FROM embeddings
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+sql_query(
+    "similarity_lsh_buckets",
+    _lsh_bucket_sql("spark"),
+    oracle=_lsh_bucket_sql("duck"),
+    tags=("similarity", "ann", "lsh"),
+    doc="Sign-LSH bucketing: 4 fixed pseudo-random hyperplanes -> 16 "
+    "buckets. At scale, ANN = shuffle corpus once by bucket, probe each "
+    "query only against its own bucket (candidates /= 16 per plane-set).",
+)
+
+
+def _lsh_topk_sql(dialect: str) -> str:
+    """ANN via LSH: probe only the query's bucket, exact cosine inside."""
+    spark = dialect == "spark"
+    planes = _hyperplanes()
+    bits = []
+    for p, row in enumerate(planes):
+        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in row)
+        arr = f"array({lit})" if spark else f"[{lit}]"
+        if spark:
+            dot = (
+                f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+                " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + v)"
+            )
+        else:
+            dot = (
+                f"list_reduce(list_transform(range(1, len(embedding) + 1),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]),"
+                " (x, y) -> x + y)"
+            )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    cos = _cos(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding, bucket FROM bucketed WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rk
+      FROM queries q
+      JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk
+    FROM scored WHERE rk <= 5
+    ORDER BY q_id, rk
+    """
+
+
+sql_query(
+    "similarity_topk_lsh",
+    _lsh_topk_sql("spark"),
+    oracle=_lsh_topk_sql("duck"),
+    tags=("similarity", "ann", "lsh", "topk"),
+    doc="Approximate top-5 neighbors: candidates restricted to the query's "
+    "sign-LSH bucket, exact cosine + window rank inside the bucket only.",
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+def _quality_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        nwords = "size(split(text, ' '))"
+        nstop = (
+            f"size(filter(split(lower(text), ' '), w -> w IN {_STOPWORDS}))"
+        )
+        nalpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+        npunct = "length(regexp_replace(text, '[^.,;:!?]', ''))"
+    else:
+        nwords = "len(string_split(text, ' '))"
+        nstop = (
+            f"len(list_filter(string_split(lower(text), ' '),"
+            f" w -> w IN {_STOPWORDS}))"
+        )
+        nalpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        npunct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST({nwords} AS BIGINT) AS n_words,
+           ROUND(length(text) / CAST({nwords} AS DOUBLE), 6) AS avg_word_len,
+           ROUND({nstop} / CAST({nwords} AS DOUBLE), 6) AS stopword_ratio,
+           ROUND({nalpha} / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           ROUND({npunct} / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           (length(text) >= 50 AND {nstop} / CAST({nwords} AS DOUBLE) >= 0.01)
+             AS passes_quality
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_quality_scores",
+    _quality_sql("spark"),
+    oracle=_quality_sql("duck"),
+    tags=("text", "quality"),
+    doc="Per-document quality features (length, word count, stopword/alpha/"
+    "punct ratios) + a boolean gate — the C4-style quality filter shape. "
+    "Pure map-side, no shuffle.",
+)
+
+
+def _langid_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    # Character-n-gram-frequency heuristic: score = count of language-marker
+    # substrings. Markers chosen per-language; argmax with deterministic
+    # tie-break on marker order.
+    markers = {
+        "en": ["the ", " and ", "data"],
+        "es": ["spark", "row", "valor"],
+        "de": ["batch", "join", "und "],
+        "fr": ["table", "merge", "les "],
+        "zh": ["window", "vector", "hash"],
+    }
+
+    def score(lang: str) -> str:
+        terms = []
+        for m in markers[lang]:
+            esc = m.replace("'", "''")
+            if spark:
+                terms.append(
+                    f"(size(split(lower(text), '{esc}')) - 1)"
+                )
+            else:
+                terms.append(
+                    f"(len(string_split(lower(text), '{esc}')) - 1)"
+                )
+        return " + ".join(terms)
+
+    scores = ",\n           ".join(
+        f"({score(lang)}) AS sc_{lang}" for lang in markers
+    )
+    langs = list(markers)
+    greatest = ", ".join(f"sc_{lang}" for lang in langs)
+    case = " ".join(
+        f"WHEN GREATEST({greatest}) = sc_{lang} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE {case} ELSE 'und' END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_langid_heuristic",
+    _langid_sql("spark"),
+    oracle=_langid_sql("duck"),
+    tags=("text", "langid"),
+    doc="N-gram-marker language-ID heuristic (argmax of marker-substring "
+    "counts, first-wins tie-break). Map-side only.",
+)
+
+
+def _token_count_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        ws = "size(split(text, ' +'))"
+        bpe = "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
+    else:
+        ws = "len(string_split_regex(text, ' +'))"
+        bpe = "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {isum(ws, 'ws_tokens')},
+           {isum(bpe, 'bpe_ish_tokens')},
+           {isum('length(text)', 'total_chars')}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+sql_query(
+    "text_token_counts",
+    _token_count_sql("spark"),
+    oracle=_token_count_sql("duck"),
+    tags=("text", "tokens"),
+    doc="Corpus token accounting per source: whitespace tokens and a BPE-ish "
+    "regex token count (letter-runs / digit-runs / single symbols).",
+)
+
+
+def _fingerprint_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    if spark:
+        norm = "regexp_replace(lower(text), ' +', ' ')"
+        winnow = "array_min(transform(shingles, s -> md5(s)))"
+    else:
+        norm = "regexp_replace(lower(text), ' +', ' ', 'g')"
+        winnow = "list_min(list_transform(shingles, s -> md5(s)))"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, md5({norm}) AS content_hash, {shingles} AS shingles
+      FROM documents
+    )
+    SELECT doc_id, content_hash, {winnow} AS min_shingle_fp
+    FROM sh
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_fingerprint",
+    _fingerprint_sql("spark"),
+    oracle=_fingerprint_sql("duck"),
+    tags=("text", "fingerprint"),
+    doc="Document fingerprints: md5 of whitespace-normalized text plus a "
+    "winnowing-style min-shingle-hash fingerprint.",
+)
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch form; streaming mirror in bdt_spark/streaming)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "events_tumbling_window",
+    f"""
+    SELECT window.start AS win_start, event_type,
+           COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY window(ts, '15 minutes'), event_type
+    ORDER BY win_start, event_type
+    """,
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type,
+           COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("events", "window", "tumbling"),
+    doc="15-min tumbling event-time windows (batch form of the streaming "
+    "windowed agg in bdt_spark/streaming).",
+)
+
+sql_query(
+    "events_hopping_window",
+    f"""
+    SELECT window.start AS win_start,
+           COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-01 08:00:00'
+    GROUP BY window(ts, '30 minutes', '15 minutes')
+    ORDER BY win_start
+    """,
+    oracle=f"""
+    WITH hops AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, value
+      FROM events WHERE ts < TIMESTAMP '2024-01-01 08:00:00'
+      UNION ALL
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes', value
+      FROM events WHERE ts < TIMESTAMP '2024-01-01 08:00:00'
+    )
+    SELECT win_start, COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM hops
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+    tags=("events", "window", "hopping"),
+    doc="30-min windows hopping every 15 min; oracle expands each event "
+    "into its two overlapping hops.",
+)
+
+sql_query(
+    "events_session_window",
+    f"""
+    SELECT user_id, session_window.start AS sess_start,
+           COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM events
+    WHERE user_id < 10 AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY session_window(ts, '1 hour'), user_id
+    ORDER BY user_id, sess_start
+    """,
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '1 hour'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id < 10 AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marks
+    )
+    SELECT user_id, MIN(ts) AS sess_start,
+           COUNT(*) AS n_events, {dsum('value', 'total_value')}
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start
+    """,
+    tags=("events", "window", "session"),
+    doc="1-hour-gap session windows per user (Spark session_window); oracle "
+    "derives sessions with the gaps-and-islands pattern.",
+)

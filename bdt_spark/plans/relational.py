@@ -1,1 +1,984 @@
-"""Tier B relational operator sweep (SURVEY.md §2 B2-B9) — populated next."""
+"""Tier B relational operator sweep (SURVEY.md §2 B2-B9).
+
+Everything here is capability the reference exposes by delegating arbitrary
+SQL to its engine (`ctx.sql`, reference src/bin/main.rs:182). On Spark it is
+Catalyst-native; these queries pin conformance against the DuckDB oracle.
+
+A mix of SQL-text queries (common Spark/DuckDB subset → oracle is the same
+text) and DataFrame-API queries (oracle is separate DuckDB SQL) so both API
+surfaces are exercised.
+
+Scale notes: window queries partition by high-cardinality keys (custkey,
+user_id) — state per partition stays bounded; ranking windows use total
+orders (unique tie-break) so results are deterministic on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bdt_spark.plans.registry import davg, dsum, isum, query, sql_query
+from bdt_spark.sources.io import load_fixture_tables
+
+# ---------------------------------------------------------------------------
+# B3 — join types
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "join_inner_multi_key",
+    f"""
+    SELECT n_name, r_name, COUNT(*) AS n_customers,
+           {dsum('c_acctbal', 'total_acctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    ORDER BY n_name
+    """,
+    tags=("join",),
+)
+
+sql_query(
+    "join_left_outer",
+    """
+    SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_lineitems
+    FROM supplier
+    LEFT JOIN lineitem ON s_suppkey = l_suppkey AND l_quantity > 49
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "left"),
+)
+
+sql_query(
+    "join_right_outer",
+    """
+    SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
+    FROM customer
+    RIGHT JOIN nation ON c_nationkey = n_nationkey AND c_acctbal > 9000
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+    tags=("join", "right"),
+)
+
+sql_query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(a.k, b.k) AS k, a.n_orders, b.n_lineitems
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders
+          FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) a
+    FULL JOIN (SELECT l_suppkey AS k, COUNT(*) AS n_lineitems
+               FROM lineitem WHERE l_quantity > 45 GROUP BY l_suppkey) b
+      ON a.k = b.k
+    ORDER BY k
+    """,
+    tags=("join", "full"),
+)
+
+sql_query(
+    "join_semi_in",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+
+sql_query(
+    "join_anti_not_exists",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_partkey = p_partkey AND l_quantity > 49 AND l_discount >= 0.08)
+    ORDER BY p_partkey
+    """,
+    tags=("join", "anti"),
+)
+
+sql_query(
+    "join_cross",
+    """
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1
+    CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    ORDER BY region_a, region_b
+    """,
+    tags=("join", "cross"),
+)
+
+sql_query(
+    "join_non_equi_range",
+    """
+    SELECT o1.o_orderkey AS o_orderkey, COUNT(*) AS n_bigger_same_day
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_orderdate = o2.o_orderdate AND o2.o_totalprice > o1.o_totalprice
+    GROUP BY o1.o_orderkey
+    ORDER BY o1.o_orderkey
+    LIMIT 50
+    """,
+    tags=("join", "non-equi"),
+    doc="Equi+theta hybrid: hash join on date, residual range predicate.",
+)
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "broadcast", "dataframe-api"),
+    doc="Explicit broadcast() hint on the dim side — the 100 TB join pattern.",
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — aggregation shapes
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "agg_distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+
+sql_query(
+    "agg_minmax_types",
+    """
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+           MIN(o_orderpriority) AS min_priority, MAX(o_orderpriority) AS max_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg",),
+    doc="MIN/MAX over double, timestamp, and string in one pass.",
+)
+
+sql_query(
+    "agg_variance_formulas",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_samp_qty,
+           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1)) AS stddev_samp_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+    doc="Deterministic var/stddev from decimal-exact sums (engine-agnostic).",
+)
+
+sql_query(
+    "agg_corr_covar_formulas",
+    """
+    SELECT
+      (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(32,6))) AS DOUBLE)
+       - CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE))
+      / (COUNT(*) * COUNT(*)) AS covar_pop_qty_price
+    FROM lineitem
+    """,
+    tags=("agg", "stats"),
+)
+
+sql_query(
+    "agg_native_stats_rounded",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 3) AS sd_price,
+           ROUND(VAR_POP(l_discount), 8) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+    doc="Native stats aggregates, rounded to absorb accumulation-order noise.",
+)
+
+sql_query(
+    "agg_bit_bool",
+    """
+    SELECT o_orderstatus,
+           CAST(BIT_AND(o_custkey) AS BIGINT) AS band,
+           CAST(BIT_OR(o_custkey) AS BIGINT) AS bor,
+           CAST(BIT_XOR(o_custkey) AS BIGINT) AS bxor,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000) AS any_over_400k
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bit", "bool"),
+)
+
+sql_query(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           {isum('1', 'n_rows')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+
+sql_query(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, {dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+
+sql_query(
+    "agg_grouping_sets",
+    f"""
+    SELECT c_mktsegment, n_name, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("agg", "grouping-sets"),
+)
+
+sql_query(
+    "agg_having",
+    f"""
+    SELECT l_suppkey, COUNT(*) AS n_items, {dsum('l_quantity', 'total_qty')}
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 500 AND SUM(l_quantity) > 10000
+    ORDER BY l_suppkey
+    """,
+    tags=("agg", "having"),
+)
+
+sql_query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS median_qty,
+           PERCENTILE(l_extendedprice, 0.25) AS p25_price,
+           PERCENTILE(l_extendedprice, 0.75) AS p75_price,
+           PERCENTILE(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS median_qty,
+           QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+           QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+           QUANTILE_CONT(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+
+sql_query(
+    "agg_string_concat_sorted",
+    """
+    SELECT n_regionkey,
+           ARRAY_JOIN(SORT_ARRAY(COLLECT_LIST(n_name)), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+    doc="array_agg/collect_list made deterministic by sorting inside the group.",
+)
+
+sql_query(
+    "agg_approx_count_distinct",
+    """
+    SELECT APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts FROM lineitem
+    """,
+    oracle=None,  # HLL sketches differ across engines (SURVEY §2 B4 note)
+    tags=("agg", "approx"),
+)
+
+# ---------------------------------------------------------------------------
+# B5 — window functions
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "window_ranking",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "ranking"),
+)
+
+sql_query(
+    "window_offsets",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice, 1) OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price_default,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           NTH_VALUE(o_orderkey, 2)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "offset"),
+)
+
+sql_query(
+    "window_running_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_3,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS orders_per_cust
+    FROM orders
+    WHERE o_custkey < 40
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frames"),
+)
+
+sql_query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_within_1k_below
+    FROM orders
+    WHERE o_custkey < 20
+    ORDER BY o_totalprice, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("window", "topk", "dataframe-api"),
+    doc="Canonical top-K per group via ranking window (DataFrame API).",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t["customer"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — sort / limit / null ordering
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sort_nulls_ordering",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 1000 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    WHERE c_custkey <= 60
+    ORDER BY bal ASC NULLS FIRST, c_custkey
+    LIMIT 30
+    """,
+    tags=("sort", "nulls"),
+    doc="Explicit NULLS FIRST — Spark/DataFusion defaults differ (SURVEY B6).",
+)
+
+sql_query(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    tags=("sort", "limit", "offset"),
+)
+
+# ---------------------------------------------------------------------------
+# B7 — set operations
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "setop_union_all_distinct",
+    """
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+      UNION ALL
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    ) u
+    ORDER BY k
+    """,
+    tags=("setop", "union"),
+)
+
+sql_query(
+    "setop_union_dedup",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+    UNION
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    ORDER BY k
+    """,
+    tags=("setop", "union"),
+)
+
+sql_query(
+    "setop_intersect",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    ORDER BY k
+    """,
+    tags=("setop", "intersect"),
+)
+
+sql_query(
+    "setop_except",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+    ORDER BY k
+    """,
+    tags=("setop", "except"),
+)
+
+# ---------------------------------------------------------------------------
+# B8 — scalar function sweeps
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "scalar_string_functions",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           LENGTH(c_name) AS len,
+           SUBSTR(c_name, 1, 8) AS pre,
+           CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS STRING)) AS tagged,
+           LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           TRIM('  x  ') AS trimmed,
+           REVERSE(c_mktsegment) AS rev,
+           SPLIT_PART(c_name, '#', 2) AS name_num,
+           POSITION('#' IN c_name) AS hash_pos,
+           LEFT(c_mktsegment, 3) AS l3, RIGHT(c_mktsegment, 3) AS r3,
+           REPEAT('ab', 3) AS rep,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+           ASCII(c_mktsegment) AS first_ascii,
+           MD5(c_name) AS name_md5,
+           STARTSWITH(c_name, 'Customer') AS is_cust
+    FROM customer
+    WHERE c_custkey <= 40
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           LENGTH(c_name) AS len,
+           SUBSTR(c_name, 1, 8) AS pre,
+           CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           TRIM('  x  ') AS trimmed,
+           REVERSE(c_mktsegment) AS rev,
+           SPLIT_PART(c_name, '#', 2) AS name_num,
+           POSITION('#' IN c_name) AS hash_pos,
+           LEFT(c_mktsegment, 3) AS l3, RIGHT(c_mktsegment, 3) AS r3,
+           REPEAT('ab', 3) AS rep,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+           ASCII(c_mktsegment) AS first_ascii,
+           MD5(c_name) AS name_md5,
+           STARTS_WITH(c_name, 'Customer') AS is_cust
+    FROM customer
+    WHERE c_custkey <= 40
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "string"),
+)
+
+sql_query(
+    "scalar_regex_functions",
+    """
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+           REGEXP_REPLACE(SUBSTR(text, 1, 50), '[aeiou]', '_') AS devoweled,
+           CAST(REGEXP_LIKE(text, 'spark') AS BOOLEAN) AS mentions_spark
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+           REGEXP_REPLACE(SUBSTR(text, 1, 50), '[aeiou]', '_', 'g') AS devoweled,
+           REGEXP_MATCHES(text, 'spark') AS mentions_spark
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("scalar", "regex"),
+    doc="Spark regexp_replace is global by default; DuckDB needs the 'g' flag.",
+)
+
+sql_query(
+    "scalar_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25) AS dev_from_25,
+           CAST(CEIL(l_discount * 100) AS DOUBLE) AS disc_pct_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS DOUBLE) AS price_k_floor,
+           ROUND(l_extendedprice / 7, 2) AS seventh,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(CBRT(l_quantity), 8) AS qty_cbrt,
+           POWER(l_discount, 2) AS disc_sq,
+           ROUND(EXP(l_discount), 10) AS disc_exp,
+           ROUND(LN(l_extendedprice), 10) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 10) AS price_log10,
+           ROUND(LOG2(l_quantity), 8) AS qty_log2,
+           CAST(SIGN(l_quantity - 25) AS INT) AS sgn,
+           MOD(CAST(l_orderkey AS INT), 7) AS ok_mod7,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           DEGREES(l_discount) AS disc_deg,
+           RADIANS(l_quantity) AS qty_rad,
+           ROUND(SIN(l_discount), 10) AS s, ROUND(COS(l_discount), 10) AS c,
+           ROUND(ATAN2(l_discount, l_tax), 10) AS a2,
+           ISNAN(l_discount) AS is_nan
+    FROM lineitem
+    WHERE l_orderkey < 20
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25) AS dev_from_25,
+           CAST(CEIL(l_discount * 100) AS DOUBLE) AS disc_pct_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS DOUBLE) AS price_k_floor,
+           ROUND(l_extendedprice / 7, 2) AS seventh,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(CBRT(l_quantity), 8) AS qty_cbrt,
+           POWER(l_discount, 2) AS disc_sq,
+           ROUND(EXP(l_discount), 10) AS disc_exp,
+           ROUND(LN(l_extendedprice), 10) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 10) AS price_log10,
+           ROUND(LOG2(l_quantity), 8) AS qty_log2,
+           CAST(SIGN(l_quantity - 25) AS INT) AS sgn,
+           MOD(CAST(l_orderkey AS INT), 7) AS ok_mod7,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           DEGREES(l_discount) AS disc_deg,
+           RADIANS(l_quantity) AS qty_rad,
+           ROUND(SIN(l_discount), 10) AS s, ROUND(COS(l_discount), 10) AS c,
+           ROUND(ATAN2(l_discount, l_tax), 10) AS a2,
+           ISNAN(l_discount) AS is_nan
+    FROM lineitem
+    WHERE l_orderkey < 20
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math"),
+    doc="CEIL/FLOOR return BIGINT in Spark vs DOUBLE in DuckDB (pinned with casts); CBRT differs in the last ulp (rounded).",
+)
+
+sql_query(
+    "scalar_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+           DATE_TRUNC('MONTH', o_orderdate) AS month_start,
+           DATE_TRUNC('QUARTER', o_orderdate) AS quarter_start,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dd,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) - 1 AS dow,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
+           CAST(MAKE_DATE(2024, 3, 15) AS TIMESTAMP) AS fixed_date,
+           CAST(UNIX_TIMESTAMP(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+           DATE_TRUNC('MONTH', o_orderdate) AS month_start,
+           DATE_TRUNC('QUARTER', o_orderdate) AS quarter_start,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dd,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
+           CAST(MAKE_DATE(2024, 3, 15) AS TIMESTAMP) AS fixed_date,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+    doc="Spark EXTRACT(DOW) is 1=Sunday vs DuckDB 0=Sunday (shifted to agree); DATE outputs cast to TIMESTAMP for cross-engine hashing.",
+)
+
+sql_query(
+    "scalar_conditional",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           IF(c_acctbal > 5000, 'yes', 'no') AS over_5k,
+           NVL(NULLIF(c_name, c_name), 'was_null') AS nvl_demo,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS never_true
+    FROM customer
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           IF(c_acctbal > 5000, 'yes', 'no') AS over_5k,
+           COALESCE(NULLIF(c_name, c_name), 'was_null') AS nvl_demo,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS never_true
+    FROM customer
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "conditional"),
+)
+
+sql_query(
+    "scalar_cast_trycast",
+    """
+    SELECT
+      CAST('42' AS INT) AS i,
+      CAST('3.5' AS DOUBLE) AS d,
+      CAST(42 AS STRING) AS s,
+      TRY_CAST('not_a_number' AS INT) AS bad_int,
+      TRY_CAST('2024-01-15' AS TIMESTAMP) AS good_ts,
+      TRY_CAST('nope' AS TIMESTAMP) AS bad_ts,
+      CAST(3.99 AS INT) AS truncated,
+      CAST(TRUE AS INT) AS bool_int
+    """,
+    oracle="""
+    SELECT
+      CAST('42' AS INT) AS i,
+      CAST('3.5' AS DOUBLE) AS d,
+      CAST(42 AS VARCHAR) AS s,
+      TRY_CAST('not_a_number' AS INT) AS bad_int,
+      TRY_CAST('2024-01-15' AS TIMESTAMP) AS good_ts,
+      TRY_CAST('nope' AS TIMESTAMP) AS bad_ts,
+      CAST(TRUNC(3.99) AS INT) AS truncated,
+      CAST(TRUE AS INT) AS bool_int
+    """,
+    tags=("scalar", "cast"),
+    doc="ANSI casts. Divergence pinned: Spark CAST(double AS INT) truncates toward zero, DuckDB rounds — oracle uses TRUNC to express Spark's semantics.",
+)
+
+sql_query(
+    "scalar_predicates",
+    """
+    SELECT p_partkey, p_brand, p_size
+    FROM part
+    WHERE p_brand LIKE 'Brand#1%'
+      AND p_type ILIKE '%econ%'
+      AND p_size BETWEEN 10 AND 40
+      AND p_partkey IN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 40)
+      AND p_name IS NOT NULL
+    ORDER BY p_partkey
+    """,
+    tags=("filter", "predicates"),
+)
+
+# ---------------------------------------------------------------------------
+# B8 arrays + B9 structure (on the embeddings/events fixtures)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "array_functions",
+    """
+    SELECT vec_id,
+           SIZE(embedding) AS dim,
+           CAST(ELEMENT_AT(embedding, 1) AS DOUBLE) AS first_elem,
+           CAST(ELEMENT_AT(embedding, -1) AS DOUBLE) AS last_elem,
+           CAST(ARRAY_MAX(embedding) AS DOUBLE) AS max_elem,
+           CAST(ARRAY_MIN(embedding) AS DOUBLE) AS min_elem,
+           CAST(AGGREGATE(SLICE(embedding, 1, 8), CAST(0.0 AS DOUBLE),
+                          (acc, x) -> acc + CAST(x AS DOUBLE)) AS DOUBLE) AS sum_first8
+    FROM embeddings
+    WHERE vec_id < 40
+    ORDER BY vec_id
+    """,
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[-1] AS DOUBLE) AS last_elem,
+           CAST(LIST_MAX(embedding) AS DOUBLE) AS max_elem,
+           CAST(LIST_MIN(embedding) AS DOUBLE) AS min_elem,
+           CAST(LIST_SUM(LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE)))
+                AS DOUBLE) AS sum_first8
+    FROM embeddings
+    WHERE vec_id < 40
+    ORDER BY vec_id
+    """,
+    tags=("array",),
+    doc="Array ops over a real ArrayType(Float) column; floats widened to double for cross-engine hashing.",
+)
+
+sql_query(
+    "array_explode_unnest",
+    f"""
+    SELECT label, COUNT(*) AS n_values,
+           {dsum('CAST(e AS DOUBLE)', 'sum_components')}
+    FROM (SELECT label, EXPLODE(SLICE(embedding, 1, 4)) AS e
+          FROM embeddings WHERE vec_id < 100) t
+    GROUP BY label
+    ORDER BY label
+    """,
+    oracle=f"""
+    SELECT label, COUNT(*) AS n_values,
+           {dsum('CAST(e AS DOUBLE)', 'sum_components')}
+    FROM (SELECT label, UNNEST(embedding[1:4]) AS e
+          FROM embeddings WHERE vec_id < 100) t
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("array", "explode"),
+)
+
+sql_query(
+    "json_extraction",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {isum("CAST(GET_JSON_OBJECT(props, '$.k') AS INT)", 'sum_k')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {isum("CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)", 'sum_k')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json",),
+    doc="JSON extraction — a capability extension over DataFusion 35 (SURVEY B8 notes core DF35 has no JSON functions).",
+)
+
+sql_query(
+    "struct_nested",
+    """
+    SELECT seg, cnt, rec.max_bal AS max_bal, rec.min_bal AS min_bal
+    FROM (
+      SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+             STRUCT(MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal) AS rec
+      FROM customer GROUP BY c_mktsegment) t
+    ORDER BY seg
+    """,
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+           MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY seg
+    """,
+    tags=("struct",),
+    doc="Struct construction + field access; oracle flattens (same values).",
+)
+
+sql_query(
+    "query_values_inline",
+    """
+    SELECT t.code, r.r_name, t.note
+    FROM (VALUES (0, 'first'), (2, 'third'), (4, 'fifth')) AS t(code, note)
+    JOIN region r ON r.r_regionkey = t.code
+    ORDER BY t.code
+    """,
+    tags=("values", "join"),
+)
+
+sql_query(
+    "query_nested_cte",
+    f"""
+    WITH big_orders AS (
+      SELECT * FROM orders WHERE o_totalprice > 200000
+    ), cust_big AS (
+      SELECT c_custkey, c_mktsegment, COUNT(*) AS n_big
+      FROM customer JOIN big_orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_mktsegment, {isum('n_big', 'total_big_orders')},
+           COUNT(*) AS n_customers
+    FROM cust_big
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("cte",),
+)
+
+sql_query(
+    "distinct_projection",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("distinct",),
+)
+
+
+@query(
+    "pivot_segments_by_status",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("pivot", "dataframe-api"),
+    doc="DataFrame pivot; oracle expresses it as conditional aggregation.",
+)
+def pivot_segments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+    FROM customer WHERE c_custkey <= 20
+    UNION ALL
+    SELECT c_custkey, 'custkey_x10' AS metric, CAST(c_custkey * 10 AS DOUBLE) AS val
+    FROM customer WHERE c_custkey <= 20
+    ORDER BY c_custkey, metric
+    """,
+    tags=("unpivot", "dataframe-api"),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 20)
+        .selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'custkey_x10', CAST(c_custkey * 10 AS DOUBLE)) AS (metric, val)",
+        )
+        .orderBy("c_custkey", "metric")
+    )

@@ -1,0 +1,119 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md the tracked metrics are: table registration + schema infer,
+TPC-H-q1-style aggregation, convert throughput, compare throughput — plus a
+representative spread of the §2 operator inventory (joins, windows, dedup,
+similarity) so a regression anywhere shows up in the round-over-round numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bdt_spark.session import get_spark  # noqa: E402
+from bdt_spark.sources.io import load_fixture_tables  # noqa: E402
+import bdt_spark.plans as plans  # noqa: E402
+
+# The headline spread: bdt-native paths + one query per operator family.
+HEADLINE = [
+    "tpch_q1_pricing_summary",   # the reference's flagship (README.md:119-135)
+    "tpch_q3_shipping_priority", # join + topk
+    "tpch_q5_local_supplier_volume",  # 6-table join
+    "tpch_q9_product_profit",    # wide join + agg
+    "tpch_q13_customer_distribution",  # left join + double agg
+    "tpch_q18_large_volume",     # in-subquery + having
+    "tpch_q21_waiting_supplier", # exists + not-exists
+    "window_running_frames",     # window frames
+    "agg_rollup",                # grouping analytics
+    "setop_except",              # set ops
+]
+# Pipeline operators benched when present (added as plans/pipeline.py grows).
+PIPELINE = [
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_scores",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    spec = plans.get_query(name)
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    n = df.count()  # force full execution without driver materialization
+    dt = time.perf_counter() - t0
+    assert n >= 0
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("bdt_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    # register + schema-infer (BASELINE.md metric #1)
+    t0 = time.perf_counter()
+    tables = load_fixture_tables(spark, sf_dir, force=True)
+    for df in tables.values():
+        _ = df.schema
+    timings["register_infer"] = round(time.perf_counter() - t0, 3)
+
+    all_names = set(plans.all_queries())
+    for name in HEADLINE + [q for q in PIPELINE if q in all_names]:
+        try:
+            timings[name] = round(run_query(spark, name, sf_dir), 3)
+        except Exception as e:  # a broken query must not kill the bench
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # convert throughput (BASELINE.md metric #3): parquet -> csv
+    try:
+        from bdt_spark.operators.convert import convert
+
+        tmp = tempfile.mkdtemp(prefix="bdt_bench_")
+        t0 = time.perf_counter()
+        convert(spark, os.path.join(sf_dir, "orders.parquet"),
+                os.path.join(tmp, "orders.csv"), single_file=True)
+        timings["convert_parquet_csv"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:
+        print(f"bench error convert: {e}", file=sys.stderr)
+
+    # compare throughput (BASELINE.md metric #4): parquet vs itself
+    try:
+        from bdt_spark.operators.compare import compare_files
+
+        t0 = time.perf_counter()
+        res = compare_files(spark, os.path.join(sf_dir, "lineitem.parquet"),
+                            os.path.join(sf_dir, "lineitem.parquet"))
+        timings["compare_parquet"] = round(time.perf_counter() - t0, 3)
+        assert res.ok
+    except Exception as e:
+        print(f"bench error compare: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

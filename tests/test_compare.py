@@ -1,0 +1,82 @@
+"""Compare-engine tests mirroring the reference's diff-reporting paths
+(SURVEY §5 item 3: count mismatch compare.rs:66, row diff compare.rs:47,
+epsilon pass/fail compare.rs:31-45)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bdt_spark.operators.compare import compare_files
+
+
+@pytest.fixture()
+def files(tmp_path):
+    def write(name, data):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table(data), p)
+        return p
+
+    return write
+
+
+def test_equal_files(files):
+    a = files("a.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    b = files("b.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    assert compare_files(None, a, b).ok
+
+
+def test_count_mismatch(files):
+    a = files("a.parquet", {"x": [1, 2, 3]})
+    b = files("b.parquet", {"x": [1, 2]})
+    res = compare_files(None, a, b)
+    assert not res.ok and "3 != 2" in res.message
+
+
+def test_value_diff_first_wins(files):
+    a = files("a.parquet", {"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    b = files("b.parquet", {"x": [1, 9, 8], "y": ["a", "b", "z"]})
+    res = compare_files(None, a, b)
+    assert not res.ok
+    assert "Row 1" in res.message and "position 0" in res.message
+
+
+def test_epsilon_absolute(files):
+    # the reference's signed-epsilon bug (compare.rs:36) would pass l-r=-5;
+    # ours must fail it (SURVEY compare semantics note).
+    a = files("a.parquet", {"y": [1.0, 5.0]})
+    b = files("b.parquet", {"y": [1.0005, 10.0]})
+    assert compare_files(None, a, b, epsilon=0.01).ok is False
+    assert compare_files(None, a, b, epsilon=0.01).message.startswith("Row 1")
+    c = files("c.parquet", {"y": [1.0005, 5.001]})
+    assert compare_files(None, a, c, epsilon=0.01).ok
+
+
+def test_nulls_and_timestamps(files):
+    # types the reference's RowIter todo!()s on (utils.rs:193-196)
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1), None]
+    a = files("a.parquet", {"t": ts, "n": [None, 2]})
+    b = files("b.parquet", {"t": ts, "n": [None, 2]})
+    assert compare_files(None, a, b).ok
+    c = files("c.parquet", {"t": ts, "n": [1, 2]})
+    res = compare_files(None, a, c)
+    assert not res.ok and "Row 0" in res.message
+
+
+def test_hash_mode_distributed(spark, files):
+    a = files("a.parquet", {"x": [3, 1, 2], "y": [1.0, 2.0, 3.0]})
+    b = files("b.parquet", {"x": [1, 2, 3], "y": [2.0, 3.0, 1.0]})
+    # same multiset of rows in different order -> hash mode passes
+    assert compare_files(spark, a, b, method="hash").ok
+    c = files("c.parquet", {"x": [1, 2, 4], "y": [2.0, 3.0, 1.0]})
+    assert not compare_files(spark, a, c, method="hash").ok
+
+
+def test_csv_compare(files, tmp_path):
+    p1 = str(tmp_path / "x.csv")
+    p2 = str(tmp_path / "y.csv")
+    for p in (p1, p2):
+        with open(p, "w") as f:
+            f.write("a,b\n1,foo\n2,bar\n")
+    assert compare_files(None, p1, p2).ok

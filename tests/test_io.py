@@ -1,0 +1,55 @@
+"""Unit tests for the native registration pieces (SURVEY §5 item 3):
+sanitize_table_name (utils.rs:41-51), extension dispatch (utils.rs:12-23)."""
+
+import pytest
+
+from bdt_spark.sources.io import (
+    UnsupportedFormatError,
+    file_format,
+    read_file,
+    register_table,
+    sanitize_table_name,
+    table_name_from_path,
+)
+
+
+def test_sanitize_table_name():
+    # reference example: README.md:105-107
+    assert (
+        sanitize_table_name("yellow_tripdata_2022-01") == "yellow_tripdata_2022_01"
+    )
+    assert sanitize_table_name("a b.c-d") == "a_b_c_d"
+    assert sanitize_table_name("ok_name_123") == "ok_name_123"
+
+
+def test_table_name_from_path():
+    assert table_name_from_path("/x/y/part-00.with.dots.parquet") == (
+        "part_00_with_dots"
+    )
+
+
+def test_file_format_dispatch():
+    assert file_format("a.parquet") == "parquet"
+    assert file_format("a.parq") == "parquet"  # utils.rs:17
+    assert file_format("a.CSV") == "csv"
+    assert file_format("a.json") == "json"
+    assert file_format("a.avro") == "avro"
+    with pytest.raises(UnsupportedFormatError):
+        file_format("a.xlsx")  # utils.rs:18-21 error path
+
+
+def test_register_and_read(spark, sf_dir):
+    df = register_table(spark, "t_region", f"{sf_dir}/region.parquet")
+    assert df.count() == spark.table("t_region").count() > 0
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_file(spark, p)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+    # --no-header-row equivalent (main.rs:95-97)
+    df2 = read_file(spark, p, header=False)
+    assert df2.count() == 3

@@ -25,6 +25,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 def canon_value(v):
     if v is None:
         return "NULL"
+    try:
+        import pandas as pd
+
+        if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
