@@ -1,0 +1,126 @@
+"""Multimodal column operators — binary payloads with typed metadata.
+
+The reference has no binary/media support; this is part of the declared
+training-data-pipeline extension (BASELINE.json north_star). The design is
+the one that holds at 100 TB:
+
+- Media lives in OPAQUE `binary` columns next to typed metadata columns
+  (mime, n_bytes, source id). Spark shuffles/stores binary efficiently;
+  decode happens ONLY inside Arrow-batched `mapInPandas` on the executors —
+  never on the driver, never row-at-a-time Python.
+- Decode / resize / frame-sample are per-batch pandas functions. The actual
+  codec calls (PIL / librosa / av) are NOT available in this container, so
+  `decode_image` raises NotImplementedError unless `fake=True`, which
+  substitutes a deterministic, content-derived fake decode. The Spark-side
+  plumbing — schema, batch iteration, partitioning — is real and tested.
+
+Batch-shape notes: `mapInPandas` receives an iterator of pandas DataFrames
+(one per Arrow batch, ~10k rows default). Feature extraction is allocated
+per batch, not per row; output cardinality may differ from input (frame
+sampling emits N rows per video).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of the decoded-feature output — stable driver-visible contract.
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("head_md5", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> dict:
+    """Decode one image payload to features.
+
+    Real decode requires an image codec library that is not in this
+    container — STUBBED per the build contract. `fake=True` produces a
+    deterministic content-derived result so the distributed plumbing can be
+    tested end-to-end and oracled in SQL.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; use fake=True"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "head_md5": hashlib.md5(payload[:16]).hexdigest(),
+        # fake dimensions derived deterministically from content length
+        "fake_width": (n % 64) + 1,
+        "fake_height": (n % 48) + 1,
+    }
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata (the storage model)."""
+    return df.select(
+        "doc_id",
+        F.col(text_col).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def decode_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Distributed decode via Arrow-batched mapInPandas."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in DECODE_SCHEMA.fields]]
+
+    return df.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_bytes: int = 100) -> DataFrame:
+    """Frame-sampling shape: emit one row per sampled 'frame' of the payload.
+
+    Stands in for video frame extraction: output cardinality = one row per
+    `every_bytes` chunk. Demonstrates the 1->N mapInPandas batch shape.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // every_bytes)
+                for i in range(n_frames):
+                    chunk = payload[i * every_bytes : (i + 1) * every_bytes]
+                    rows.append(
+                        (int(doc_id), i, hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)

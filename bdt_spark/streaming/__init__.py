@@ -1,0 +1,17 @@
+"""Structured Streaming mirror of the batch event-window operators
+(SURVEY.md §2 B10: the reference is batch-only; this is the declared
+streaming extension over the `events` fixture)."""
+
+from bdt_spark.streaming.windows import (
+    read_events_stream,
+    sessionized_stream,
+    stateful_running_max,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts_stream",
+    "sessionized_stream",
+    "stateful_running_max",
+]

@@ -1,0 +1,164 @@
+"""Streaming event-time operators over the `events` table.
+
+Design (matches the batch queries in plans/pipeline.py so streaming and
+batch results can be cross-checked — the Kappa-architecture property):
+
+- `read_events_stream`: file-source stream over the fixture parquet. The
+  fixture stores ts as TIMESTAMP(NANOS); Spark 4 reads it as LongType under
+  `spark.sql.legacy.parquet.nanosAsLong`, so the declared schema carries
+  `ts_ns: long` and we derive a micros-truncated event-time column — the
+  same truncation the batch reader applies (sources/io.py).
+- Watermarks bound state: 1 hour of allowed lateness on every windowed
+  aggregate, so state for closed windows is dropped — the thing that keeps
+  a 100 TB/day stream's state finite.
+- `stateful_running_max`: custom stateful operator via
+  applyInPandasWithState (per-user running max + event count) — the
+  arbitrary-state surface the built-in windows can't express.
+
+At cluster scale the same code runs against a Kafka/Kinesis source by
+swapping `read_events_stream` for `spark.readStream.format("kafka")...` —
+every downstream operator is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema as stored (nanos surfaced as long under nanosAsLong).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: stream the fixture dir
+    # with a glob pinned to the events file (a real deployment points this
+    # at an arriving-files directory or a Kafka source).
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "15 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming mirror of the batch `events_tumbling_window` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows (mirror of `events_session_window`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+STATE_SCHEMA = StructType(
+    [StructField("running_max", DoubleType()), StructField("n_seen", LongType())]
+)
+RUNNING_MAX_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("running_max", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def stateful_running_max(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Per-user running max + count via applyInPandasWithState.
+
+    The custom-stateful-operator surface: state lives partitioned by
+    user_id on the executors; each micro-batch updates it from its Arrow
+    batches. GroupStateTimeout would evict idle users in production.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_max": [mx], "n_seen": [n]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_MAX_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a stream into an in-memory table with availableNow (test/dev
+    harness; production uses a real sink + checkpointLocation)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,87 @@
+"""Streaming operators drained with availableNow and cross-checked against
+their batch equivalents (the Kappa property the module docstring claims)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bdt_spark.streaming import (
+    read_events_stream,
+    sessionized_stream,
+    stateful_running_max,
+    tumbling_counts_stream,
+)
+from bdt_spark.streaming.windows import run_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def _batch_events(spark, sf_dir):
+    from bdt_spark.sources.io import read_file
+
+    return read_file(spark, f"{sf_dir}/events.parquet")
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, events_stream):
+    got = run_to_memory(
+        spark, tumbling_counts_stream(events_stream), "t_tumble"
+    ).orderBy("win_start", "event_type")
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in batch.collect()
+    ]
+
+
+def test_session_windows_stream(spark, sf_dir, events_stream):
+    got = run_to_memory(
+        spark, sessionized_stream(events_stream), "t_sess"
+    )
+    assert got.count() > 0
+    row = got.orderBy("user_id", "sess_start").first()
+    assert row.n_events >= 1 and row.total_value is not None
+
+
+def test_stateful_running_max(spark, sf_dir, events_stream):
+    got = run_to_memory(
+        spark,
+        stateful_running_max(events_stream),
+        "t_runmax",
+        output_mode="update",
+    )
+    # update-mode memory sink appends each micro-batch's emission; the last
+    # row per user is the final state.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("value").alias("running_max"), F.count("*").alias("n_seen")
+        )
+    )
+    got_map = {r.user_id: (r.running_max, r.n_seen) for r in final.collect()}
+    for r in batch.collect():
+        assert got_map[r.user_id] == (r.running_max, r.n_seen)
