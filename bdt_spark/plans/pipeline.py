@@ -831,3 +831,168 @@ sql_query(
     doc="1-hour-gap session windows per user (Spark session_window); oracle "
     "derives sessions with the gaps-and-islands pattern.",
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search: centroid training + cluster-pruned probe
+# ---------------------------------------------------------------------------
+
+
+def _centroids_cte(dialect: str) -> str:
+    """Element-wise per-label centroids in relational (exploded) form.
+    Decimal-exact sums keep the means bit-identical across engines."""
+    if dialect == "spark":
+        exploded = (
+            "SELECT label, pos + 1 AS pos1, CAST(v AS DOUBLE) AS v\n"
+            "      FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos, v"
+        )
+    else:
+        exploded = (
+            "SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS pos1,\n"
+            "             CAST(unnest(embedding) AS DOUBLE) AS v\n"
+            "      FROM embeddings"
+        )
+    return f"""centroids AS (
+      SELECT label, pos1,
+             CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM ({exploded}) ex
+      GROUP BY label, pos1
+    )"""
+
+
+sql_query(
+    "similarity_ivf_centroids",
+    f"""
+    WITH {_centroids_cte('spark')}
+    SELECT label, pos1, ROUND(c, 8) AS centroid
+    FROM centroids
+    ORDER BY label, pos1
+    """,
+    oracle=f"""
+    WITH {_centroids_cte('duck')}
+    SELECT label, pos1, ROUND(c, 8) AS centroid
+    FROM centroids
+    ORDER BY label, pos1
+    """,
+    tags=("similarity", "ivf", "centroids"),
+    doc="IVF coarse-quantizer training step: element-wise per-cluster "
+    "centroids via one explode + one (label, dim) partial-agg shuffle — "
+    "the k-means-assignment-step shape that scales linearly.",
+)
+
+
+def _ivf_topk_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        q_exploded = (
+            "SELECT vec_id AS q_id, pos + 1 AS pos1, CAST(v AS DOUBLE) AS qv\n"
+            "      FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos, v\n"
+            "      WHERE vec_id < 10"
+        )
+    else:
+        q_exploded = (
+            "SELECT vec_id AS q_id,"
+            " CAST(generate_subscripts(embedding, 1) AS INT) AS pos1,\n"
+            "             CAST(unnest(embedding) AS DOUBLE) AS qv\n"
+            "      FROM embeddings WHERE vec_id < 10"
+        )
+    cos = _cos(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH {_centroids_cte(dialect)},
+    q_exp AS (
+      {q_exploded}
+    ),
+    assignment AS (
+      SELECT q_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY ROUND(CAST(SUM(CAST((qv - c) * (qv - c)
+                              AS DECIMAL(30,15))) AS DOUBLE), 8), label) AS rk
+      FROM q_exp JOIN centroids ON q_exp.pos1 = centroids.pos1
+      GROUP BY q_id, label
+    ),
+    probe AS (
+      SELECT q_id, label FROM assignment WHERE rk = 1
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rk
+      FROM probe p
+      JOIN embeddings q ON q.vec_id = p.q_id
+      JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM scored
+    WHERE rk <= 5
+    ORDER BY q_id, rk
+    """
+
+
+sql_query(
+    "similarity_topk_ivf",
+    _ivf_topk_sql("spark"),
+    oracle=_ivf_topk_sql("duck"),
+    tags=("similarity", "ann", "ivf", "topk"),
+    doc="IVF ANN search: assign each query to its nearest per-label "
+    "centroid (decimal-exact L2), then exact cosine top-5 ONLY within that "
+    "cluster. At scale the corpus is bucketed by cluster id, so each probe "
+    "scans one bucket instead of the full corpus.",
+)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (quality filter -> exact dedup -> accounting)
+# ---------------------------------------------------------------------------
+
+
+def _curation_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        nwords = "size(split(text, ' '))"
+        norm_hash = "md5(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+        ws_tokens = "size(split(text, ' +'))"
+    else:
+        nwords = "len(string_split(text, ' '))"
+        norm_hash = "md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+        ws_tokens = "len(string_split_regex(text, ' +'))"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             length(text) AS n_chars_m,
+             {nwords} AS n_words,
+             {norm_hash} AS norm_hash
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_chars_m >= 50 AND n_words >= 10
+        AND n_chars_m / CAST(n_words AS DOUBLE) BETWEEN 2.0 AND 12.0
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash
+                                     ORDER BY doc_id) AS copy_rank
+        FROM quality) t
+      WHERE copy_rank = 1
+    )
+    SELECT source,
+           COUNT(*) AS docs_kept,
+           CAST(SUM({ws_tokens}) AS BIGINT) AS tokens_kept,
+           CAST(SUM(n_chars_m) AS BIGINT) AS chars_kept,
+           COUNT(DISTINCT lang) AS langs_present
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+sql_query(
+    "pipeline_curation_end_to_end",
+    _curation_sql("spark"),
+    oracle=_curation_sql("duck"),
+    tags=("pipeline", "curation", "dedup", "quality"),
+    doc="The composed training-data curation pass: quality gate (length / "
+    "word-count / word-length band) -> exact dedup on normalized text "
+    "(first-writer-wins via ranking window) -> per-source token accounting. "
+    "One scan, one window shuffle on the hash, one agg shuffle on source.",
+)

@@ -982,3 +982,211 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# B7 — multiset set operations; B4 — regression aggregates
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    ORDER BY k
+    """,
+    tags=("setop", "intersect-all"),
+)
+
+sql_query(
+    "setop_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    ORDER BY k
+    """,
+    tags=("setop", "except-all"),
+)
+
+sql_query(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "regression"),
+    doc="Linear-regression aggregates (Spark 3.3+/DuckDB shared surface), "
+    "rounded to absorb accumulation-order noise.",
+)
+
+# ---------------------------------------------------------------------------
+# B8 — second string sweep; datetime arithmetic; date_bin shim
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "scalar_string_functions2",
+    """
+    SELECT c_custkey,
+           INITCAP(LOWER(c_name)) AS proper_name,
+           LEVENSHTEIN(c_mktsegment, 'BUILDING') AS lev_to_building,
+           SHA2(c_name, 256) AS name_sha256,
+           HEX(ENCODE(c_mktsegment, 'UTF-8')) AS seg_hex,
+           INSTR(c_name, '#') AS hash_at,
+           SUBSTRING_INDEX(c_name, '#', 1) AS before_hash,
+           CHAR(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           OCTET_LENGTH(c_name) AS oct_len,
+           BIT_LENGTH(c_mktsegment) AS bit_len
+    FROM customer
+    WHERE c_custkey <= 40
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(LOWER(c_name), ' '),
+                           w -> UPPER(w[1:1]) || w[2:]), ' ') AS proper_name,
+           LEVENSHTEIN(c_mktsegment, 'BUILDING') AS lev_to_building,
+           SHA256(c_name) AS name_sha256,
+           UPPER(HEX(c_mktsegment)) AS seg_hex,
+           CAST(POSITION('#' IN c_name) AS BIGINT) AS hash_at,
+           STRING_SPLIT(c_name, '#')[1] AS before_hash,
+           CHR(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           CAST(OCTET_LENGTH(ENCODE(c_name)) AS BIGINT) AS oct_len,
+           CAST(BIT_LENGTH(c_mktsegment) AS BIGINT) AS bit_len
+    FROM customer
+    WHERE c_custkey <= 40
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "string"),
+    doc="initcap/levenshtein/sha2/hex/instr/substring_index/char surface; "
+    "DuckDB lacks initcap so the oracle emulates it with list ops.",
+)
+
+sql_query(
+    "scalar_datetime_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP) AS plus_30d,
+           CAST(ADD_MONTHS(CAST(o_orderdate AS DATE), 2) AS TIMESTAMP) AS plus_2mo,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           DATEDIFF(TIMESTAMP '1998-12-31 00:00:00', o_orderdate) AS days_to_98end,
+           ROUND(MONTHS_BETWEEN(TIMESTAMP '1998-06-15 00:00:00',
+                                DATE_TRUNC('MONTH', o_orderdate)), 6)
+             AS months_to_mid98,
+           CAST(NEXT_DAY(CAST(o_orderdate AS DATE), 'Monday') AS TIMESTAMP)
+             AS next_monday,
+           DATE_FORMAT(o_orderdate, 'yyyy-MM-dd HH:mm') AS formatted
+    FROM orders
+    WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
+             AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP)
+             AS plus_2mo,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+             AS days_to_98end,
+           ROUND(CAST(DATE_DIFF('month', DATE_TRUNC('MONTH', o_orderdate),
+                                DATE_TRUNC('MONTH', TIMESTAMP '1998-06-15'))
+                      AS DOUBLE) + (15 - 1) / 31.0, 6) AS months_to_mid98,
+           CAST(CAST(o_orderdate AS DATE)
+                + INTERVAL (((8 - DAYOFWEEK(CAST(o_orderdate AS DATE))) % 7)
+                            + CASE WHEN DAYOFWEEK(CAST(o_orderdate AS DATE)) = 1
+                                   THEN 7 ELSE 0 END) DAY AS TIMESTAMP)
+             AS next_monday,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M') AS formatted
+    FROM orders
+    WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+    doc="date_add/add_months/last_day/datediff/months_between/next_day/"
+    "date_format; oracle rebuilds each with DuckDB interval arithmetic.",
+)
+
+from bdt_spark.functions.datetime import date_bin_sql  # noqa: E402
+
+sql_query(
+    "scalar_date_bin",
+    f"""
+    SELECT {date_bin_sql('37 minutes', 'ts')} AS bin_start,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1
+    ORDER BY bin_start
+    """,
+    oracle="""
+    SELECT time_bucket(INTERVAL '37 minutes', ts) AS bin_start,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1
+    ORDER BY bin_start
+    """,
+    tags=("scalar", "datetime", "date_bin"),
+    doc="date_bin conformance shim (SURVEY B8: no direct Spark builtin) — "
+    "arbitrary-width bins via codegen-friendly microsecond arithmetic, "
+    "anchored to match DuckDB time_bucket.",
+)
+
+# ---------------------------------------------------------------------------
+# B9 — lateral explode with position; information_schema emulation
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "lateral_posexplode",
+    """
+    SELECT vec_id, pos + 1 AS pos1, ROUND(CAST(v AS DOUBLE), 6) AS v
+    FROM embeddings
+    LATERAL VIEW POSEXPLODE(SLICE(embedding, 1, 5)) t AS pos, v
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos1
+    """,
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding[1:5], 1) AS INT) AS pos1,
+           ROUND(CAST(unnest(embedding[1:5]) AS DOUBLE), 6) AS v
+    FROM embeddings
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos1
+    """,
+    tags=("lateral", "explode"),
+    doc="Positional explode (LATERAL VIEW posexplode vs DuckDB "
+    "generate_subscripts+unnest zip).",
+)
+
+
+@query(
+    "catalog_information_schema",
+    oracle="""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS INT) AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer')
+    ORDER BY table_name, ordinal
+    """,
+    tags=("catalog", "information_schema"),
+    doc="information_schema.columns emulation (reference main.rs:111, "
+    "131-135): Spark lacks information_schema; rebuilt from spark.catalog "
+    "metadata (driver-side metadata op, like the reference's).",
+)
+def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_fixture_tables(spark, sf_dir)
+    rows = []
+    for tbl in ("region", "nation", "customer"):
+        for i, f in enumerate(spark.table(tbl).schema.fields, start=1):
+            rows.append((tbl, f.name, i))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int"
+    ).orderBy("table_name", "ordinal")
