@@ -39,18 +39,30 @@ def convert(
     single_file: bool = False,
     zstd: bool = False,
     header: bool = True,
+    partition_by: list[str] | None = None,
 ) -> None:
+    """Convert `input_path` to the format implied by `output_path`.
+
+    `partition_by` (extension over the reference) hive-partitions the output
+    directory by the given columns — the layout that enables partition
+    pruning on the next read, i.e. how a 100 TB table should be written.
+    Incompatible with `single_file`.
+    """
     out_fmt = file_format(output_path)
     if out_fmt not in ("csv", "json", "parquet"):
         raise UnsupportedOutputError(
             f"unsupported output format for path: {output_path!r}"
         )
+    if partition_by and single_file:
+        raise ValueError("partition_by and single_file are mutually exclusive")
     df = read_file(spark, input_path, header=header)
     if single_file:
         df = df.coalesce(1)
 
     target_dir = output_path if not single_file else output_path + "._spark_tmp"
     writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if out_fmt == "csv":
         writer = writer.option("header", "true")
         if zstd:

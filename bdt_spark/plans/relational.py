@@ -1190,3 +1190,91 @@ def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, ordinal int"
     ).orderBy("table_name", "ordinal")
+
+
+# ---------------------------------------------------------------------------
+# B8 — second array sweep; B4 — argmin/argmax + conditional count aggregates
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "array_functions2",
+    """
+    SELECT vec_id,
+           CAST(ARRAY_POSITION(SLICE(embedding, 1, 8),
+                               ELEMENT_AT(embedding, 3)) AS BIGINT) AS pos_of_3rd,
+           SIZE(ARRAY_REMOVE(SEQUENCE(1, 6), CAST(vec_id % 6 + 1 AS INT)))
+             AS removed_size,
+           ROUND(ELEMENT_AT(ARRAY_APPEND(SLICE(embedding, 1, 2),
+                                         CAST(0.5 AS FLOAT)), -1), 4) AS appended,
+           ROUND(ELEMENT_AT(ARRAY_PREPEND(SLICE(embedding, 1, 2),
+                                          CAST(0.25 AS FLOAT)), 1), 4) AS prepended,
+           ROUND(CAST(ELEMENT_AT(ARRAY_SORT(SLICE(embedding, 1, 8)), 1)
+                      AS DOUBLE), 6) AS smallest_of_8,
+           ROUND(CAST(ELEMENT_AT(SORT_ARRAY(SLICE(embedding, 1, 8), false), 1)
+                      AS DOUBLE), 6) AS largest_of_8,
+           SIZE(FLATTEN(ARRAY(SLICE(embedding, 1, 2),
+                              SLICE(embedding, 3, 2)))) AS flat_size,
+           SEQUENCE(2, 10, 3) AS seq_2_10_3,
+           SIZE(ARRAY_REPEAT('x', 3)) AS repeat_size
+    FROM embeddings
+    WHERE vec_id < 25
+    ORDER BY vec_id
+    """,
+    oracle="""
+    SELECT vec_id,
+           CAST(LIST_POSITION(embedding[1:8], embedding[3]) AS BIGINT)
+             AS pos_of_3rd,
+           CAST(LEN(LIST_FILTER(RANGE(1, 7),
+                                x -> x <> vec_id % 6 + 1)) AS INT)
+             AS removed_size,
+           ROUND(LIST_APPEND(embedding[1:2], 0.5)[-1], 4) AS appended,
+           ROUND(LIST_PREPEND(0.25, embedding[1:2])[1], 4) AS prepended,
+           ROUND(CAST(LIST_SORT(embedding[1:8])[1] AS DOUBLE), 6)
+             AS smallest_of_8,
+           ROUND(CAST(LIST_REVERSE_SORT(embedding[1:8])[1] AS DOUBLE), 6)
+             AS largest_of_8,
+           CAST(LEN(FLATTEN([embedding[1:2], embedding[3:4]])) AS INT)
+             AS flat_size,
+           RANGE(2, 11, 3) AS seq_2_10_3,
+           CAST(3 AS INT) AS repeat_size
+    FROM embeddings
+    WHERE vec_id < 25
+    ORDER BY vec_id
+    """,
+    tags=("array",),
+    doc="array_position/remove/append/prepend/sort/flatten/sequence/repeat "
+    "surface (Spark names) against DuckDB list_* equivalents.",
+)
+
+sql_query(
+    "agg_minmax_by",
+    """
+    SELECT o_orderstatus,
+           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(COUNT_IF(o_totalprice > 200000) AS BIGINT) AS n_over_200k,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "minmax-by"),
+    doc="Argmin/argmax aggregates (min_by/max_by; totalprice is unique in "
+    "the fixture so ties cannot make the result nondeterministic) and "
+    "conditional counting.",
+)
+
+sql_query(
+    "filter_like_escape",
+    """
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE p_type LIKE '%y!_%' ESCAPE '!'
+       OR p_type LIKE 'ECONOMY'
+    ORDER BY p_partkey
+    LIMIT 40
+    """,
+    tags=("filter", "like-escape"),
+    doc="LIKE with explicit ESCAPE character (literal underscore match).",
+)

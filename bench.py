@@ -42,8 +42,13 @@ HEADLINE = [
 PIPELINE = [
     "dedup_exact_text",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "text_quality_scores",
+    "pipeline_curation_end_to_end",
+    "multimodal_decode_features",
+    "events_session_window",
 ]
 
 

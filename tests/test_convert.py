@@ -46,3 +46,26 @@ def test_avro_output_rejected(spark, sf_dir, tmp_path):
     # parity with convert.rs:37-39
     with pytest.raises(UnsupportedOutputError):
         convert(spark, f"{sf_dir}/region.parquet", str(tmp_path / "x.avro"))
+
+
+def test_partitioned_parquet_write(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_part.parquet")
+    convert(spark, f"{sf_dir}/orders.parquet", out,
+            partition_by=["o_orderstatus"])
+    import os
+
+    subdirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(subdirs) >= 2
+    # partition pruning: reading one status scans only its directory
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderstatus = 'F'"
+    )
+    assert df.count() == total.count()
+
+
+def test_partition_by_single_file_conflict(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError):
+        convert(spark, f"{sf_dir}/orders.parquet",
+                str(tmp_path / "x.parquet"),
+                single_file=True, partition_by=["o_orderstatus"])

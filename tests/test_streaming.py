@@ -85,3 +85,17 @@ def test_stateful_running_max(spark, sf_dir, events_stream):
     got_map = {r.user_id: (r.running_max, r.n_seen) for r in final.collect()}
     for r in batch.collect():
         assert got_map[r.user_id] == (r.running_max, r.n_seen)
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream):
+    deduped = (
+        events_stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    got = run_to_memory(spark, deduped, "t_dedup", output_mode="append")
+    batch = (
+        _batch_events(spark, sf_dir)
+        .dropDuplicates(["user_id", "event_type"])
+        .count()
+    )
+    assert got.count() == batch
