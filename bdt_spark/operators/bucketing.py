@@ -1,0 +1,67 @@
+"""Bucketing and skew-salting — the two shuffle-elimination levers the
+README's scale rules call for.
+
+- `write_bucketed`: persist a table bucketed (and sorted) by join key.
+  Two tables bucketed the same way join with ZERO exchange — at 100 TB
+  this turns every fact-to-fact join on the bucket key into a local merge
+  per bucket. (The reference has no table persistence at all; this is a
+  Spark-native extension.)
+- `salted_join`: equi-join where one side's keys are heavily skewed.
+  The fact side gets a deterministic salt in [0, n); the dim side is
+  replicated n times; joining on (key, salt) splits each hot key's rows
+  across n reducers. AQE's skew-join handles moderate skew automatically;
+  explicit salting is for the pathological keys AQE can't split (e.g. one
+  key = 30% of the table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; Catalyst plans it exchange-free."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim side.
+
+    Deterministic salt (hash of the full fact row's monotonically varying
+    secondary columns isn't needed — spreading rows of the SAME key is the
+    point, so any per-row value works; we use a stable hash of all columns
+    modulo n_salts).
+    """
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    dim_replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = fact_salted.join(dim_replicated, [key, "__salt"], how)
+    return joined.drop("__salt")
