@@ -1,0 +1,83 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(SURVEY/task list it as a required custom operator; DuckDB has ASOF JOIN,
+which serves as the oracle).
+
+Semantics (direction='backward', the classic): for each left row, attach
+the single right row with the same key whose timestamp is the greatest one
+<= the left timestamp; null-extended if none exists (LEFT variant).
+
+Implementation is a union + carry-forward window — the sort-merge shape:
+one shuffle of both inputs on the key, one sort per partition, no
+broadcast, no range explosion. At 100 TB this is exactly how kdb-style
+point-in-time joins are done on Spark: cost ≈ one sort-merge join, state
+is a single carried row per key.
+
+Composition:
+1. Tag right rows side=0, left rows side=1; union with a shared schema
+   (left payload nulled on right rows and vice versa).
+2. Window per key ordered by (ts, side): `last(right_col, ignoreNulls)`
+   over ROWS UNBOUNDED PRECEDING..CURRENT ROW carries the most recent
+   right payload forward. side=0 sorts before side=1 at equal ts, so a
+   right row at exactly the left timestamp matches (ts >= semantics).
+3. Keep only left rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of LEFT join of `left` to `right` on key `on`."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in [right_ts] + right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on, left_ts)],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_exprs = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in carried
+    ]
+    out_left = [c for c in left.columns if c not in (on, left_ts)]
+    return (
+        unioned.select(
+            F.col(on),
+            F.col("__ts").alias(left_ts),
+            "__side",
+            *out_left,
+            *carried_exprs,
+        )
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )

@@ -996,3 +996,64 @@ sql_query(
     "(first-writer-wins via ranking window) -> per-source token accounting. "
     "One scan, one window shuffle on the hash, one agg shuffle on source.",
 )
+
+
+# ---------------------------------------------------------------------------
+# As-of join + time-range rolling windows (time-series operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           s.ts AS login_ts, s.value AS login_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+            AND user_id < 20) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    tags=("events", "asof-join", "time-series"),
+    doc="Point-in-time join (operators/asof.py): each purchase matched to "
+    "the user's most recent signup at-or-before it. Oracle is DuckDB's "
+    "native ASOF LEFT JOIN; Spark side is the union + carry-forward-window "
+    "composition (one key shuffle + sort, no range explosion).",
+)
+def events_asof_join(spark, sf_dir):
+    from bdt_spark.operators.asof import asof_join
+
+    t = load_fixture_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
+    ).select("user_id", "ts", "event_id")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, signups, on="user_id", suffix="_s")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_s").alias("login_ts"),
+        F.col("value_s").alias("login_value"),
+    ).orderBy("event_id")
+
+
+sql_query(
+    "events_rolling_time_window",
+    f"""
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           {'CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)'} AS sum_last_hour
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts
+    """,
+    tags=("events", "window", "time-series"),
+    doc="Per-user rolling 1-hour aggregates via a time-RANGE window frame — "
+    "partitioned by user so state stays bounded per key at any scale.",
+)

@@ -1,0 +1,40 @@
+"""asof_join edge cases: no-match null extension, exact-timestamp tie
+(ts >= semantics), multiple right rows carried correctly."""
+
+import datetime as dt
+
+from bdt_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_and_ties(spark):
+    T = dt.datetime
+    left = _df(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10), "p1"),
+            (1, T(2024, 1, 1, 11), "p2"),
+            (1, T(2024, 1, 1, 9), "p0"),
+            (2, T(2024, 1, 1, 10), "q1"),
+        ],
+        "uid int, ts timestamp, name string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10), 100.0),  # exact tie with p1 -> matches
+            (1, T(2024, 1, 1, 10, 30), 200.0),
+        ],
+        "uid int, ts timestamp, v double",
+    )
+    out = {
+        r.name: (r.ts_r, r.v_r)
+        for r in asof_join(left, right, on="uid", suffix="_r").collect()
+    }
+    assert out["p0"] == (None, None)  # before any right row
+    assert out["p1"] == (T(2024, 1, 1, 10), 100.0)  # ts >= ts: tie matches
+    assert out["p2"] == (T(2024, 1, 1, 10, 30), 200.0)  # latest carried
+    assert out["q1"] == (None, None)  # key with no right rows at all
