@@ -1278,3 +1278,101 @@ sql_query(
     tags=("filter", "like-escape"),
     doc="LIKE with explicit ESCAPE character (literal underscore match).",
 )
+
+
+# ---------------------------------------------------------------------------
+# B8 — map type; B7 — union by name; B3 — range (interval) join
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "map_functions",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(m['k']) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN ARRAY_CONTAINS(MAP_KEYS(m), 'k')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(SUM(SIZE(MAP_VALUES(m))) AS BIGINT) AS total_vals
+    FROM (
+      SELECT event_type,
+             FROM_JSON(props, 'map<string,int>') AS m
+      FROM events) t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(SUM(LEN(JSON_KEYS(props))) AS BIGINT) AS total_vals
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("map", "json"),
+    doc="MapType surface: from_json to map<string,int>, bracket access, "
+    "map_keys/map_values; oracle re-expresses via DuckDB JSON functions.",
+)
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT c_custkey AS k, 'cust' AS src
+      FROM customer WHERE c_acctbal > 9500
+      UNION ALL BY NAME
+      SELECT 'ord' AS src, o_custkey AS k
+      FROM orders WHERE o_totalprice > 420000
+    ) u
+    ORDER BY k, src
+    """,
+    tags=("setop", "union-by-name", "dataframe-api"),
+    doc="Name-based union with differently-ordered columns (Spark "
+    "unionByName; DuckDB UNION ALL BY NAME).",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    a = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_custkey").alias("k"), F.lit("cust").alias("src"))
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 420000)
+        .select(F.lit("ord").alias("src"), F.col("o_custkey").alias("k"))
+    )
+    return a.unionByName(b).orderBy("k", "src")
+
+sql_query(
+    "events_range_join_binned",
+    """
+    SELECT e1.event_id AS error_id, COUNT(*) AS purchases_within_1h
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'error' AND e2.event_type = 'purchase'
+      AND e1.user_id < 50
+    GROUP BY e1.event_id
+    ORDER BY e1.event_id
+    """,
+    oracle="""
+    SELECT e1.event_id AS error_id, COUNT(*) AS purchases_within_1h
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'error' AND e2.event_type = 'purchase'
+      AND e1.user_id < 50
+    GROUP BY e1.event_id
+    ORDER BY e1.event_id
+    """,
+    tags=("join", "range", "time-series"),
+    doc="Interval range join: equi hash join on user_id with the time-range "
+    "as residual predicate — pairwise work bounded per key. (For keyless "
+    "range joins, bucket both sides with date_bin and join on the bin.)",
+)
