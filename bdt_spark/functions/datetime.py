@@ -53,3 +53,4 @@ def date_bin_sql(width: str, ts_expr: str, origin: str = "2000-01-03 00:00:00") 
         f"timestamp_micros(CAST({o} + FLOOR((unix_micros({ts_expr}) - {o})"
         f" / {w}) * {w} AS BIGINT))"
     )
+

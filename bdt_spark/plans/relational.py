@@ -1376,3 +1376,49 @@ sql_query(
     "as residual predicate — pairwise work bounded per key. (For keyless "
     "range joins, bucket both sides with date_bin and join on the bin.)",
 )
+
+
+from bdt_spark.functions.math import gcd_sql, lcm_sql  # noqa: E402
+
+_GCD = gcd_sql("p_partkey", "24")
+_LCM = lcm_sql("CAST(p_size AS BIGINT)", "6")
+
+sql_query(
+    "scalar_math_functions2",
+    f"""
+    SELECT p_partkey,
+           CAST(FACTORIAL(CAST(p_size % 10 AS INT)) AS BIGINT) AS size_factorial,
+           CAST({_GCD} AS BIGINT) AS gcd_24,
+           CAST({_LCM} AS BIGINT) AS lcm_6,
+           CAST(FLOOR(p_retailprice) AS DOUBLE) AS price_trunc,
+           ROUND(PI() * p_size, 6) AS size_pi,
+           CAST(PMOD(-7, CAST(p_size AS INT)) AS INT) AS pmod_size,
+           ROUND(HYPOT(CAST(p_size AS DOUBLE), 3.0), 8) AS hyp,
+           ROUND(SINH(p_retailprice / 2000), 8) AS sh,
+           ROUND(COSH(p_retailprice / 2000), 8) AS ch
+    FROM part
+    WHERE p_partkey <= 40 AND p_size > 0
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           CAST(FACTORIAL(CAST(p_size % 10 AS INT)) AS BIGINT) AS size_factorial,
+           CAST(GCD(p_partkey, 24) AS BIGINT) AS gcd_24,
+           CAST(LCM(CAST(p_size AS BIGINT), 6) AS BIGINT) AS lcm_6,
+           CAST(TRUNC(p_retailprice) AS DOUBLE) AS price_trunc,
+           ROUND(PI() * p_size, 6) AS size_pi,
+           CAST(((-7 % CAST(p_size AS INT)) + CAST(p_size AS INT))
+                % CAST(p_size AS INT) AS INT) AS pmod_size,
+           ROUND(SQRT(CAST(p_size AS DOUBLE) * p_size + 9.0), 8) AS hyp,
+           ROUND((EXP(p_retailprice / 2000) - EXP(-p_retailprice / 2000)) / 2, 8)
+             AS sh,
+           ROUND((EXP(p_retailprice / 2000) + EXP(-p_retailprice / 2000)) / 2, 8)
+             AS ch
+    FROM part
+    WHERE p_partkey <= 40 AND p_size > 0
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "math"),
+    doc="factorial/gcd/lcm/trunc/pi/pmod/hypot/sinh/cosh; DuckDB lacks "
+    "pmod/hypot/sinh so the oracle rebuilds them arithmetically.",
+)

@@ -194,6 +194,10 @@ def load_fixture_tables(
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Register the driver's fixture tables (TESTDATA.md) as temp views."""
+    # Runtime conf insurance for sessions not built by bdt_spark.session
+    # (e.g. the driver's): UTC makes epoch math match DuckDB's UTC-naive
+    # timestamps (SURVEY §7 conformance shims).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
     if not force and _FIXTURES_LOADED.get(key) == sf_dir:
         return {t: spark.table(t) for t in tables if spark.catalog.tableExists(t)}

@@ -53,3 +53,29 @@ def test_read_csv_roundtrip(spark, tmp_path):
     # --no-header-row equivalent (main.rs:95-97)
     df2 = read_file(spark, p, header=False)
     assert df2.count() == 3
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    """Avro needs the spark-avro package (reference: feature-flagged in
+    Cargo.toml). Absent the jar, the read must fail with Spark's standard
+    missing-data-source error, not a silent wrong result."""
+    p = str(tmp_path / "x.avro")
+    open(p, "w").close()
+    import pytest as _pytest
+
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException, match="avro"):
+        read_file(spark, p).count()
+
+
+def test_arrow_feather_read(spark, tmp_path):
+    """Arrow IPC read works (the reference declares the variant but panics,
+    utils.rs:59-61 — documented improvement)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    p = str(tmp_path / "t.feather")
+    feather.write_feather(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), p)
+    df = read_file(spark, p)
+    assert df.count() == 3 and df.columns == ["a", "b"]
