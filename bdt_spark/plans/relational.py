@@ -1422,3 +1422,42 @@ sql_query(
     doc="factorial/gcd/lcm/trunc/pi/pmod/hypot/sinh/cosh; DuckDB lacks "
     "pmod/hypot/sinh so the oracle rebuilds them arithmetically.",
 )
+
+
+@query(
+    "nullops_fill_drop",
+    oracle="""
+    WITH nulled AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey, COALESCE(seg, 'UNKNOWN') AS seg,
+           COALESCE(bal, 0.0) AS bal
+    FROM nulled
+    WHERE NOT (seg IS NULL AND bal IS NULL)
+    ORDER BY c_custkey
+    """,
+    tags=("null", "dataframe-api"),
+    doc="DataFrame null-handling API: na.drop(how='all', subset) then "
+    "na.fill with per-column defaults; oracle is the COALESCE/WHERE form.",
+)
+def nullops_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fixture_tables(spark, sf_dir)
+    nulled = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+            F.when(F.col("c_acctbal") < 0, None)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+    )
+    return (
+        nulled.na.drop(how="all", subset=["seg", "bal"])
+        .na.fill({"seg": "UNKNOWN", "bal": 0.0})
+        .orderBy("c_custkey")
+    )
