@@ -1057,3 +1057,88 @@ sql_query(
     doc="Per-user rolling 1-hour aggregates via a time-RANGE window frame — "
     "partitioned by user so state stays bounded per key at any scale.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle_sql() -> str:
+    """DuckDB oracle: recursive CTE propagating ids across the undirected
+    pair graph; MIN over everything reachable = component id. (Spark has no
+    recursive CTEs — its side is the iterative label-propagation loop.)"""
+    pair_sql = _minhash_lsh_sql("duck")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pair_sql}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, seen) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.seen FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT MIN(seen) AS cluster_id, node AS doc_id
+    FROM reach
+    GROUP BY node
+    ORDER BY cluster_id, doc_id
+    """
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_cc_oracle_sql(),
+    tags=("dedup", "graph", "iterative"),
+    doc="Near-dup CLUSTERS (not just pairs): iterative min-label "
+    "propagation over the MinHash-LSH pair graph until fixpoint — the "
+    "connected-components step a production dedup pipeline runs to pick "
+    "one survivor per duplicate group. Each iteration is one distributed "
+    "join + min-aggregate; iterations are bounded by the graph diameter "
+    "(dup clusters are tiny, so 2-4 in practice). Oracle uses DuckDB's "
+    "recursive CTE, which Spark lacks.",
+)
+def dedup_connected_components(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(20):  # diameter bound; dup clusters converge in 2-4
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
+    ).orderBy("cluster_id", "doc_id")
