@@ -3,6 +3,7 @@
 streaming extension over the `events` fixture)."""
 
 from bdt_spark.streaming.windows import (
+    purchases_after_errors_stream,
     read_events_stream,
     sessionized_stream,
     stateful_running_max,
@@ -14,4 +15,5 @@ __all__ = [
     "tumbling_counts_stream",
     "sessionized_stream",
     "stateful_running_max",
+    "purchases_after_errors_stream",
 ]

@@ -162,3 +162,39 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def purchases_after_errors_stream(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases within `within` after an
+    error by the same user. Both sides carry watermarks and the join
+    condition bounds the time range, so each side's state store evicts
+    rows once the watermark passes — the requirement for an unbounded
+    stream-stream join to run forever.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return errors.join(
+        purchases,
+        F.expr(
+            f"e_user = p_user AND p_ts > e_ts"
+            f" AND p_ts <= e_ts + INTERVAL {within}"
+        ),
+    ).select("error_id", "purchase_id", "e_user", "e_ts", "p_ts")

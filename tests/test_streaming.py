@@ -99,3 +99,25 @@ def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream):
         .count()
     )
     assert got.count() == batch
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_stream):
+    from bdt_spark.streaming.windows import purchases_after_errors_stream
+
+    got = run_to_memory(
+        spark,
+        purchases_after_errors_stream(events_stream),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    ev = _batch_events(spark, sf_dir)
+    errors = ev.filter("event_type = 'error'")
+    purchases = ev.filter("event_type = 'purchase'")
+    expected = errors.alias("e").join(
+        purchases.alias("p"),
+        F.expr(
+            "e.user_id = p.user_id AND p.ts > e.ts"
+            " AND p.ts <= e.ts + INTERVAL 1 HOUR"
+        ),
+    ).count()
+    assert got.count() == expected
