@@ -49,6 +49,7 @@ PIPELINE = [
     "pipeline_curation_end_to_end",
     "multimodal_decode_features",
     "events_session_window",
+    "events_asof_join",
 ]
 
 
