@@ -1142,3 +1142,49 @@ def dedup_connected_components(spark, sf_dir):
     return labels.select(
         F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
     ).orderBy("cluster_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (pipeline staple: stable across runs,
+# engines, and cluster sizes — unlike TABLESAMPLE/rand())
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sample_deterministic_hash",
+    """
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE
+               WHEN CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+                    % 100 < 80 THEN 'train'
+               WHEN CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+                    % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents) t
+    GROUP BY split
+    ORDER BY split
+    """,
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE
+               WHEN CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         AS BIGINT) % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents) t
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("sampling", "split", "pipeline"),
+    doc="Deterministic 80/10/10 train/valid/test split via md5-bucket "
+    "hashing of the stable key — reproducible on any engine, any cluster "
+    "size, any run (TABLESAMPLE/rand() are not). Map-side only.",
+)
