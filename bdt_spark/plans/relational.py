@@ -1461,3 +1461,32 @@ def nullops_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"seg": "UNKNOWN", "bal": 0.0})
         .orderBy("c_custkey")
     )
+
+
+sql_query(
+    "agg_histogram_width_bucket",
+    """
+    SELECT WIDTH_BUCKET(o_totalprice, 111.11, 555333.77, 16) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 111.11 THEN 0
+                WHEN o_totalprice >= 555333.77 THEN 17
+                ELSE 1 + CAST(FLOOR((o_totalprice - 111.11)
+                              / ((555333.77 - 111.11) / 16)) AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+    doc="Equi-width histogram via width_bucket (DuckDB lacks it; oracle "
+    "emulates the same arithmetic; non-round bin edges dodge boundary "
+    "float ties).",
+)
