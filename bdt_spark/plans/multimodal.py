@@ -8,7 +8,7 @@ in for media bytes (ASCII, so byte offsets == char offsets in the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bdt_spark.functions.multimodal import (
     decode_features,
@@ -67,4 +67,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = with_binary_payload(t["documents"])
     return sample_frames(binary, every_bytes=FRAME_BYTES).orderBy(
         "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "grouped_map_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             SQRT((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))
+                        AS DOUBLE)
+                   - CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+                     * CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+                     / COUNT(*)) / (COUNT(*) - 1)) AS sd
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           ROUND((c_acctbal - mu) / sd, 6) AS zscore
+    FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+    tags=("grouped-map", "applyInPandas"),
+    doc="Grouped-map Pandas surface (B11): per-segment z-score via "
+    "applyInPandas — each group arrives as one pandas DataFrame on an "
+    "executor. Stats computed with numpy in exact float64 matching the "
+    "oracle's decimal-sum formulas. Note: group-at-a-time requires the "
+    "whole group in memory — fine for per-key features, not for whole-"
+    "table groups.",
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = load_fixture_tables(spark, sf_dir)
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bal = pdf["c_acctbal"].to_numpy(dtype="float64")
+        n = len(bal)
+        # Mirror the oracle's DECIMAL(30,8)-exact sums with arbitrary-
+        # precision Python ints (float64 sums of the squared terms would
+        # lose low bits past 2^53), then one exact->double cast like the
+        # engines' CAST(DECIMAL AS DOUBLE).
+        s1 = sum(int(round(v * 1e8)) for v in bal) / 1e8
+        s2 = sum(int(round(v * v * 1e8)) for v in bal) / 1e8
+        mu = s1 / n
+        sd = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["zscore"] = ((bal - mu) / sd).round(6)
+        return out
+
+    return (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey long, c_mktsegment string, zscore double")
+        .filter(F.col("c_custkey") <= 300)
+        .orderBy("c_custkey")
     )
