@@ -8,9 +8,13 @@ from __future__ import annotations
 # lacks them — expressed as a bounded Euclid fold, still codegen-friendly).
 
 def gcd_sql(a: str, b: str) -> str:
-    """GCD via 40 unrolled Euclid steps inside a fold (enough for int64)."""
+    """GCD via 96 unrolled Euclid steps inside a fold.
+
+    96 covers the int64 worst case (consecutive-Fibonacci pairs need ~90
+    iterations); the IF short-circuit keeps already-converged cases cheap.
+    """
     return (
-        f"aggregate(sequence(1, 40),"
+        f"aggregate(sequence(1, 96),"
         f" named_struct('a', ABS(CAST({a} AS BIGINT)),"
         f"              'b', ABS(CAST({b} AS BIGINT))),"
         f" (acc, i) -> IF(acc.b = 0, acc,"
@@ -19,8 +23,10 @@ def gcd_sql(a: str, b: str) -> str:
 
 
 def lcm_sql(a: str, b: str) -> str:
+    # `div` keeps the arithmetic in exact BIGINT ('/' is DOUBLE division in
+    # Spark SQL and loses precision past 2^53).
     g = gcd_sql(a, b)
     return (
         f"IF({a} = 0 OR {b} = 0, 0,"
-        f" ABS(CAST({a} AS BIGINT) / ({g}) * CAST({b} AS BIGINT)))"
+        f" ABS(CAST({a} AS BIGINT) div ({g}) * CAST({b} AS BIGINT)))"
     )

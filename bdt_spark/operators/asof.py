@@ -15,10 +15,14 @@ is a single carried row per key.
 Composition:
 1. Tag right rows side=0, left rows side=1; union with a shared schema
    (left payload nulled on right rows and vice versa).
-2. Window per key ordered by (ts, side): `last(right_col, ignoreNulls)`
-   over ROWS UNBOUNDED PRECEDING..CURRENT ROW carries the most recent
-   right payload forward. side=0 sorts before side=1 at equal ts, so a
-   right row at exactly the left timestamp matches (ts >= semantics).
+2. Window per key ordered by (ts, side): the right payload is carried as
+   ONE struct of all right columns with a single
+   `last(struct, ignoreNulls)` over ROWS UNBOUNDED PRECEDING..CURRENT
+   ROW, then expanded — so the whole matched right row is taken
+   atomically even when some of its payload values are NULL (carrying
+   each column independently would mix columns from different right
+   rows). side=0 sorts before side=1 at equal ts, so a right row at
+   exactly the left timestamp matches (ts >= semantics).
 3. Keep only left rows.
 """
 
@@ -40,15 +44,26 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    payload_src = [right_ts] + right_cols
+    payload_out = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
 
+    # The right payload travels as ONE struct (non-null only on right-tagged
+    # rows): a single last(ignorenulls) then takes the matched right row
+    # atomically, so NULLs inside the payload never mix rows.
+    payload_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[src].dataType.simpleString()}"
+            for c, src in zip(payload_out, payload_src)
+        )
+        + ">"
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (on, left_ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in [right_ts] + right_cols],
+        F.lit(None).cast(payload_type).alias("__rpay"),
     )
     r_tagged = right.select(
         F.col(on),
@@ -56,8 +71,9 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, left_ts)],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            *[F.col(src).alias(c) for c, src in zip(payload_out, payload_src)]
+        ).alias("__rpay"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -66,9 +82,7 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_exprs = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in carried
-    ]
+    carried = F.last("__rpay", ignorenulls=True).over(w)
     out_left = [c for c in left.columns if c not in (on, left_ts)]
     return (
         unioned.select(
@@ -76,7 +90,7 @@ def asof_join(
             F.col("__ts").alias(left_ts),
             "__side",
             *out_left,
-            *carried_exprs,
+            *[carried.getField(c).alias(c) for c in payload_out],
         )
         .filter(F.col("__side") == 1)
         .drop("__side")

@@ -56,7 +56,17 @@ def salted_join(
     secondary columns isn't needed — spreading rows of the SAME key is the
     point, so any per-row value works; we use a stable hash of all columns
     modulo n_salts).
+
+    Only `inner` and `left` (fact-preserving) joins are supported: the dim
+    side is replicated n_salts times, so right/full outer joins would emit
+    each unmatched dim row n_salts times. Use AQE skew-join for outer joins.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "the replicated dim side would duplicate unmatched rows in "
+            "right/full outer joins"
+        )
     fact_salted = fact.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -101,6 +101,11 @@ def _compare_positional(
             f"Rows have different lengths: {t1.num_columns} != {t2.num_columns}",
         )
 
+    # The reference scans row-major (compare.rs:27 zips rows) so the first
+    # reported diff is the minimum (row, col) in row-major order. We scan
+    # column-major for vectorization, but track the minimum differing row
+    # index (then column) across ALL columns before reporting.
+    first: tuple[int, int, object, object] | None = None
     for ci in range(t1.num_columns):
         c1 = t1.column(ci).combine_chunks()
         c2 = t2.column(ci).combine_chunks()
@@ -116,15 +121,11 @@ def _compare_positional(
             n1 = np.asarray(c1.is_null())
             n2 = np.asarray(c2.is_null())
             bad = (bad & ~(n1 & n2)) | (n1 != n2)
-            idx = np.flatnonzero(bad)
-            if idx.size:
-                ri = int(idx[0])
-                return _diff(ri, ci, c1[ri].as_py(), c2[ri].as_py())
         else:
             if c1.type != c2.type:
                 try:
                     c2 = pc.cast(c2, c1.type)
-                except pa.ArrowInvalid:
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     return ComparisonResult(
                         False,
                         f"Column {ci} types are incomparable: "
@@ -132,12 +133,15 @@ def _compare_positional(
                     )
             neq = pc.fill_null(pc.not_equal(c1, c2), False)
             null_diff = pc.xor(c1.is_null(), c2.is_null())
-            bad = pc.or_(neq, null_diff)
-            idx = np.flatnonzero(np.asarray(bad))
-            if idx.size:
-                ri = int(idx[0])
-                return _diff(ri, ci, c1[ri].as_py(), c2[ri].as_py())
+            bad = np.asarray(pc.or_(neq, null_diff))
+        idx = np.flatnonzero(bad)
+        if idx.size:
+            ri = int(idx[0])
+            if first is None or ri < first[0]:
+                first = (ri, ci, c1[ri].as_py(), c2[ri].as_py())
 
+    if first is not None:
+        return _diff(*first)
     return ComparisonResult(True, "Files match")
 
 

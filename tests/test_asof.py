@@ -38,3 +38,26 @@ def test_asof_basic_and_ties(spark):
     assert out["p1"] == (T(2024, 1, 1, 10), 100.0)  # ts >= ts: tie matches
     assert out["p2"] == (T(2024, 1, 1, 10, 30), 200.0)  # latest carried
     assert out["q1"] == (None, None)  # key with no right rows at all
+
+
+def test_asof_null_payload_taken_atomically(spark):
+    """A matched right row with a NULL payload value must yield that NULL —
+    not a stale value from an earlier right row (per-column carry bug)."""
+    T = dt.datetime
+    left = _df(
+        spark,
+        [(1, T(2024, 1, 1, 12), "x")],
+        "uid int, ts timestamp, name string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10), 100.0, "a"),
+            (1, T(2024, 1, 1, 11), None, "b"),  # latest match; v is NULL
+        ],
+        "uid int, ts timestamp, v double, tag string",
+    )
+    [row] = asof_join(left, right, on="uid", suffix="_r").collect()
+    assert row.ts_r == T(2024, 1, 1, 11)
+    assert row.v_r is None  # NOT 100.0 — whole row taken atomically
+    assert row.tag_r == "b"

@@ -62,3 +62,10 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .collect()
     )
     assert got == plain
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    # replicated dim side would duplicate unmatched rows n_salts times
+    df = read_file(spark, f"{sf_dir}/nation.parquet")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, "n_nationkey", how="full")

@@ -80,3 +80,13 @@ def test_csv_compare(files, tmp_path):
         with open(p, "w") as f:
             f.write("a,b\n1,foo\n2,bar\n")
     assert compare_files(None, p1, p2).ok
+
+
+def test_first_diff_is_row_major(files):
+    # earlier row in a LATER column must win over a later row in an
+    # earlier column (reference zips rows, compare.rs:27)
+    a = files("rm_a.parquet", {"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    b = files("rm_b.parquet", {"x": [1, 2, 9], "y": ["a", "Z", "c"]})
+    res = compare_files(None, a, b)
+    assert not res.ok
+    assert "Row 1" in res.message and "position 1" in res.message
