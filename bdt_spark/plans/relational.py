@@ -1490,3 +1490,191 @@ sql_query(
     "emulates the same arithmetic; non-round bin edges dodge boundary "
     "float ties).",
 )
+
+
+# ---------------------------------------------------------------------------
+# B8 — remaining scalar-function families (round-2 coverage close-out)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "scalar_trig_functions",
+    """
+    SELECT p_partkey,
+           ROUND(TAN(CAST(p_size AS DOUBLE) / 100.0), 6) AS tan_v,
+           ROUND(ASIN(CAST(p_size AS DOUBLE) / 51.0), 6) AS asin_v,
+           ROUND(ACOS(CAST(p_size AS DOUBLE) / 51.0), 6) AS acos_v,
+           ROUND(ATAN(CAST(p_size AS DOUBLE) / 10.0), 6) AS atan_v,
+           ROUND(ATAN2(CAST(p_size AS DOUBLE), 7.0), 6) AS atan2_v,
+           ROUND(TANH(CAST(p_size AS DOUBLE) / 25.0), 6) AS tanh_v,
+           ROUND(ASINH(CAST(p_size AS DOUBLE) / 25.0), 6) AS asinh_v,
+           ROUND(ACOSH(1.0 + CAST(p_size AS DOUBLE) / 10.0), 6) AS acosh_v,
+           ROUND(ATANH(CAST(p_size AS DOUBLE) / 51.0), 6) AS atanh_v,
+           ROUND(DEGREES(ATAN(CAST(p_size AS DOUBLE) / 10.0)), 6) AS deg_v,
+           ROUND(RADIANS(CAST(p_size AS DOUBLE)), 6) AS rad_v
+    FROM part
+    WHERE p_partkey <= 50 AND p_size BETWEEN 1 AND 50
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           ROUND(TAN(CAST(p_size AS DOUBLE) / 100.0), 6) AS tan_v,
+           ROUND(ASIN(CAST(p_size AS DOUBLE) / 51.0), 6) AS asin_v,
+           ROUND(ACOS(CAST(p_size AS DOUBLE) / 51.0), 6) AS acos_v,
+           ROUND(ATAN(CAST(p_size AS DOUBLE) / 10.0), 6) AS atan_v,
+           ROUND(ATAN2(CAST(p_size AS DOUBLE), 7.0), 6) AS atan2_v,
+           ROUND((EXP(2 * CAST(p_size AS DOUBLE) / 25.0) - 1) / (EXP(2 * CAST(p_size AS DOUBLE) / 25.0) + 1), 6)
+             AS tanh_v,
+           ROUND(LN(CAST(p_size AS DOUBLE) / 25.0
+                    + SQRT(CAST(p_size AS DOUBLE) / 25.0 * (CAST(p_size AS DOUBLE) / 25.0) + 1)), 6) AS asinh_v,
+           ROUND(LN(1.0 + CAST(p_size AS DOUBLE) / 10.0
+                    + SQRT((1.0 + CAST(p_size AS DOUBLE) / 10.0) * (1.0 + CAST(p_size AS DOUBLE) / 10.0) - 1)),
+                 6) AS acosh_v,
+           ROUND(0.5 * LN((1 + CAST(p_size AS DOUBLE) / 51.0) / (1 - CAST(p_size AS DOUBLE) / 51.0)), 6)
+             AS atanh_v,
+           ROUND(DEGREES(ATAN(CAST(p_size AS DOUBLE) / 10.0)), 6) AS deg_v,
+           ROUND(RADIANS(CAST(p_size AS DOUBLE)), 6) AS rad_v
+    FROM part
+    WHERE p_partkey <= 50 AND p_size BETWEEN 1 AND 50
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "math", "trig"),
+    doc="Inverse-trig + hyperbolic family (B8): tan/asin/acos/atan/atan2 "
+    "native in both engines; DuckDB lacks tanh/asinh/acosh/atanh so the "
+    "oracle rebuilds them from exp/ln/sqrt identities.",
+)
+
+
+sql_query(
+    "scalar_string_functions3",
+    """
+    SELECT c_custkey,
+           CONCAT(c_mktsegment, '-', c_name) AS seg_name,
+           TRIM(LEADING 'C' FROM c_name) AS no_lead_c,
+           TRIM(TRAILING '0123456789' FROM c_name) AS no_trail_digit,
+           RPAD(c_mktsegment, 12, '.') AS seg_pad,
+           CHAR_LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name FROM 10 FOR 5) AS name_mid,
+           NVL2(NULLIF(c_mktsegment, 'BUILDING'), 'other', 'building')
+             AS seg_class
+    FROM customer
+    WHERE c_custkey <= 60
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           CONCAT(c_mktsegment, '-', c_name) AS seg_name,
+           TRIM(LEADING 'C' FROM c_name) AS no_lead_c,
+           RTRIM(c_name, '0123456789') AS no_trail_digit,
+           RPAD(c_mktsegment, 12, '.') AS seg_pad,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           SUBSTRING(c_name FROM 10 FOR 5) AS name_mid,
+           CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'other' ELSE 'building' END AS seg_class
+    FROM customer
+    WHERE c_custkey <= 60
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "string"),
+    doc="String family close-out (B8): concat, ANSI TRIM(LEADING/TRAILING "
+    "chars FROM s) (Spark's multi-char TRAILING set == DuckDB rtrim(chars)), "
+    "rpad, char_length, ANSI substring FROM/FOR, nvl2 (DuckDB lacks it; "
+    "oracle uses CASE).",
+)
+
+
+sql_query(
+    "scalar_datetime_functions3",
+    """
+    SELECT o_orderkey,
+           CAST(DATE_PART('YEAR', o_orderdate) AS BIGINT) AS order_year,
+           CAST(DATE_PART('QUARTER', o_orderdate) AS BIGINT) AS order_quarter,
+           FROM_UNIXTIME(1600000000 + o_orderkey * 3600) AS synth_ts,
+           CAST(DAYOFWEEK(o_orderdate) AS BIGINT) AS dow_1_7
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_PART('YEAR', o_orderdate) AS BIGINT) AS order_year,
+           CAST(DATE_PART('QUARTER', o_orderdate) AS BIGINT) AS order_quarter,
+           STRFTIME(TO_TIMESTAMP(1600000000 + o_orderkey * 3600),
+                    '%Y-%m-%d %H:%M:%S') AS synth_ts,
+           CAST(DATE_PART('DOW', o_orderdate) + 1 AS BIGINT) AS dow_1_7
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+    doc="date_part/from_unixtime/dayofweek (B8): session TZ pinned UTC so "
+    "from_unixtime matches DuckDB strftime(to_timestamp); Spark DAYOFWEEK "
+    "is 1=Sunday, DuckDB DOW is 0=Sunday — oracle shifts by one.",
+)
+
+
+sql_query(
+    "array_functions3",
+    """
+    SELECT p_partkey,
+           SORT_ARRAY(ARRAY_DISTINCT(ARRAY(p_size, p_size % 10, 5, p_size)))
+             AS distinct_sorted,
+           SORT_ARRAY(ARRAY_UNION(ARRAY(p_size, 1), ARRAY(5, p_size % 7)))
+             AS union_sorted,
+           SORT_ARRAY(ARRAY_INTERSECT(ARRAY(p_size, 5, 9),
+                                      ARRAY(5, 9, p_size % 7)))
+             AS intersect_sorted,
+           CAST(CARDINALITY(ARRAY_REPEAT(p_size, 3)) AS INT) AS card3
+    FROM part
+    WHERE p_partkey <= 60
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           LIST_SORT(LIST_DISTINCT([p_size, p_size % 10, 5, p_size]))
+             AS distinct_sorted,
+           LIST_SORT(LIST_DISTINCT([p_size, 1] || [5, p_size % 7]))
+             AS union_sorted,
+           LIST_SORT(LIST_INTERSECT([p_size, 5, 9], [5, 9, p_size % 7]))
+             AS intersect_sorted,
+           CAST(LEN([p_size, p_size, p_size]) AS INT) AS card3
+    FROM part
+    WHERE p_partkey <= 60
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "array"),
+    doc="Array set-ops (B8): array_distinct/union/intersect/repeat + "
+    "cardinality, canonical-sorted for cross-engine determinism (DuckDB "
+    "list_* equivalents; union = distinct of concat).",
+)
+
+
+sql_query(
+    "scalar_nan_handling",
+    """
+    WITH v AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                  ELSE CAST(p_retailprice AS DOUBLE) END AS x
+      FROM part WHERE p_partkey <= 80
+    )
+    SELECT p_partkey, ISNAN(x) AS is_nan,
+           ROUND(NANVL(x, -1.0), 2) AS x_or_neg1
+    FROM v
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    WITH v AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                  ELSE CAST(p_retailprice AS DOUBLE) END AS x
+      FROM part WHERE p_partkey <= 80
+    )
+    SELECT p_partkey, ISNAN(x) AS is_nan,
+           ROUND(CASE WHEN ISNAN(x) THEN -1.0 ELSE x END, 2) AS x_or_neg1
+    FROM v
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "math", "nan"),
+    doc="NaN plumbing (B8): isnan + nanvl (DuckDB lacks nanvl; oracle uses "
+    "CASE WHEN isnan). NaN literal via CAST('NaN' AS DOUBLE) in both.",
+)
