@@ -1188,3 +1188,271 @@ sql_query(
     "hashing of the stable key — reproducible on any engine, any cluster "
     "size, any run (TABLESAMPLE/rand() are not). Map-side only.",
 )
+
+
+# ---------------------------------------------------------------------------
+# round-2 pipeline depth: stratified sampling, PII redaction, top-k terms,
+# sequence packing, embedding centroids
+# ---------------------------------------------------------------------------
+
+
+def _stratified_sql(dialect: str) -> str:
+    key = (
+        "md5(CAST(c_custkey AS STRING))"
+        if dialect == "spark"
+        else "md5(CAST(c_custkey AS VARCHAR))"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY {key}) AS rk
+      FROM customer
+    )
+    SELECT c_mktsegment, rk, c_custkey
+    FROM ranked WHERE rk <= 20
+    ORDER BY c_mktsegment, rk
+    """
+
+
+sql_query(
+    "sample_stratified_exact",
+    _stratified_sql("spark"),
+    oracle=_stratified_sql("duck"),
+    tags=("sampling", "stratified"),
+    doc="Exact-count stratified sample: 20 rows per class, selected by "
+    "md5-hash order — deterministic on any cluster/partitioning, no "
+    "driver-side randomness. At 100 TB: one window shuffle on the strata "
+    "key; for heavy strata swap row_number for a per-stratum hash "
+    "threshold (no sort) at the cost of approximate counts.",
+)
+
+
+def _pii_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    synth = (
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@example.com or +1-555-01', CAST(doc_id % 90 + 10 AS STRING))"
+        if spark
+        else "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+        " '@example.com or +1-555-01', CAST(doc_id % 90 + 10 AS VARCHAR))"
+    )
+    # character classes only — no backslashes, since Spark SQL string
+    # literals process backslash escapes but DuckDB literals do not
+    email = "[a-z0-9]+@[a-z]+[.][a-z]+"
+    phone = "[+]?[0-9][0-9-]{7,}"
+    if spark:
+        redact = (
+            f"regexp_replace(regexp_replace(raw, '{email}', '<EMAIL>'),"
+            f" '{phone}', '<PHONE>')"
+        )
+        n_email = f"size(regexp_extract_all(raw, '{email}', 0))"
+        n_phone = f"size(regexp_extract_all(raw, '{phone}', 0))"
+    else:
+        redact = (
+            f"regexp_replace(regexp_replace(raw, '{email}', '<EMAIL>', 'g'),"
+            f" '{phone}', '<PHONE>', 'g')"
+        )
+        n_email = f"len(regexp_extract_all(raw, '{email}'))"
+        n_phone = f"len(regexp_extract_all(raw, '{phone}'))"
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {synth} AS raw FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST({n_email} AS INT) AS n_emails,
+           CAST({n_phone} AS INT) AS n_phones,
+           md5({redact}) AS redacted_md5
+    FROM synth
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_pii_redaction",
+    _pii_sql("spark"),
+    oracle=_pii_sql("duck"),
+    tags=("text", "pii", "redaction"),
+    doc="PII scrubbing pass: email + phone regex redaction with match "
+    "counts (fixture text is digit-free, so deterministic doc_id-derived "
+    "contact strings are appended first). Pure regexp_replace — "
+    "whole-stage codegen, no UDF.",
+)
+
+
+def _topk_terms_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    words = (
+        "explode(split(lower(text), ' '))"
+        if spark
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH w AS (
+      SELECT lang, {words} AS word FROM documents
+    ),
+    c AS (
+      SELECT lang, word, COUNT(*) AS n
+      FROM w WHERE length(word) >= 3
+      GROUP BY lang, word
+    ),
+    r AS (
+      SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, word) AS rk
+      FROM c
+    )
+    SELECT lang, rk, word, n FROM r WHERE rk <= 5
+    ORDER BY lang, rk
+    """
+
+
+sql_query(
+    "text_topk_terms_per_lang",
+    _topk_terms_sql("spark"),
+    oracle=_topk_terms_sql("duck"),
+    tags=("text", "topk", "terms"),
+    doc="Top-5 terms per language: explode -> two-level partial-agg "
+    "shuffle on (lang, word) -> per-lang ranking window. The explode is "
+    "map-side; the (lang, word) agg bounds the ranking input to distinct "
+    "terms, so the window state stays tiny at any corpus size.",
+)
+
+
+PACK_BUDGET = 2048
+
+
+def _packing_oracle_sql() -> str:
+    # Greedy consecutive packing per lang via DuckDB recursive CTE: the
+    # working table carries (pack_id, fill) row to row in doc_id order.
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, tokens, rn, 0 AS pack_id, tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.tokens, t.rn,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN t.tokens ELSE p.fill + t.tokens END
+      FROM toks t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """
+
+
+@query(
+    "tokens_sequence_packing",
+    oracle=_packing_oracle_sql(),
+    tags=("tokens", "packing", "applyInPandas"),
+    doc=f"Greedy sequence packing for training batches: docs in doc_id "
+    f"order are packed into <= {PACK_BUDGET}-token bins per lang "
+    "(oversized docs get their own bin). Inherently sequential per "
+    "stream, so each lang's stream is packed in one applyInPandas group "
+    "— at 100 TB the stream key is (shard, lang) so groups stay "
+    "worker-sized while packing remains exact within each shard. Oracle "
+    "is a DuckDB recursive CTE with identical greedy semantics.",
+)
+def tokens_sequence_packing(spark, sf_dir):
+    import pandas as pd
+
+    t = load_fixture_tables(spark, sf_dir)
+    toks = t["documents"].selectExpr(
+        "lang", "doc_id", "CAST(size(split(text, ' ')) AS INT) AS tokens"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fill, pid = [], 0, 0
+        for tk in pdf["tokens"]:
+            if fill > 0 and fill + tk > PACK_BUDGET:
+                pid, fill = pid + 1, int(tk)
+            else:
+                fill += int(tk)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id long, tokens int, pack_id int"
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+def _centroid_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    if spark:
+        nrm = (
+            "SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)"
+            " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        return f"""
+        WITH nn AS (
+          SELECT label, embedding, {nrm} AS nrm FROM embeddings
+        ),
+        ex AS (
+          SELECT label, pos + 1 AS i, CAST(x AS DOUBLE) / nrm AS xn
+          FROM nn LATERAL VIEW posexplode(embedding) AS pos, x
+          WHERE pos < 4
+        )
+        SELECT label, i,
+               ROUND(CAST(SUM(CAST(xn AS DECIMAL(30,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM ex GROUP BY label, i
+        ORDER BY label, i
+        """
+    nrm = (
+        "SQRT(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH nn AS (
+      SELECT label, embedding, {nrm} AS nrm FROM embeddings
+    ),
+    ex AS (
+      SELECT label, CAST(i AS INT) AS i,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm AS xn
+      FROM nn, range(1, 5) AS t(i)
+    )
+    SELECT label, i,
+           ROUND(CAST(SUM(CAST(xn AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY label, i
+    ORDER BY label, i
+    """
+
+
+sql_query(
+    "embedding_normalize_centroid",
+    _centroid_sql("spark"),
+    oracle=_centroid_sql("duck"),
+    tags=("embedding", "centroid", "normalize"),
+    doc="L2-normalize embeddings then per-label centroid (first 4 dims "
+    "shown): norm is a sequential double fold per vector (deterministic), "
+    "the per-(label, dim) mean uses the decimal-sum recipe so accumulation "
+    "order is moot. Shape at scale: one narrow shuffle on (label, dim) "
+    "after a map-side partial agg.",
+)
