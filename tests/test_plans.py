@@ -47,3 +47,44 @@ def test_broadcast_hint_respected(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     text = _plan(spark, sf_dir, "sort_limit_offset", mode="simple")
     assert "TakeOrderedAndProject" in text
+
+
+def test_exact_dedup_partial_final_agg(spark, sf_dir):
+    # partial (map-side) + final HashAggregate around exactly one shuffle:
+    # the canonical scalable dedup plan
+    text = _plan(spark, sf_dir, "dedup_exact_text", mode="simple")
+    assert text.count("HashAggregate") == 2
+    assert text.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    # union + carry-forward window: ONE hash exchange, no join operator at
+    # all — the property that makes it a sort-merge-cost op at 100 TB
+    text = _plan(spark, sf_dir, "events_asof_join", mode="simple")
+    assert text.count("Exchange hashpartitioning") == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in text
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    # the bucket self-join must stay an equi join on band keys — any
+    # regression to a cross/theta join is O(n^2) at scale
+    text = _plan(spark, sf_dir, "dedup_minhash_lsh", mode="simple")
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoop" not in text
+
+
+def test_topk_terms_window_input_is_aggregated(spark, sf_dir):
+    # ranking window must consume the (lang, word) aggregate (distinct
+    # terms), not raw exploded words: 2 HashAggregates, no extra shuffle
+    text = _plan(spark, sf_dir, "text_topk_terms_per_lang", mode="simple")
+    assert text.count("HashAggregate") == 2
+    assert text.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in text
+
+
+def test_scalar_pipeline_is_shuffle_free(spark, sf_dir):
+    # pure scalar projection: no exchange at all — whole pipeline is one
+    # map-only codegen stage over the scan
+    text = _plan(spark, sf_dir, "scalar_trig_functions", mode="simple")
+    assert "Exchange hashpartitioning" not in text
