@@ -1456,3 +1456,67 @@ sql_query(
     "order is moot. Shape at scale: one narrow shuffle on (label, dim) "
     "after a map-side partial agg.",
 )
+
+
+def _outlier_clip_sql(dialect: str) -> str:
+    pctl = "percentile" if dialect == "spark" else "quantile_cont"
+    return f"""
+    WITH bounds AS (
+      SELECT lang,
+             {pctl}(n_chars, 0.05) AS p05,
+             {pctl}(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           ROUND(p05, 6) AS p05, ROUND(p95, 6) AS p95
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    GROUP BY d.lang, p05, p95
+    ORDER BY d.lang
+    """
+
+
+sql_query(
+    "text_outlier_clipping",
+    _outlier_clip_sql("spark"),
+    oracle=_outlier_clip_sql("duck"),
+    tags=("text", "quality", "percentile"),
+    doc="Percentile-based length clipping: exact interpolated p05/p95 per "
+    "lang (Spark percentile == DuckDB quantile_cont, bit-identical), "
+    "then per-lang outlier counts. The bounds side is tiny (one row per "
+    "lang) and broadcasts; at 100 TB swap exact percentile for "
+    "approx_percentile and accept the documented sketch divergence.",
+)
+
+
+sql_query(
+    "scalar_nondeterministic_bounds",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           bool_and(u RLIKE
+             '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+           ) AS uuid_v4_ok,
+           bool_and(r >= 0 AND r < 1) AS rand_in_unit,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS uuid_distinct
+    FROM (SELECT uuid() AS u, rand() AS r FROM range(1000))
+    """,
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           bool_and(regexp_matches(CAST(u AS VARCHAR),
+             '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+           )) AS uuid_v4_ok,
+           bool_and(r >= 0 AND r < 1) AS rand_in_unit,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS uuid_distinct
+    FROM (SELECT uuid() AS u, random() AS r FROM range(1000))
+    """,
+    tags=("scalar", "nondeterministic"),
+    doc="uuid()/rand() (B8) oracled by PROPERTY, not value: v4-format "
+    "regex, uniqueness, and unit-interval bounds reduce to deterministic "
+    "booleans both engines agree on. (Raw values are nondeterministic by "
+    "definition; Spark requires them projected in a subquery before "
+    "aggregating.)",
+)
