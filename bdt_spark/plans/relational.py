@@ -1678,3 +1678,39 @@ sql_query(
     doc="NaN plumbing (B8): isnan + nanvl (DuckDB lacks nanvl; oracle uses "
     "CASE WHEN isnan). NaN literal via CAST('NaN' AS DOUBLE) in both.",
 )
+
+
+def _recursive_spine_sql(dialect: str) -> str:
+    step = (
+        "add_months(mo, 1)" if dialect == "spark"
+        else "CAST(mo + INTERVAL 1 MONTH AS DATE)"
+    )
+    return f"""
+    WITH RECURSIVE spine(mo) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT {step} FROM spine WHERE mo < DATE '2001-08-01'
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.mo AS TIMESTAMP) AS mo,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly m ON CAST(s.mo AS TIMESTAMP) = m.mo
+    ORDER BY mo
+    """
+
+
+sql_query(
+    "query_recursive_cte",
+    _recursive_spine_sql("spark"),
+    oracle=_recursive_spine_sql("duck"),
+    tags=("query-structure", "recursive-cte"),
+    doc="WITH RECURSIVE (B9): calendar month spine generated recursively, "
+    "left-joined to monthly order counts with zero-fill — the gaps-in-"
+    "time-series pattern. Spark 4 executes recursive CTEs natively (the "
+    "reference's DataFusion 35 cannot; capability extension). The spine "
+    "is driver-tiny; the fact side keeps its partial-agg shuffle.",
+)
