@@ -1520,3 +1520,89 @@ sql_query(
     "definition; Spark requires them projected in a subquery before "
     "aggregating.)",
 )
+
+
+def _repetition_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    words = (
+        "explode(split(lower(text), ' '))"
+        if spark
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {words} AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS n
+      FROM w GROUP BY doc_id, word
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS total_words,
+             CAST(COUNT(*) AS BIGINT) AS distinct_words,
+             CAST(MAX(n) AS BIGINT) AS top_word_count
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, total_words, distinct_words,
+           ROUND(CAST(top_word_count AS DOUBLE) / total_words, 6)
+             AS top_word_ratio,
+           ROUND(CAST(distinct_words AS DOUBLE) / total_words, 6)
+             AS distinct_ratio,
+           CAST(top_word_count AS DOUBLE) / total_words > 0.10
+             AS is_repetitive
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_repetition_filter",
+    _repetition_sql("spark"),
+    oracle=_repetition_sql("duck"),
+    tags=("text", "quality", "repetition"),
+    doc="C4-style repetition filter: per-doc top-term frequency ratio and "
+    "type-token ratio flag boilerplate/spam docs. Two partial-agg "
+    "shuffles — (doc, word) then doc — both map-side combinable; no "
+    "window over raw words.",
+)
+
+
+def _decontam_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    words = "explode(sh)" if spark else "unnest(sh)"
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT {words.replace('sh', 'shingles')} AS shingle
+      FROM (SELECT {shingles} AS shingles FROM documents WHERE doc_id < 10)
+    ),
+    corpus AS (
+      SELECT doc_id, {words.replace('sh', 'shingles')} AS shingle
+      FROM (SELECT doc_id, {shingles} AS shingles
+            FROM documents WHERE doc_id >= 10)
+    ),
+    hits AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_contaminated_shingles
+    FROM hits
+    WHERE n_contaminated_shingles >= 5
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_benchmark_decontamination",
+    _decontam_sql("spark"),
+    oracle=_decontam_sql("duck"),
+    tags=("text", "decontamination", "ngram"),
+    doc="Benchmark decontamination: flag corpus docs sharing >= 5 word-3-"
+    "shingles with a held-out set (docs 0-9 stand in for an eval "
+    "benchmark). The benchmark shingle set is tiny and broadcasts; the "
+    "corpus side is one explode + equi join + per-doc agg — never "
+    "pairwise doc x doc.",
+)
