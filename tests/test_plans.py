@@ -88,3 +88,24 @@ def test_scalar_pipeline_is_shuffle_free(spark, sf_dir):
     # map-only codegen stage over the scan
     text = _plan(spark, sf_dir, "scalar_trig_functions", mode="simple")
     assert "Exchange hashpartitioning" not in text
+
+
+def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    # hive-partitioned output (convert partition_by extension) must prune
+    # non-matching partitions at the scan — the data-skipping lever that
+    # turns a 100 TB scan into a single-partition read
+    from bdt_spark.operators.convert import convert
+
+    out = str(tmp_path / "orders_by_priority.parquet")
+    convert(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        out,
+        partition_by=["o_orderpriority"],
+    )
+    df = spark.read.parquet(out).filter("o_orderpriority = '1-URGENT'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
+    # and the filter really skipped the other partitions
+    assert df.count() < spark.read.parquet(out).count()
