@@ -352,6 +352,33 @@ sql_query(
     tags=("agg", "approx"),
 )
 
+sql_query(
+    "agg_approx_distinct_error_bound",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey) AS DOUBLE)
+               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS within_5pct,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_suppkey) AS DOUBLE)
+               / COUNT(DISTINCT l_suppkey) - 1.0) < 0.05 AS supp_within_5pct
+    FROM lineitem
+    """,
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey) AS DOUBLE)
+               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS within_5pct,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_suppkey) AS DOUBLE)
+               / COUNT(DISTINCT l_suppkey) - 1.0) < 0.05 AS supp_within_5pct
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+    doc="Approx-distinct oracled by PROPERTY: each engine's HLL estimate "
+    "must sit within 5% of the exact count (HLL standard error ~2%, so "
+    "the boolean is deterministic even though raw sketch values differ). "
+    "Complements the rows-only raw-value query above.",
+)
+
 # ---------------------------------------------------------------------------
 # B5 — window functions
 # ---------------------------------------------------------------------------
