@@ -1,0 +1,170 @@
+"""Persistent IVF (inverted-file) ANN index: build once, probe many.
+
+The declared `similarity_*` queries compute their cluster structure inline
+so they can be oracled; a production pipeline builds the index ONCE and
+amortizes it over every probe. This operator persists:
+
+    {path}/centroids/    cluster_id, centroid array<double>
+    {path}/assignments/  vec_id, cluster_id, embedding  (written clustered
+                         by cluster_id -> per-cluster row-group locality)
+
+Build = Lloyd's k-means, fully distributed and deterministic:
+- init: the k vectors with the lexicographically smallest md5(vec_id) —
+  stable across runs/partitionings (no rand()).
+- assignment step: corpus x centroids distance via a broadcast of the k
+  centroid arrays (k is small; the corpus never shuffles for assignment).
+- update step: explode assigned vectors -> (cluster, dim) partial-agg
+  mean -> regroup to arrays. Two narrow shuffles per iteration.
+
+Probe = nearest `nprobe` centroids per query (broadcast again), then
+exact cosine only against those clusters' rows — the candidate set is
+corpus_size * nprobe / k instead of the full corpus.
+
+At 100 TB: assignments are range/bucket-laid-out by cluster_id, so a
+probe reads only its clusters' files; centroids stay driver-size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _dist2(vec_col: str, cen_col: str) -> str:
+    # squared L2 as a sequential fold — codegen-friendly, no UDF
+    return (
+        f"aggregate(zip_with({vec_col}, {cen_col},"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _cos_sim(a: str, b: str) -> str:
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        lambda e: f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return f"{dot} / ({nrm(a)} * {nrm(b)})"
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast cross join (k is small)."""
+    joined = emb.crossJoin(F.broadcast(centroids))
+    d = F.expr(_dist2("embedding", "centroid"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(d, 9).asc(), F.col("cluster_id").asc()
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train k-means and persist the IVF index at `path`."""
+    emb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    # deterministic seeds: smallest md5(vec_id), stable on any cluster
+    seeds = (
+        emb.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+    )
+    centroids = (
+        seeds.withColumn(
+            "cluster_id", F.row_number().over(Window.orderBy("__h")) - 1
+        )
+        .select(
+            "cluster_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "centroid"
+            ),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _assign(emb, centroids)
+        centroids = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("centroid")
+            )
+        )
+    final = _assign(emb, centroids)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # cluster-local layout: each probe reads only its clusters' row groups
+    (
+        final.repartition("cluster_id")
+        .sortWithinPartitions("cluster_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def ivf_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query row, scanning only the
+    `nprobe` nearest clusters per query."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assignments = spark.read.parquet(f"{path}/assignments")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+
+    d = F.expr(_dist2("q_vec", "centroid"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(d, 9).asc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select("q_id", "q_vec", "cluster_id")
+    )
+    cand = probes.join(assignments, "cluster_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = F.expr(_cos_sim("q_vec", "embedding"))
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.round(sim, 9).desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
