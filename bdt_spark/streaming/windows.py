@@ -198,3 +198,37 @@ def purchases_after_errors_stream(
             f" AND p_ts <= e_ts + INTERVAL {within}"
         ),
     ).select("error_id", "purchase_id", "e_user", "e_ts", "p_ts")
+
+
+def dedup_stream_to_parquet(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming exact-dedup writeback via foreachBatch — the
+    exactly-once sink pattern.
+
+    dropDuplicatesWithinWatermark bounds the dedup state (event_ids older
+    than the watermark are evicted — at 100 TB/day unbounded dedup state
+    is a guaranteed OOM); foreachBatch writes each micro-batch to a
+    batch_id-named subdirectory, so a replayed batch after failure
+    OVERWRITES its own output instead of duplicating it (idempotent =
+    exactly-once end-to-end given the checkpoint).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

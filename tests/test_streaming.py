@@ -121,3 +121,26 @@ def test_stream_stream_interval_join(spark, sf_dir, events_stream):
         ),
     ).count()
     assert got.count() == expected
+
+
+def test_foreachbatch_dedup_sink_exactly_once(spark, sf_dir, tmp_path):
+    # duplicate the stream source rows, run the dedup writeback, and the
+    # parquet output must contain each event_id exactly once
+    from bdt_spark.streaming.windows import (
+        dedup_stream_to_parquet,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.union(events)  # two file triggers -> duplicate ids
+    q = dedup_stream_to_parquet(doubled, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", out).parquet(out)
+    n_ids = got.select("event_id").distinct().count()
+    assert got.count() == n_ids  # no duplicates survived
+    from bdt_spark.sources.io import read_file
+
+    assert n_ids == read_file(spark, f"{sf_dir}/events.parquet").count()
