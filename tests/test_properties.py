@@ -42,3 +42,60 @@ def test_compare_file_equals_itself(tmp_path_factory, xs):
     p = str(tmp_path_factory.mktemp("prop") / "x.parquet")
     pq.write_table(pa.table({"x": pa.array(xs, type=pa.float32())}), p)
     assert compare_files(None, p, p).ok
+
+
+@st.composite
+def _asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=8))
+    left = [
+        (k, draw(st.integers(0, 100)), i) for i, k in enumerate(keys)
+    ]
+    right = [
+        (draw(st.integers(0, 3)), draw(st.integers(0, 100)),
+         draw(st.one_of(st.none(), st.floats(allow_nan=False))))
+        for _ in range(draw(st.integers(0, 8)))
+    ]
+    return left, right
+
+
+@settings(max_examples=15, deadline=None)
+@given(_asof_case())
+def test_asof_matches_bruteforce(spark, case):
+    import datetime as dt
+    left_rows, right_rows = case
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+
+    from bdt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, to_ts(t), i) for k, t, i in left_rows],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, to_ts(t), v) for k, t, v in right_rows],
+        "k int, ts timestamp, v double",
+    )
+    got = {
+        r.lid: (r.ts_r, r.v_r)
+        for r in asof_join(left, right, on="k", suffix="_r").collect()
+    }
+    for k, t, lid in left_rows:
+        matches = [
+            (rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t
+        ]
+        if matches:
+            exp_t, exp_v = max(matches, key=lambda m: m[0])
+            assert got[lid] == (to_ts(exp_t), exp_v), f"lid={lid}"
+        else:
+            assert got[lid] == (None, None), f"lid={lid}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**62), st.integers(0, 2**31))
+def test_gcd_shim_matches_python(spark, a, b):
+    import math
+
+    from bdt_spark.functions.math import gcd_sql
+    [row] = spark.sql(f"SELECT {gcd_sql(str(a), str(b))} AS g").collect()
+    assert row.g == math.gcd(a, b)
