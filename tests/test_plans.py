@@ -109,3 +109,29 @@ def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
     assert "1-URGENT" in plan
     # and the filter really skipped the other partitions
     assert df.count() < spark.read.parquet(out).count()
+
+
+def test_no_query_degrades_to_cartesian(spark, sf_dir):
+    # sweep EVERY declared query: none may plan a CartesianProduct or
+    # BroadcastNestedLoopJoin except the ones that are cross/theta joins
+    # by definition — at 100 TB an accidental cartesian is a dead job
+    import bdt_spark.plans as plans
+
+    ALLOWED = {
+        "join_cross",             # deliberate CROSS JOIN
+        "join_non_equi_range",    # theta join -> BNLJ by definition
+        "scalar_nondeterministic_bounds",  # range(1000) single-row combine
+    }
+    offenders = {}
+    for name in plans.all_queries():
+        if name in ALLOWED:
+            continue
+        try:
+            df = plans.get_query(name).fn(spark, sf_dir)
+        except Exception as e:  # pragma: no cover - registration issues
+            offenders[name] = f"build error: {e}"
+            continue
+        text = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in text:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders
