@@ -142,6 +142,72 @@ def cmd_compare(args) -> None:
         raise SystemExit(1)
 
 
+def cmd_dedup(args) -> None:
+    # extension beyond the reference: dedup any table from the CLI
+    from bdt_spark.operators.dedup import exact_dup_groups, minhash_pairs
+
+    spark = get_spark("bdt_dedup")
+    df = read_file(spark, args.table)
+    if args.method == "exact":
+        cols = args.columns.split(",") if args.columns else [
+            c for c in df.columns if c != args.id_col
+        ]
+        out = exact_dup_groups(df, cols, args.id_col)
+    else:
+        out = minhash_pairs(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            threshold=args.threshold,
+        )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {out.count()} rows to {args.output}")
+    else:
+        out.show(50, truncate=False)
+
+
+def cmd_cluster_write(args) -> None:
+    # extension: range-clustered sorted parquet (row-group skipping layout)
+    from bdt_spark.operators.layout import write_clustered
+
+    spark = get_spark("bdt_cluster_write")
+    df = read_file(spark, args.input)
+    write_clustered(
+        df, args.output, args.by.split(","), num_partitions=args.partitions
+    )
+    print(f"clustered {df.count()} rows by {args.by} into {args.output}")
+
+
+def cmd_ann_build(args) -> None:
+    # extension: persistent IVF ANN index
+    from bdt_spark.operators.ann import build_ivf_index
+
+    spark = get_spark("bdt_ann")
+    emb = read_file(spark, args.embeddings)
+    build_ivf_index(
+        spark, emb, args.index_dir, k=args.k,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    print(f"built IVF index (k={args.k}) at {args.index_dir}")
+
+
+def cmd_ann_probe(args) -> None:
+    from bdt_spark.operators.ann import ivf_probe
+
+    spark = get_spark("bdt_ann")
+    queries = read_file(spark, args.queries)
+    out = ivf_probe(
+        spark, args.index_dir, queries, topk=args.topk, nprobe=args.nprobe,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {out.count()} rows to {args.output}")
+    else:
+        out.show(50, truncate=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bdt_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -187,6 +253,44 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--method", choices=["positional", "hash"],
                     default="positional")
     cp.set_defaults(fn=cmd_compare)
+
+    # --- extensions beyond the reference surface ---
+    dd = sub.add_parser("dedup", help="find duplicate rows / near-dup text")
+    dd.add_argument("--table", required=True)
+    dd.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--columns", help="comma list for exact dedup key")
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--output")
+    dd.set_defaults(fn=cmd_dedup)
+
+    cw = sub.add_parser(
+        "cluster-write", help="write range-clustered sorted parquet"
+    )
+    cw.add_argument("input")
+    cw.add_argument("output")
+    cw.add_argument("--by", required=True, help="comma list of cluster cols")
+    cw.add_argument("--partitions", type=int, default=None)
+    cw.set_defaults(fn=cmd_cluster_write)
+
+    ab = sub.add_parser("ann-build", help="build a persistent IVF ANN index")
+    ab.add_argument("embeddings")
+    ab.add_argument("index_dir")
+    ab.add_argument("-k", type=int, default=10)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    ap = sub.add_parser("ann-probe", help="probe an IVF ANN index")
+    ap.add_argument("index_dir")
+    ap.add_argument("queries")
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--output")
+    ap.set_defaults(fn=cmd_ann_probe)
     return p
 
 

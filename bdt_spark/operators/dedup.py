@@ -1,0 +1,126 @@
+"""Reusable dedup operators over arbitrary (id, text) tables.
+
+The oracled queries in plans/pipeline.py pin these semantics against
+DuckDB on the fixture `documents` table; this module is the same logic
+parameterized by column names so the CLI (and any caller) can dedup any
+table. plans/pipeline.py delegates its Spark side here — one
+implementation, two consumers.
+
+Scale summary (same as the query docstrings): shingling is map-only;
+signatures are one partial-agg shuffle on the id; the LSH bucket
+self-join is equi on band keys; exact-Jaccard verification touches only
+candidate pairs. Nothing is O(n^2) in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+K_HASH = 8          # minhash signature length
+N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS)
+N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
+
+
+def shingle_expr(text_col: str = "text") -> str:
+    """Distinct word-3-shingle array (Spark SQL expression).
+
+    zip_with over shifted slices instead of indexed element_at in a
+    transform lambda: the naive form re-evaluates split() per element."""
+    w = f"split(lower({text_col}), ' ')"
+    return (
+        f"array_distinct(filter(zip_with("
+        f"zip_with({w}, slice({w}, 2, size({w})), (x, y) -> concat(x, ' ', y)),"
+        f" slice({w}, 3, size({w})), (x, y) -> concat(x, ' ', y)),"
+        f" x -> x IS NOT NULL))"
+    )
+
+
+def band_keys_expr() -> str:
+    rows = K_HASH // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        sig = ", ".join(f"h{b * rows + r}" for r in range(rows))
+        parts.append(f"concat('b{b}:', md5(concat({sig})))")
+    return f"array({', '.join(parts)})"
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Groups of exact duplicates on `cols`: md5-hash groupBy, survivor =
+    MIN(id). One partial+final agg shuffle."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    return (
+        df.groupBy(key.alias("dup_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias(f"keep_{id_col}"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("dup_hash")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    Exact transplant of the oracled `dedup_minhash_lsh` plan (see
+    plans/pipeline.py for the DuckDB oracle pinning these semantics),
+    parameterized by column names.
+    """
+    from pyspark import StorageLevel
+
+    sh = (
+        df.repartition(n_partitions, id_col)
+        .selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # eager materialization: four downstream branches consume this subtree;
+    # a lazy cache lets concurrent branches of one job recompute it
+    sh.count()
+
+    md5_exprs = [
+        f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)
+    ]
+    lane_exprs = []
+    for j in range(K_HASH):
+        seed, lane = divmod(j, 4)
+        lane_exprs.append(
+            F.expr(f"MIN(substring(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
+        )
+    sig = (
+        sh.selectExpr(id_col, "explode(shingles) AS s")
+        .selectExpr(id_col, *md5_exprs)
+        .groupBy(id_col)
+        .agg(*lane_exprs)
+    )
+    buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    jac = (
+        "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
+        " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
+    )
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).orderBy(
+        "doc_a", "doc_b"
+    )

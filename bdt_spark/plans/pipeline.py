@@ -181,60 +181,20 @@ def _minhash_lsh_sql(dialect: str) -> str:
     ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    from pyspark import StorageLevel
+    # canonical implementation lives in operators/dedup.py (parameterized
+    # by column names so the CLI can dedup any table); this query pins its
+    # semantics to the DuckDB oracle on the fixture documents table
+    from bdt_spark.operators.dedup import minhash_pairs
 
     t = load_fixture_tables(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
-    # Shingle ARRAYS, map-only (no shuffle — the shape that scales: each
-    # doc's shingle set is computed and deduped locally). Persisted +
-    # eagerly materialized because four downstream branches consume it
-    # (sig, both verify sides); a lazy cache lets concurrent branches of
-    # one job recompute the subtree (measured 2-4x slowdown).
-    sh = (
-        t["documents"]
-        .repartition(n_part, "doc_id")
-        .selectExpr("doc_id", f"{_spark_shingles()} AS shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return minhash_pairs(
+        t["documents"],
+        id_col="doc_id",
+        text_col="text",
+        threshold=JACCARD_T,
+        n_partitions=n_part,
     )
-    sh.count()
-
-    # Signatures: explode the cached arrays, one md5 per (shingle, seed)
-    # row, then grouped per-lane MINs (map-side partial agg; the doc_id
-    # shuffle carries K_HASH short strings per doc).
-    md5_exprs = [f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)]
-    lane_exprs = []
-    for j in range(K_HASH):
-        seed, lane = divmod(j, 4)
-        lane_exprs.append(
-            F.expr(f"MIN(substring(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
-        )
-    sig = (
-        sh.selectExpr("doc_id", "explode(shingles) AS s")
-        .selectExpr("doc_id", *md5_exprs)
-        .groupBy("doc_id")
-        .agg(*lane_exprs)
-    )
-    buckets = sig.selectExpr("doc_id", f"explode({_band_keys('spark')}) AS bkey")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # Exact-Jaccard verification on candidates only, with local array ops
-    # (intersect/union per pair — no extra shuffle).
-    jac = (
-        "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
-        " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
-    )
-    pairs = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
-    )
-    return pairs.filter(F.col("jaccard") >= JACCARD_T).orderBy("doc_a", "doc_b")
 
 # --- exact dedup ------------------------------------------------------------
 

@@ -50,6 +50,13 @@ PIPELINE = [
     "multimodal_decode_features",
     "events_session_window",
     "events_asof_join",
+    # round-2 additions
+    "tokens_sequence_packing",
+    "text_benchmark_decontamination",
+    "text_pii_redaction",
+    "sample_stratified_exact",
+    "embedding_normalize_centroid",
+    "query_recursive_cte",
 ]
 
 

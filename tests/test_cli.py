@@ -93,3 +93,48 @@ def test_error_surface(capsys):
     # unknown extension -> error + exit 1 (main.rs:102-108)
     assert main(["count", "--table", "/nope/file.xlsx"]) == 1
     assert "Error" in capsys.readouterr().err
+
+
+def test_cli_dedup_exact(tmp_path, capsys):
+    from bdt_spark.cli import main
+
+    rc = main([
+        "dedup", "--table", f"{SF_DIR}/documents.parquet",
+        "--method", "exact", "--id-col", "doc_id", "--columns", "text",
+        "--output", str(tmp_path / "dups.parquet"),
+    ])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+
+
+def test_cli_dedup_minhash(capsys):
+    from bdt_spark.cli import main
+
+    rc = main([
+        "dedup", "--table", f"{SF_DIR}/documents.parquet",
+        "--method", "minhash", "--id-col", "doc_id", "--text-col", "text",
+    ])
+    assert rc == 0
+
+
+def test_cli_cluster_write_and_ann(tmp_path, capsys):
+    from bdt_spark.cli import main
+
+    out = str(tmp_path / "clustered")
+    rc = main([
+        "cluster-write", f"{SF_DIR}/orders.parquet", out,
+        "--by", "o_orderdate", "--partitions", "4",
+    ])
+    assert rc == 0
+
+    idx = str(tmp_path / "idx")
+    rc = main([
+        "ann-build", f"{SF_DIR}/embeddings.parquet", idx, "-k", "5",
+    ])
+    assert rc == 0
+    rc = main([
+        "ann-probe", idx, f"{SF_DIR}/embeddings.parquet",
+        "--topk", "3", "--nprobe", "2",
+        "--output", str(tmp_path / "nn.parquet"),
+    ])
+    assert rc == 0
