@@ -1,0 +1,54 @@
+"""merge_upsert: delta replaces matching keys, appends new keys, swaps
+atomically, rejects schema drift."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bdt_spark.operators.upsert import merge_upsert
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(1, 11)], "k int, v string, gen int"
+    ).write.parquet(path)
+    return path
+
+
+def test_upsert_updates_and_inserts(spark, base):
+    delta = spark.createDataFrame(
+        [(5, "v5-new", 2), (11, "v11", 2)], "k int, v string, gen int"
+    )
+    n = merge_upsert(spark, base, delta, ["k"])
+    assert n == 11
+    got = {r.k: (r.v, r.gen) for r in spark.read.parquet(base).collect()}
+    assert got[5] == ("v5-new", 2)       # updated
+    assert got[11] == ("v11", 2)         # inserted
+    assert got[4] == ("v4", 1)           # untouched
+
+
+def test_upsert_composite_key(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0)], "k int, sub string, x double"
+    ).write.parquet(path)
+    delta = spark.createDataFrame([(1, "b", 99.0)], "k int, sub string, x double")
+    assert merge_upsert(spark, path, delta, ["k", "sub"]) == 2
+    got = {(r.k, r.sub): r.x for r in spark.read.parquet(path).collect()}
+    assert got[(1, "b")] == 99.0 and got[(1, "a")] == 10.0
+
+
+def test_upsert_rejects_schema_drift(spark, base):
+    bad = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, base, bad, ["k"])
+
+
+def test_upsert_idempotent_replay(spark, base):
+    delta = spark.createDataFrame([(3, "v3x", 2)], "k int, v string, gen int")
+    merge_upsert(spark, base, delta, ["k"])
+    n2 = merge_upsert(spark, base, delta, ["k"])  # replay same delta
+    assert n2 == 10
+    assert spark.read.parquet(base).filter(F.col("k") == 3).count() == 1
