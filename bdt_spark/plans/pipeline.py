@@ -1574,3 +1574,45 @@ sql_query(
     "corpus side is one explode + equi join + per-doc agg — never "
     "pairwise doc x doc.",
 )
+
+
+def _dup_span_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    expl = "explode(shingles)" if spark else "unnest(shingles)"
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, {expl} AS s
+      FROM (SELECT doc_id, {shingles} AS shingles FROM documents)
+    ),
+    freq AS (
+      SELECT s, COUNT(*) AS n_docs FROM grams GROUP BY s
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_spans
+      FROM grams g JOIN freq f ON g.s = f.s
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_spans, n_shared_spans,
+           ROUND(CAST(n_shared_spans AS DOUBLE) / n_spans, 6)
+             AS shared_span_ratio
+    FROM per_doc
+    WHERE doc_id < 500
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_duplicate_span_ratio",
+    _dup_span_sql("spark"),
+    oracle=_dup_span_sql("duck"),
+    tags=("text", "dedup", "spans"),
+    doc="Corpus-level span-sharing signal (C4 span-dedup precursor): for "
+    "each doc, the fraction of its word-3-shingles appearing in any other "
+    "doc. Shingles are per-doc distinct, so COUNT(*) per shingle counts "
+    "docs; one (shingle) agg shuffle + one join back — linear in corpus "
+    "shingle volume, never doc x doc.",
+)
