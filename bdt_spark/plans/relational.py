@@ -1741,3 +1741,117 @@ sql_query(
     "reference's DataFusion 35 cannot; capability extension). The spine "
     "is driver-tiny; the fact side keeps its partial-agg shuffle.",
 )
+
+
+sql_query(
+    "agg_higher_moments",
+    """
+    SELECT c_mktsegment,
+           ROUND(skewness(c_acctbal), 6) AS skew,
+           ROUND(kurtosis(c_acctbal), 6) AS kurt
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    oracle="""
+    WITH mu AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+               / COUNT(*) AS m, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment
+    ),
+    dev AS (
+      SELECT c.c_mktsegment,
+             SUM((c_acctbal - m) * (c_acctbal - m)) AS m2,
+             SUM((c_acctbal - m) * (c_acctbal - m) * (c_acctbal - m)) AS m3,
+             SUM((c_acctbal - m) * (c_acctbal - m) * (c_acctbal - m)
+                 * (c_acctbal - m)) AS m4,
+             ANY_VALUE(n) AS n
+      FROM customer c JOIN mu ON c.c_mktsegment = mu.c_mktsegment
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           ROUND((m3 / n) / POWER(m2 / n, 1.5), 6) AS skew,
+           ROUND(n * m4 / (m2 * m2) - 3, 6) AS kurt
+    FROM dev
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "moments"),
+    doc="skewness/kurtosis (B4): Spark's are population-biased while "
+    "DuckDB's are sample-unbiased, so the oracle rebuilds Spark's exact "
+    "formulas (m3/n / (m2/n)^1.5 and n*m4/m2^2 - 3) from two-pass "
+    "decimal-mean central moments.",
+)
+
+
+sql_query(
+    "scalar_try_arithmetic",
+    """
+    SELECT o_orderkey,
+           try_divide(o_totalprice, o_orderkey % 3) AS div_maybe,
+           try_add(9223372036854775807,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS add_maybe,
+           try_multiply(CAST(o_orderkey AS BIGINT), 2) AS mul_ok
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS div_maybe,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE 9223372036854775807 END AS add_maybe,
+           CAST(o_orderkey AS BIGINT) * 2 AS mul_ok
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "ansi", "try"),
+    doc="try_divide/try_add/try_multiply (B2 ANSI-mode surface): NULL "
+    "instead of error on /0 and int64 overflow. DuckDB has no try_* "
+    "arithmetic; the oracle encodes the same NULL conditions explicitly.",
+)
+
+
+sql_query(
+    "scalar_higher_order_functions",
+    """
+    SELECT p_partkey,
+           filter(sequence(1, p_size), x -> x % 3 = 0) AS div3,
+           exists(sequence(1, p_size), x -> x * x = 16) AS has_sqrt16,
+           forall(sequence(1, p_size), x -> x <= p_size) AS all_in_range,
+           aggregate(sequence(1, p_size), CAST(0 AS BIGINT),
+                     (acc, x) -> acc + x * x) AS sum_squares,
+           transform(slice(sequence(1, p_size), 1, 3),
+                     x -> x * 10) AS first3_x10,
+           zip_with(slice(sequence(1, p_size), 1, 3),
+                    array(1, 2, 3), (a, b) -> a * b) AS zipped
+    FROM part
+    WHERE p_partkey <= 50 AND p_size >= 4
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           list_filter(range(1, p_size + 1), x -> x % 3 = 0) AS div3,
+           list_bool_or(list_transform(range(1, p_size + 1),
+                                       x -> x * x = 16)) AS has_sqrt16,
+           list_bool_and(list_transform(range(1, p_size + 1),
+                                        x -> x <= p_size)) AS all_in_range,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, p_size + 1),
+                               x -> CAST(x * x AS BIGINT))),
+                (acc, v) -> acc + v) AS BIGINT) AS sum_squares,
+           list_transform(range(1, 4), x -> x * 10) AS first3_x10,
+           list_transform(range(1, 4), i -> i * i) AS zipped
+    FROM part
+    WHERE p_partkey <= 50 AND p_size >= 4
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "array", "higher-order"),
+    doc="Lambda higher-order functions (B8): filter/exists/forall/"
+    "aggregate/transform/zip_with. DuckDB mirrors via list_* (bool_or/"
+    "bool_and over transforms for exists/forall; reduce with a prepended "
+    "zero for the fold seed; zip_with of 1..3 by 1,2,3 == i*i).",
+)
