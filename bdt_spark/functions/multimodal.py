@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -124,3 +125,39 @@ def sample_frames(df: DataFrame, every_bytes: int = 100) -> DataFrame:
             )
 
     return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_resized", BinaryType()),
+        StructField("out_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stub (binary in -> binary out): truncate or '#'-pad each
+    payload to exactly `target_bytes`.
+
+    Stands in for image resize / audio resample — the real codec call is
+    environment-stubbed, but the Spark plumbing is the production shape:
+    binary column in, TRANSFORMED binary column out, plus typed metadata,
+    all inside one Arrow-batched mapInPandas pass (no driver, no per-row
+    Python).
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:target_bytes].ljust(target_bytes, b"#")
+                out.append(
+                    (int(doc_id), b, len(b), hashlib.md5(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(resize_batches, RESIZE_SCHEMA)

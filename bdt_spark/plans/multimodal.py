@@ -126,3 +126,34 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 300)
         .orderBy("c_custkey")
     )
+
+
+RESIZE_BYTES = 64
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({RESIZE_BYTES} AS BIGINT) AS out_bytes,
+           md5(rpad(substr(text, 1, {RESIZE_BYTES}), {RESIZE_BYTES}, '#'))
+             AS resized_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "binary-out"),
+    doc="Binary-in -> binary-out transform shape (resize/resample stand-"
+    "in): each payload truncated/'#'-padded to a fixed size inside one "
+    "mapInPandas pass; the transformed BYTES are verified by md5 against "
+    "the oracle's text arithmetic (ASCII fixture: byte ops == char ops).",
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import resize_payload
+
+    t = load_fixture_tables(spark, sf_dir)
+    binary = with_binary_payload(t["documents"])
+    return (
+        resize_payload(binary, target_bytes=RESIZE_BYTES)
+        .select("doc_id", "out_bytes", "resized_md5")
+        .orderBy("doc_id")
+    )

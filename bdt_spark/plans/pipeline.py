@@ -1616,3 +1616,65 @@ sql_query(
     "docs; one (shingle) agg shuffle + one join back — linear in corpus "
     "shingle volume, never doc x doc.",
 )
+
+
+sql_query(
+    "events_sessionize_gaps_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           ROUND(SUM(value), 6) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           ROUND(SUM(value), 6) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("events", "sessionization", "window"),
+    doc="Gaps-and-islands sessionization (30-min inactivity): lag-compare "
+    "-> running-sum session ids -> per-session stats. The window-chain "
+    "alternative to session_window; one shuffle on user_id serves both "
+    "windows and the final agg.",
+)
