@@ -1855,3 +1855,61 @@ sql_query(
     "bool_and over transforms for exists/forall; reduce with a prepended "
     "zero for the fold seed; zip_with of 1..3 by 1,2,3 == i*i).",
 )
+
+
+sql_query(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey <= 120
+    ),
+    b AS (
+      SELECT NULLIF(s, 'BUILDING') AS seg, tag FROM (
+        VALUES ('BUILDING', 'b'), ('MACHINERY', 'm'), ('HOUSEHOLD', 'h')
+      ) AS t(s, tag)
+    )
+    SELECT c_custkey, a.seg, b.tag
+    FROM a JOIN b ON a.seg <=> b.seg
+    ORDER BY c_custkey, tag
+    """,
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey <= 120
+    ),
+    b AS (
+      SELECT NULLIF(s, 'BUILDING') AS seg, tag FROM (
+        VALUES ('BUILDING', 'b'), ('MACHINERY', 'm'), ('HOUSEHOLD', 'h')
+      ) AS t(s, tag)
+    )
+    SELECT c_custkey, a.seg, b.tag
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY c_custkey, tag
+    """,
+    tags=("join", "null-safe"),
+    doc="Null-safe equality join (B3): Spark's <=> operator (NULL keys "
+    "match NULL keys) == standard IS NOT DISTINCT FROM in DuckDB. Planned "
+    "as a hash join — the null bucket joins like any other key.",
+)
+
+
+sql_query(
+    "sample_tablesample_bounds",
+    """
+    SELECT COUNT(*) > 3000 AND COUNT(*) < 9000 AS within_bounds,
+           bool_and(l_orderkey >= 0) AS sane_rows
+    FROM lineitem TABLESAMPLE (10 PERCENT)
+    """,
+    oracle="""
+    SELECT COUNT(*) > 3000 AND COUNT(*) < 9000 AS within_bounds,
+           bool_and(l_orderkey >= 0) AS sane_rows
+    FROM lineitem USING SAMPLE 10 PERCENT (bernoulli)
+    """,
+    tags=("sampling", "tablesample"),
+    doc="TABLESAMPLE (B2): engine sampling is nondeterministic by design, "
+    "so the oracle matches on PROPERTIES — a generous count interval "
+    "around 10% of ~60k fixture rows (binomial sigma ~75, bounds at "
+    "~30 sigma) and row sanity. For deterministic splits use the "
+    "md5-hash samplers instead.",
+)
