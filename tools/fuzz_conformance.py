@@ -1,0 +1,141 @@
+"""Seeded SQL-conformance fuzzer: generate random-but-deterministic
+queries from a template grammar, run them on Spark AND DuckDB over the
+same parquet fixtures, and compare results exactly.
+
+This generalizes the per-query oracle gate: instead of 130 hand-written
+pairs, it samples the (predicate x grouping x aggregate x ordering)
+space. The grammar deliberately stays inside the engines' common
+deterministic subset (cookbook rules): integer/string/date columns,
+decimal-cast sums for anything summed, canonical ORDER BY with explicit
+NULLS ordering, no floats except through ROUND(decimal-cast).
+
+Usage: python tools/fuzz_conformance.py [n_cases] [seed]
+Exit 1 on the first mismatching case, printing the SQL for repro.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLE_COLS = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "num": ["o_totalprice"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_mktsegment", "c_name"],
+        "num": ["c_acctbal"],
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "num": ["l_quantity", "l_extendedprice", "l_discount"],
+    },
+}
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLE_COLS))
+    cols = TABLE_COLS[table]
+    gcol = rng.choice(cols["str"] + cols["int"])
+    icol = rng.choice(cols["int"])
+    ncol = rng.choice(cols["num"])
+    scol = rng.choice(cols["str"])
+
+    preds = []
+    if rng.random() < 0.7:
+        preds.append(f"{icol} % {rng.randint(2, 7)} = {rng.randint(0, 1)}")
+    if rng.random() < 0.5:
+        preds.append(
+            f"{scol} {rng.choice(['<', '>=', '<>'])} "
+            f"'{rng.choice('ABCMNRST')}'"
+        )
+    if rng.random() < 0.4:
+        preds.append(f"{icol} BETWEEN {rng.randint(0, 50)} AND "
+                     f"{rng.randint(500, 5000)}")
+    where = f"WHERE {' AND '.join(preds)}" if preds else ""
+
+    aggs = rng.sample(
+        [
+            f"COUNT(*) AS cnt",
+            f"CAST(COUNT(DISTINCT {icol}) AS BIGINT) AS dcnt",
+            f"CAST(MIN({icol}) AS BIGINT) AS mn",
+            f"CAST(MAX({icol}) AS BIGINT) AS mx",
+            f"CAST(SUM(CAST({ncol} AS DECIMAL(30,8))) AS DOUBLE) AS s",
+            f"MIN({scol}) AS smn",
+        ],
+        k=rng.randint(2, 4),
+    )
+    having = (
+        f"HAVING COUNT(*) > {rng.randint(0, 3)}" if rng.random() < 0.4 else ""
+    )
+    return (
+        f"SELECT {gcol} AS g, {', '.join(aggs)} FROM {table} {where} "
+        f"GROUP BY {gcol} {having} ORDER BY g NULLS FIRST"
+    )
+
+
+def run_case(spark, con, sql: str) -> str | None:
+    """Returns None on match, else a description of the mismatch."""
+    import math
+
+    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    d_rows = [tuple(r) for r in con.sql(sql).fetchall()]
+    if len(s_rows) != len(d_rows):
+        return f"row count {len(s_rows)} vs {len(d_rows)}"
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if len(a) != len(b):
+            return f"row {i} width {len(a)} vs {len(b)}"
+        for j, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) and isinstance(y, float):
+                ok = (math.isnan(x) and math.isnan(y)) or abs(x - y) < 1e-6
+            else:
+                # normalize int-ish types (DuckDB may hand back Decimal)
+                ok = x == y
+            if not ok:
+                return f"row {i} col {j}: {x!r} != {y!r}"
+    return None
+
+
+def main() -> int:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = "/root/testdata/sf0.01"
+
+    import duckdb
+
+    from bdt_spark.session import get_spark
+    from bdt_spark.sources.io import load_fixture_tables
+
+    spark = get_spark("fuzz_conformance")
+    load_fixture_tables(spark, sf_dir)
+    con = duckdb.connect()
+    for t in TABLE_COLS:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    rng = random.Random(seed)
+    failures = 0
+    for i in range(n_cases):
+        sql = gen_query(rng)
+        try:
+            diff = run_case(spark, con, sql)
+        except Exception as e:
+            diff = f"execution error: {e}"
+        if diff:
+            failures += 1
+            print(f"FAIL case {i}: {diff}\n  {sql}")
+        else:
+            print(f"pass case {i}")
+    print(f"{n_cases - failures}/{n_cases} conformant (seed={seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
