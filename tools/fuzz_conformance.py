@@ -39,7 +39,62 @@ TABLE_COLS = {
 }
 
 
+def gen_join_query(rng: random.Random) -> str:
+    """orders x customer equi join with grouped aggregates."""
+    ostat = rng.choice(["'O'", "'F'", "'P'"])
+    gcol = rng.choice(["c_mktsegment", "c_nationkey", "o_orderstatus"])
+    lim = rng.randint(500, 4000)
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS cnt",
+            "CAST(MIN(o_orderkey) AS BIGINT) AS mn",
+            "CAST(MAX(c_custkey) AS BIGINT) AS mx",
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS s",
+            "CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS dn",
+        ],
+        k=rng.randint(2, 3),
+    )
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    return (
+        f"SELECT {gcol} AS g, {', '.join(aggs)} "
+        f"FROM customer {how} orders ON c_custkey = o_custkey "
+        f"AND o_orderstatus <> {ostat} "
+        f"WHERE c_custkey <= {lim} "
+        f"GROUP BY {gcol} ORDER BY g NULLS FIRST"
+    )
+
+
+def gen_window_query(rng: random.Random) -> str:
+    """Ranking/offset windows with a unique total order (deterministic)."""
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 10"])
+    lim = rng.randint(100, 800)
+    wfn = rng.sample(
+        [
+            "ROW_NUMBER() OVER w AS rn",
+            "RANK() OVER w AS rk",
+            "CAST(LAG(o_orderkey) OVER w AS BIGINT) AS lg",
+            "CAST(LEAD(o_orderkey, 2) OVER w AS BIGINT) AS ld",
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER "
+            "(PARTITION BY {p} ORDER BY o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS rs",
+        ],
+        k=rng.randint(2, 3),
+    )
+    wfn = [w.replace("{p}", part) for w in wfn]
+    return (
+        f"SELECT o_orderkey, {', '.join(wfn)} FROM orders "
+        f"WHERE o_orderkey <= {lim} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey) "
+        f"ORDER BY o_orderkey NULLS FIRST"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.25:
+        return gen_join_query(rng)
+    if r < 0.45:
+        return gen_window_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
     gcol = rng.choice(cols["str"] + cols["int"])
