@@ -1678,3 +1678,46 @@ sql_query(
     "alternative to session_window; one shuffle on user_id serves both "
     "windows and the final agg.",
 )
+
+
+def _survivors_oracle_sql() -> str:
+    """Deduped corpus: drop every clustered doc except its cluster's MIN."""
+    cc = _cc_oracle_sql()
+    return f"""
+    WITH clusters AS (
+      {cc.replace("ORDER BY cluster_id, doc_id", "")}
+    ),
+    losers AS (
+      SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL AND d.doc_id < 120
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "dedup_survivors_corpus",
+    oracle=_survivors_oracle_sql(),
+    tags=("dedup", "survivors", "end-to-end"),
+    doc="The dedup END PRODUCT: the corpus with every near-dup cluster "
+    "reduced to its MIN-doc_id survivor. Composes MinHash-LSH pairs -> "
+    "connected components -> anti join of non-survivors against the "
+    "corpus (broadcast: the loser set is tiny relative to the corpus). "
+    "This is the table a training run actually reads.",
+)
+def dedup_survivors_corpus(spark, sf_dir):
+    clusters = dedup_connected_components(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    t = load_fixture_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )

@@ -79,3 +79,21 @@ def test_arrow_feather_read(spark, tmp_path):
     feather.write_feather(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), p)
     df = read_file(spark, p)
     assert df.count() == 3 and df.columns == ["a", "b"]
+
+
+def test_mergeschema_reads_drifted_directory(spark, tmp_path):
+    # schema evolution across files in one table directory: mergeSchema
+    # unions the schemas; missing columns null-fill (the B1 robustness a
+    # long-lived 100 TB table accumulates)
+    d = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(
+        d + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"
+    ).write.parquet(d + "/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"k", "v", "score", "gen"}
+    rows = {r.k: (r.score, r.gen) for r in df.collect()}
+    assert rows[1] == (None, 1)   # old file null-fills the new column
+    assert rows[2] == (9.5, 2)
