@@ -161,3 +161,42 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def chunk_energy(df: DataFrame, chunk_bytes: int = 100) -> DataFrame:
+    """Audio-style numeric feature extraction from binary: per fixed-size
+    chunk, the sum of byte values ("energy"). Demonstrates binary ->
+    numeric feature batches with numpy inside mapInPandas (the RMS/
+    loudness-profile shape; the real DSP call is environment-stubbed)."""
+    import numpy as np
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), chunk_bytes):
+                    chunk = np.frombuffer(b[i : i + chunk_bytes], dtype=np.uint8)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i // chunk_bytes,
+                            int(chunk.sum()) if chunk.size else 0,
+                            int(chunk.size),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ENERGY_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(energy_batches, ENERGY_SCHEMA)

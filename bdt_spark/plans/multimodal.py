@@ -157,3 +157,44 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "out_bytes", "resized_md5")
         .orderBy("doc_id")
     )
+
+
+CHUNK_BYTES = 100
+
+
+@query(
+    "multimodal_chunk_energy",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, greatest(CAST(ceil(length(text)
+                  / {CHUNK_BYTES}.0) AS BIGINT), 1))) AS INT) AS chunk_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(COALESCE(list_reduce(list_prepend(0,
+                list_transform(range(1, len(substr(text,
+                     chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) + 1),
+                  i -> ascii(substr(substr(text,
+                     chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES}), i, 1)))),
+                (a, b) -> a + b), 0) AS BIGINT) AS energy,
+           CAST(length(substr(text, chunk_idx * {CHUNK_BYTES} + 1,
+                {CHUNK_BYTES})) AS INT) AS n_bytes
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("multimodal", "mapInPandas", "numeric-features"),
+    doc="Binary -> numeric feature batches (audio RMS/loudness shape): "
+    "per 100-byte chunk, the byte-value sum computed with numpy inside "
+    "mapInPandas. ASCII fixture makes the oracle expressible as "
+    "ascii(char) sums.",
+)
+def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import chunk_energy
+
+    t = load_fixture_tables(spark, sf_dir)
+    binary = with_binary_payload(t["documents"])
+    return chunk_energy(binary, chunk_bytes=CHUNK_BYTES).orderBy(
+        "doc_id", "chunk_idx"
+    )
