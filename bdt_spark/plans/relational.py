@@ -1913,3 +1913,30 @@ sql_query(
     "~30 sigma) and row sanity. For deterministic splits use the "
     "md5-hash samplers instead.",
 )
+
+
+sql_query(
+    "query_lateral_correlated",
+    """
+    SELECT n_name, t.c_custkey, t.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY n_name, t.c_custkey
+    """,
+    oracle="""
+    SELECT n_name, t.c_custkey, t.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY n_name, t.c_custkey
+    """,
+    tags=("query-structure", "lateral"),
+    doc="Correlated LATERAL subquery with per-outer-row ORDER BY + LIMIT "
+    "(B9): top-2 customers per nation. Catalyst decorrelates it to a "
+    "ranked window join — same text runs on both engines.",
+)
