@@ -89,12 +89,55 @@ def gen_window_query(rng: random.Random) -> str:
     )
 
 
+def gen_setop_query(rng: random.Random) -> str:
+    """Set operations over aligned int projections."""
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    lim_a = rng.randint(200, 2000)
+    lim_b = rng.randint(200, 2000)
+    mod = rng.randint(2, 5)
+    return (
+        f"SELECT CAST(o_custkey AS BIGINT) AS k FROM orders "
+        f"WHERE o_orderkey <= {lim_a} "
+        f"{op} "
+        f"SELECT CAST(c_custkey AS BIGINT) AS k FROM customer "
+        f"WHERE c_custkey <= {lim_b} AND c_custkey % {mod} = 0 "
+        f"ORDER BY k NULLS FIRST"
+    )
+
+
+def gen_scalar_query(rng: random.Random) -> str:
+    """String/math scalar pipelines over a key-ordered projection."""
+    lim = rng.randint(50, 300)
+    exprs = rng.sample(
+        [
+            "upper(c_name) AS e1",
+            "CAST(length(c_name) AS BIGINT) AS e2",
+            "substr(c_name, 3, 6) AS e3",
+            "concat(c_mktsegment, '|', c_name) AS e4",
+            "replace(lower(c_name), 'customer', 'c') AS e5",
+            "CAST(abs(c_nationkey - 12) AS BIGINT) AS e6",
+            "lpad(c_mktsegment, 12, '.') AS e7",
+            "reverse(c_name) AS e8",
+            "md5(c_name) AS e9",
+        ],
+        k=rng.randint(3, 5),
+    )
+    return (
+        f"SELECT c_custkey, {', '.join(sorted(exprs))} FROM customer "
+        f"WHERE c_custkey <= {lim} ORDER BY c_custkey NULLS FIRST"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.25:
+    if r < 0.2:
         return gen_join_query(rng)
-    if r < 0.45:
+    if r < 0.35:
         return gen_window_query(rng)
+    if r < 0.5:
+        return gen_setop_query(rng)
+    if r < 0.65:
+        return gen_scalar_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
     gcol = rng.choice(cols["str"] + cols["int"])
