@@ -1721,3 +1721,68 @@ def dedup_survivors_corpus(spark, sf_dir):
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+def _curation_v2_sql(dialect: str) -> str:
+    """Round-2 curation: repetition filter + decontamination + per-lang
+    packing stats on top of the v1 quality/dedup gates."""
+    spark = dialect == "spark"
+    shingles = _spark_shingles() if spark else _duck_shingles()
+    expl = "explode(shingles)" if spark else "unnest(shingles)"
+    if spark:
+        words = "explode(split(lower(text), ' '))"
+        ws_tokens = "size(split(text, ' '))"
+    else:
+        words = "unnest(string_split(lower(text), ' '))"
+        ws_tokens = "len(string_split(text, ' '))"
+    return f"""
+    WITH rep AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_ratio
+      FROM (
+        SELECT doc_id, word, COUNT(*) AS n
+        FROM (SELECT doc_id, {words} AS word FROM documents) w
+        GROUP BY doc_id, word
+      ) wc
+      GROUP BY doc_id
+    ),
+    ex AS (
+      SELECT doc_id, {expl} AS shingle
+      FROM (SELECT doc_id, {shingles} AS shingles FROM documents)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, {ws_tokens} AS tokens
+      FROM documents d
+      JOIN rep r ON d.doc_id = r.doc_id
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_hits
+                 FROM (SELECT c.doc_id FROM ex c
+                       JOIN (SELECT DISTINCT shingle FROM ex
+                             WHERE doc_id < 10) b
+                         ON c.shingle = b.shingle
+                       WHERE c.doc_id >= 10) h
+                 GROUP BY doc_id) cont ON d.doc_id = cont.doc_id
+      WHERE d.doc_id >= 10
+        AND r.top_ratio <= 0.10
+        AND COALESCE(cont.n_hits, 0) < 5
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+           CAST(CEIL(SUM(tokens) / 2048.0) AS BIGINT) AS min_packs_needed
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+sql_query(
+    "pipeline_curation_v2",
+    _curation_v2_sql("spark"),
+    oracle=_curation_v2_sql("duck"),
+    tags=("pipeline", "curation", "repetition", "decontamination"),
+    doc="Round-2 curation composition: repetition gate (top-term ratio "
+    "<= 0.10) + benchmark decontamination (< 5 shared shingles with the "
+    "held-out set) -> per-lang token accounting with a lower bound on "
+    "2048-token packs. One shingle pass feeds both the contamination "
+    "join and (via word counts) the repetition gate.",
+)
