@@ -1940,3 +1940,72 @@ sql_query(
     "(B9): top-2 customers per nation. Catalyst decorrelates it to a "
     "ranked window join — same text runs on both engines.",
 )
+
+
+sql_query(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+           CAST(MIN(o_orderkey) FILTER (WHERE o_custkey % 2 = 0)
+                AS BIGINT) AS min_even_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "filter-clause"),
+    doc="ANSI aggregate FILTER (WHERE ...) clauses (B4) — identical "
+    "syntax in both engines; plans as conditional partial aggregation, "
+    "no extra scan per filtered aggregate.",
+)
+
+
+sql_query(
+    "agg_grouping_function",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    tags=("agg", "grouping-id"),
+    doc="GROUPING()/GROUPING_ID() over ROLLUP (B4): distinguishes 'real "
+    "NULL group' from 'subtotal row' — the standard way to label "
+    "super-aggregate rows.",
+)
+
+
+sql_query(
+    "agg_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS s
+    FROM orders
+    WHERE o_orderkey <= 5000
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("agg", "group-by-all"),
+    doc="GROUP BY ALL / ORDER BY ALL (B4 modern shorthand, DuckDB-"
+    "pioneered, Spark 4 native): groups by every non-aggregate select "
+    "item, orders by the full select list.",
+)
