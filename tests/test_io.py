@@ -97,3 +97,22 @@ def test_mergeschema_reads_drifted_directory(spark, tmp_path):
     rows = {r.k: (r.score, r.gen) for r in df.collect()}
     assert rows[1] == (None, 1)   # old file null-fills the new column
     assert rows[2] == (9.5, 2)
+
+
+def test_recursive_file_lookup(spark, tmp_path):
+    # nested directory trees read as one table (recursiveFileLookup) —
+    # the layout long-lived ingest pipelines accumulate
+    d = str(tmp_path / "nested")
+    spark.createDataFrame([(1,)], "x int").write.parquet(d + "/a/b")
+    spark.createDataFrame([(2,)], "x int").write.parquet(d + "/c")
+    df = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+
+
+def test_path_glob_filter(spark, sf_dir):
+    # glob-scoped reads from a mixed directory
+    df = (
+        spark.read.option("pathGlobFilter", "nation.parquet")
+        .parquet(sf_dir)
+    )
+    assert df.count() == 25
