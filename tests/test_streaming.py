@@ -144,3 +144,32 @@ def test_foreachbatch_dedup_sink_exactly_once(spark, sf_dir, tmp_path):
     from bdt_spark.sources.io import read_file
 
     assert n_ids == read_file(spark, f"{sf_dir}/events.parquet").count()
+
+
+def test_stream_static_dim_join(spark, sf_dir, events_stream):
+    # stream enriched against a static dim (broadcast at micro-batch
+    # planning — the streaming analog of the broadcast dim join)
+    from pyspark.sql import functions as F
+
+    from bdt_spark.sources.io import read_file
+    from bdt_spark.streaming.windows import run_to_memory
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"),
+         ("error", "ops"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    enriched = (
+        events_stream.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {
+        r.category: r.n
+        for r in run_to_memory(spark, enriched, "ss_join", "complete").collect()
+    }
+    batch = read_file(spark, f"{sf_dir}/events.parquet").join(
+        dim, "event_type", "left"
+    ).groupBy("category").agg(F.count("*").alias("n"))
+    want = {r.category: r.n for r in batch.collect()}
+    assert got == want

@@ -128,8 +128,29 @@ def gen_scalar_query(rng: random.Random) -> str:
     )
 
 
+def gen_date_query(rng: random.Random) -> str:
+    """Date-part grouping over o_orderdate (timestamp in the fixture)."""
+    part = rng.choice(["year", "month", "quarter"])
+    lim = rng.randint(2000, 12000)
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS cnt",
+            "CAST(MIN(o_orderkey) AS BIGINT) AS mn",
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS s",
+        ],
+        k=2,
+    )
+    return (
+        f"SELECT CAST(date_part('{part}', o_orderdate) AS BIGINT) AS g, "
+        f"{', '.join(aggs)} FROM orders WHERE o_orderkey <= {lim} "
+        f"GROUP BY 1 ORDER BY g NULLS FIRST"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     r = rng.random()
+    if r < 0.12:
+        return gen_date_query(rng)
     if r < 0.2:
         return gen_join_query(rng)
     if r < 0.35:
