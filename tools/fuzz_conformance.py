@@ -147,17 +147,51 @@ def gen_date_query(rng: random.Random) -> str:
     )
 
 
+def gen_subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS subqueries and scalar-subquery predicates."""
+    lim = rng.randint(300, 3000)
+    form = rng.choice(["in", "not_in", "exists", "scalar"])
+    if form == "in":
+        pred = (
+            f"o_custkey IN (SELECT c_custkey FROM customer "
+            f"WHERE c_mktsegment = 'BUILDING' AND c_custkey <= {lim})"
+        )
+    elif form == "not_in":
+        pred = (
+            f"o_custkey NOT IN (SELECT c_custkey FROM customer "
+            f"WHERE c_acctbal < 0 AND c_custkey <= {lim})"
+        )
+    elif form == "exists":
+        pred = (
+            "EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = "
+            f"o_custkey AND c.c_nationkey % {rng.randint(2, 5)} = 0)"
+        )
+    else:
+        pred = (
+            "o_totalprice > (SELECT CAST(SUM(CAST(c_acctbal AS "
+            "DECIMAL(30,8))) AS DOUBLE) / COUNT(*) FROM customer)"
+        )
+    return (
+        f"SELECT o_orderstatus AS g, COUNT(*) AS cnt, "
+        f"CAST(MIN(o_orderkey) AS BIGINT) AS mn "
+        f"FROM orders WHERE o_orderkey <= {lim * 3} AND {pred} "
+        f"GROUP BY o_orderstatus ORDER BY g NULLS FIRST"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.12:
-        return gen_date_query(rng)
+    if r < 0.1:
+        return gen_subquery_query(rng)
     if r < 0.2:
+        return gen_date_query(rng)
+    if r < 0.32:
         return gen_join_query(rng)
-    if r < 0.35:
+    if r < 0.44:
         return gen_window_query(rng)
-    if r < 0.5:
+    if r < 0.56:
         return gen_setop_query(rng)
-    if r < 0.65:
+    if r < 0.68:
         return gen_scalar_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
