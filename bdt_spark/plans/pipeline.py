@@ -1786,3 +1786,85 @@ sql_query(
     "2048-token packs. One shingle pass feeds both the contamination "
     "join and (via word counts) the repetition gate.",
 )
+
+
+N_PACK_SHARDS = 4
+
+
+def _packing_sharded_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT lang, CAST(doc_id % {N_PACK_SHARDS} AS INT) AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang, doc_id % {N_PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, tokens, rn, 0 AS pack_id, tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.shard, t.doc_id, t.tokens, t.rn,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN t.tokens ELSE p.fill + t.tokens END
+      FROM toks t
+      JOIN packed p ON t.lang = p.lang AND t.shard = p.shard
+                   AND t.rn = p.rn + 1
+    )
+    SELECT lang, shard, CAST(pack_id AS INT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, shard, pack_id
+    ORDER BY lang, shard, pack_id
+    """
+
+
+@query(
+    "tokens_sequence_packing_sharded",
+    oracle=_packing_sharded_oracle_sql(),
+    tags=("tokens", "packing", "sharded", "applyInPandas"),
+    doc=f"The 100 TB packing shape: stream key = (lang, shard) where "
+    f"shard = doc_id % {N_PACK_SHARDS}, so each applyInPandas group is "
+    "worker-sized regardless of corpus size (packing is exact within a "
+    "shard; global optimality is deliberately traded for bounded group "
+    "memory). Same greedy semantics as tokens_sequence_packing, oracled "
+    "per (lang, shard) via the recursive CTE.",
+)
+def tokens_sequence_packing_sharded(spark, sf_dir):
+    import pandas as pd
+
+    t = load_fixture_tables(spark, sf_dir)
+    toks = t["documents"].selectExpr(
+        "lang",
+        f"CAST(doc_id % {N_PACK_SHARDS} AS INT) AS shard",
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS INT) AS tokens",
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fill, pid = [], 0, 0
+        for tk in pdf["tokens"]:
+            if fill > 0 and fill + tk > PACK_BUDGET:
+                pid, fill = pid + 1, int(tk)
+            else:
+                fill += int(tk)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    packed = toks.groupBy("lang", "shard").applyInPandas(
+        pack,
+        "lang string, shard int, doc_id long, tokens int, pack_id int",
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
