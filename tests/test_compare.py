@@ -90,3 +90,11 @@ def test_first_diff_is_row_major(files):
     res = compare_files(None, a, b)
     assert not res.ok
     assert "Row 1" in res.message and "position 1" in res.message
+
+
+def test_hash_mode_epsilon(spark, files):
+    a = files("ha.parquet", {"k": [1, 2], "y": [1.00004, 2.0]})
+    b = files("hb.parquet", {"k": [1, 2], "y": [1.00001, 2.0]})
+    assert compare_files(spark, a, b, epsilon=0.001, method="hash").ok
+    res = compare_files(spark, a, b, epsilon=1e-7, method="hash")
+    assert not res.ok

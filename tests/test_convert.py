@@ -69,3 +69,24 @@ def test_partition_by_single_file_conflict(spark, sf_dir, tmp_path):
         convert(spark, f"{sf_dir}/orders.parquet",
                 str(tmp_path / "x.parquet"),
                 single_file=True, partition_by=["o_orderstatus"])
+
+
+def test_nested_struct_roundtrip(spark, tmp_path):
+    # nested struct/array columns must survive parquet round-trips (the
+    # reference's compare todo!()s on nested; we support them end-to-end)
+    from pyspark.sql import functions as F
+
+    from bdt_spark.operators.compare import compare_files
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "x"}, [1, 2]), (2, {"a": 2, "b": "y"}, [3])],
+        "id int, s struct<a:int,b:string>, arr array<int>",
+    )
+    p1 = str(tmp_path / "n1.parquet")
+    p2 = str(tmp_path / "n2.parquet")
+    df.coalesce(1).orderBy("id").write.parquet(p1)
+    spark.read.parquet(p1).coalesce(1).orderBy("id").write.parquet(p2)
+    got = spark.read.parquet(p2).orderBy("id").collect()
+    assert got[0].s.b == "x" and got[1].arr == [3]
+    # distributed hash compare handles nested columns
+    assert compare_files(spark, p1, p2, method="hash").ok

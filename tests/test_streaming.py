@@ -173,3 +173,23 @@ def test_stream_static_dim_join(spark, sf_dir, events_stream):
     ).groupBy("category").agg(F.count("*").alias("n"))
     want = {r.category: r.n for r in batch.collect()}
     assert got == want
+
+
+def test_foreachbatch_checkpoint_restart_is_noop(spark, sf_dir, tmp_path):
+    # restarting against the same checkpoint with no new source data must
+    # not rewrite or duplicate anything (exactly-once across restarts)
+    from bdt_spark.streaming.windows import (
+        dedup_stream_to_parquet,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = dedup_stream_to_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    q1.awaitTermination(120)
+    n1 = spark.read.option("basePath", out).parquet(out).count()
+
+    q2 = dedup_stream_to_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.option("basePath", out).parquet(out).count()
+    assert n1 == n2  # nothing reprocessed, nothing duplicated
