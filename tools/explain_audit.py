@@ -27,6 +27,14 @@ AUDITED = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "events_tumbling_window",
+    # round-2 operators
+    "events_asof_join",
+    "tokens_sequence_packing_sharded",
+    "text_benchmark_decontamination",
+    "text_topk_terms_per_lang",
+    "dedup_survivors_corpus",
+    "pipeline_curation_v2",
+    "query_recursive_cte",
 ]
 
 
