@@ -77,3 +77,29 @@ def test_minhash_no_duplicate_docs(spark, sf_dir):
     full = fn(spark, sf_dir)
     some = full.filter(F.col("doc_a") < 0)  # provably empty result
     assert some.count() == 0
+
+
+def test_minhash_pairs_no_false_positives(spark):
+    # verification guarantees: every returned pair's exact Jaccard >= T,
+    # pairs are canonical (a < b) and unique. (False NEGATIVES are allowed
+    # by LSH banding; false positives are not.)
+    from bdt_spark.operators.dedup import minhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text with no overlap whatsoever here"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = minhash_pairs(docs, threshold=0.5, n_partitions=4).collect()
+    assert all(r.doc_a < r.doc_b for r in got)
+    assert len({(r.doc_a, r.doc_b) for r in got}) == len(got)
+    assert all(0.5 <= r.jaccard <= 1.0 for r in got)
+    # identical docs 1 and 4 MUST be found (identical signatures share
+    # every band bucket — no false negative possible)
+    assert {(r.doc_a, r.doc_b) for r in got} >= {(1, 4)}
+    pair_14 = [r for r in got if (r.doc_a, r.doc_b) == (1, 4)][0]
+    assert pair_14.jaccard == 1.0
