@@ -2009,3 +2009,42 @@ sql_query(
     "pioneered, Spark 4 native): groups by every non-aggregate select "
     "item, orders by the full select list.",
 )
+
+
+sql_query(
+    "agg_approx_percentile_bound",
+    """
+    WITH exact AS (
+      SELECT percentile(o_totalprice, 0.5) AS p50,
+             percentile(o_totalprice, 0.95) AS p95
+      FROM orders
+    ),
+    approx AS (
+      SELECT approx_percentile(o_totalprice, 0.5) AS a50,
+             approx_percentile(o_totalprice, 0.95) AS a95
+      FROM orders
+    )
+    SELECT ABS(a50 / p50 - 1.0) < 0.05 AS p50_within_5pct,
+           ABS(a95 / p95 - 1.0) < 0.05 AS p95_within_5pct
+    FROM exact, approx
+    """,
+    oracle="""
+    WITH exact AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders
+    ),
+    approx AS (
+      SELECT approx_quantile(o_totalprice, 0.5) AS a50,
+             approx_quantile(o_totalprice, 0.95) AS a95
+      FROM orders
+    )
+    SELECT ABS(a50 / p50 - 1.0) < 0.05 AS p50_within_5pct,
+           ABS(a95 / p95 - 1.0) < 0.05 AS p95_within_5pct
+    FROM exact, approx
+    """,
+    tags=("agg", "approx", "percentile"),
+    doc="approx_percentile oracled by PROPERTY (each engine's sketch "
+    "within 5% of its exact interpolated quantile) — same pattern as the "
+    "HLL bound; raw sketch values differ across engines by design.",
+)

@@ -229,7 +229,8 @@ def gen_query(rng: random.Random) -> str:
     )
     return (
         f"SELECT {gcol} AS g, {', '.join(aggs)} FROM {table} {where} "
-        f"GROUP BY {gcol} {having} ORDER BY g NULLS FIRST"
+        f"GROUP BY {gcol} {having} ORDER BY g "
+        + rng.choice(["NULLS FIRST", "NULLS LAST"])
     )
 
 
