@@ -2048,3 +2048,25 @@ sql_query(
     "within 5% of its exact interpolated quantile) — same pattern as the "
     "HLL bound; raw sketch values differ across engines by design.",
 )
+
+
+sql_query(
+    "query_distribute_sort_by",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    tags=("query-structure", "distribute-by"),
+    doc="Spark's physical-distribution SQL clauses (DISTRIBUTE BY = hash "
+    "repartition, SORT BY = per-partition sort — together CLUSTER BY): "
+    "same multiset as the plain scan, locally ordered within partitions. "
+    "The driver's hash compare is row-order-insensitive, so the plain "
+    "SELECT oracles the content while the clauses exercise the exchange.",
+)
