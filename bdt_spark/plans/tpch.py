@@ -15,7 +15,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from bdt_spark.plans.registry import davg, dsum, isum, sql_query
+from bdt_spark.plans.registry import davg, dsum, get_query, isum, query, sql_query
+from bdt_spark.sources.io import load_fixture_tables
 
 # --- q1: pricing summary report (reference README.md:119-135) ---------------
 sql_query(
@@ -433,3 +434,45 @@ sql_query(
     """,
     tags=("tpch", "correlated-subquery"),
 )
+
+
+# --- q1 DataFrame-API variant: both Spark surfaces for the flagship ---------
+@query(
+    "tpch_q1_dataframe_api",
+    oracle=get_query("tpch_q1_pricing_summary").oracle,
+    tags=("tpch", "agg", "dataframe-api"),
+    doc="TPC-H q1 expressed through the DataFrame API (same logical plan "
+    "Catalyst sees from the SQL form — proves both declaration surfaces "
+    "hit the same decimal-exact semantics; shares q1's oracle).",
+)
+def tpch_q1_dataframe_api(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    t = load_fixture_tables(spark, sf_dir)
+
+    def dec(c):
+        return c.cast("decimal(30,8)")
+
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double")
+            .alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double")
+             / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec(F.col("l_extendedprice"))).cast("double")
+             / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec(F.col("l_discount"))).cast("double")
+             / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -103,3 +103,22 @@ def test_minhash_pairs_no_false_positives(spark):
     assert {(r.doc_a, r.doc_b) for r in got} >= {(1, 4)}
     pair_14 = [r for r in got if (r.doc_a, r.doc_b) == (1, 4)][0]
     assert pair_14.jaccard == 1.0
+
+
+def test_unicode_text_through_text_ops(spark):
+    # non-ASCII content must flow through the text operators without
+    # crashing or corrupting (fixture is ASCII; production corpora aren't)
+    from bdt_spark.operators.dedup import exact_dup_groups, minhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörldناقة 北京 emoji 🙂 test"),
+            (2, "héllo wörld ناقة 北京 emoji 🙂 test"),
+            (3, "héllo wörld ناقة 北京 emoji 🙂 test"),
+        ],
+        "doc_id long, text string",
+    )
+    dups = exact_dup_groups(docs, ["text"], "doc_id").collect()
+    assert len(dups) == 1 and dups[0].n_copies == 2  # docs 2,3 identical
+    pairs = minhash_pairs(docs, threshold=0.5, n_partitions=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(2, 3)}
