@@ -2070,3 +2070,35 @@ sql_query(
     "The driver's hash compare is row-order-insensitive, so the plain "
     "SELECT oracles the content while the clauses exercise the exchange.",
 )
+
+
+sql_query(
+    "scalar_splitpart_makedate",
+    """
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           CAST(make_date(2020 + CAST(o_orderkey % 5 AS INT),
+                          CAST(o_orderkey % 12 AS INT) + 1,
+                          CAST(o_orderkey % 28 AS INT) + 1)
+                AS TIMESTAMP) AS synth_date
+    FROM orders
+    WHERE o_orderkey <= 150
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           CAST(make_date(2020 + CAST(o_orderkey % 5 AS INT),
+                          CAST(o_orderkey % 12 AS INT) + 1,
+                          CAST(o_orderkey % 28 AS INT) + 1)
+                AS TIMESTAMP) AS synth_date
+    FROM orders
+    WHERE o_orderkey <= 150
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "string", "datetime"),
+    doc="split_part + make_date (B8 close-out): same names/semantics in "
+    "both engines; DATE cast to TIMESTAMP for hash parity (cookbook).",
+)
