@@ -1868,3 +1868,107 @@ def tokens_sequence_packing_sharded(spark, sf_dir):
         )
         .orderBy("lang", "shard", "pack_id")
     )
+
+
+def _unigram_logprob_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    words = (
+        "explode(split(lower(text), ' '))"
+        if spark
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {words} AS word FROM documents
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS n FROM w GROUP BY word
+    ),
+    total AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM freq
+    ),
+    scored AS (
+      SELECT w.doc_id,
+             CAST(LN(freq.n / tot) AS DECIMAL(30,12)) AS logp
+      FROM w JOIN freq ON w.word = freq.word CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored
+    WHERE doc_id < 300
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_unigram_logprob_score",
+    _unigram_logprob_sql("spark"),
+    oracle=_unigram_logprob_sql("duck"),
+    tags=("text", "quality", "language-model"),
+    doc="Unigram LM quality score (the classic perplexity-filter stand-"
+    "in): corpus unigram frequencies -> per-doc mean log-probability. "
+    "Low scorers are gibberish/outliers. Per-token log-probs are cast "
+    "to DECIMAL before summing so accumulation order is moot (float "
+    "sums of logs are order-sensitive). One word-freq shuffle + one "
+    "doc shuffle; the freq table broadcasts at probe time.",
+)
+
+
+def _pagerank_sql(dialect: str, n_iters: int = 3) -> str:
+    """Damped PageRank over the near-dup pair graph, iterations unrolled
+    as plain CTEs (identical algebra both engines; messages decimal-cast
+    so neighbor-sum order is moot)."""
+    pair_sql = _minhash_lsh_sql(dialect)
+    blocks = [
+        f"""pairs AS (
+      {pair_sql}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM edges
+    )"""
+    ]
+    for i in range(1, n_iters + 1):
+        blocks.append(f"""m{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.rank / deg.d AS DECIMAL(30,15))) AS DOUBLE)
+               AS msum
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT r0.node, 0.15 + 0.85 * COALESCE(m{i}.msum, 0.0) AS rank
+      FROM r0 LEFT JOIN m{i} ON r0.node = m{i}.node
+    )""")
+    ctes = ",\n    ".join(blocks)
+    return f"""
+    WITH {ctes}
+    SELECT node AS doc_id, ROUND(rank, 6) AS pagerank
+    FROM r{n_iters}
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "graph_pagerank_neardup",
+    _pagerank_sql("spark"),
+    oracle=_pagerank_sql("duck"),
+    tags=("graph", "pagerank", "iterative"),
+    doc="Damped PageRank (3 unrolled iterations) over the MinHash near-"
+    "dup graph — the central-document signal inside duplicate clusters. "
+    "Each iteration is one join + one decimal-summed aggregate on the "
+    "edge list (LSH-bounded, not corpus-sized); unrolling keeps the "
+    "whole thing one declarative plan on both engines.",
+)
