@@ -1,0 +1,74 @@
+"""End-to-end demo of the bdt_spark library API on the sf0.001 fixtures.
+
+Run: python examples/pipeline_demo.py [sf_dir]
+
+Walks the main surfaces a reference (bdt) user would touch after
+switching — query, convert, compare, parquet metadata — plus the
+training-data extensions (dedup, packing, ANN, clustered writes).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from bdt_spark.session import get_spark
+from bdt_spark.sources.io import load_fixture_tables, read_file
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("bdt_spark_demo")
+    tables = load_fixture_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bdt_demo_")
+
+    print("== 1. SQL query (the reference's core loop) ==")
+    spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).show()
+
+    print("== 2. Convert + parquet metadata ==")
+    from bdt_spark.operators.convert import convert
+    from bdt_spark.operators.meta import format_parquet_meta, read_parquet_meta
+
+    convert(spark, f"{sf_dir}/region.parquet", f"{tmp}/region.csv",
+            single_file=True)
+    print(format_parquet_meta(
+        read_parquet_meta(f"{sf_dir}/region.parquet"))[:400], "...\n")
+
+    print("== 3. Compare (distributed hash mode) ==")
+    from bdt_spark.operators.compare import compare_files
+
+    print(compare_files(spark, f"{sf_dir}/nation.parquet",
+                        f"{sf_dir}/nation.parquet", method="hash"))
+
+    print("\n== 4. Near-dup pairs (MinHash LSH) ==")
+    from bdt_spark.operators.dedup import minhash_pairs
+
+    minhash_pairs(tables["documents"]).show(5)
+
+    print("== 5. Persistent ANN index ==")
+    from bdt_spark.operators.ann import build_ivf_index, ivf_probe
+
+    emb = read_file(spark, f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(spark, emb, f"{tmp}/idx", k=5)
+    ivf_probe(spark, f"{tmp}/idx", emb.limit(2), topk=3, nprobe=2).show()
+
+    print("== 6. Range-clustered write (row-group skipping layout) ==")
+    from bdt_spark.operators.layout import write_clustered
+
+    write_clustered(tables["orders"], f"{tmp}/orders_clustered",
+                    ["o_orderdate"], num_partitions=4)
+    print("clustered parquet at", f"{tmp}/orders_clustered")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
