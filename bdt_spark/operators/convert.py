@@ -75,8 +75,13 @@ def convert(
     else:
         writer = writer.option("compression", "zstd" if zstd else "snappy")
         if zstd:
-            # Approximate the reference's PLAIN encoding (convert.rs:30).
+            # Approximate the reference's PLAIN encoding (convert.rs:30)
+            # and its zstd level 8 (convert.rs:27) — the level rides the
+            # hadoop parquet codec conf.
             writer = writer.option("parquet.enable.dictionary", "false")
+            writer = writer.option(
+                "parquet.compression.codec.zstd.level", "8"
+            )
         writer.parquet(target_dir)
 
     if single_file:
