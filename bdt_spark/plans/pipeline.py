@@ -1972,3 +1972,35 @@ sql_query(
     "edge list (LSH-bounded, not corpus-sized); unrolling keeps the "
     "whole thing one declarative plan on both engines.",
 )
+
+
+def _weighted_sample_sql(dialect: str) -> str:
+    if dialect == "spark":
+        hexint = "CAST(CONV(SUBSTR(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        hexint = "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             LN(({hexint} + 1) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, ROUND(es_key, 8) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 25
+    """
+
+
+sql_query(
+    "sample_weighted_deterministic",
+    _weighted_sample_sql("spark"),
+    oracle=_weighted_sample_sql("duck"),
+    tags=("sampling", "weighted", "deterministic"),
+    doc="Deterministic weighted sampling (Efraimidis-Spirakis A-ES): "
+    "u = md5-derived uniform per doc, key = ln(u)/weight, top-k by key "
+    "= a weight-proportional sample that is identical on any cluster, "
+    "any partitioning, any retry — rand()-free. Plans as TopK "
+    "(TakeOrderedAndProject), no full sort.",
+)
