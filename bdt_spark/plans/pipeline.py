@@ -2004,3 +2004,61 @@ sql_query(
     "any partitioning, any retry — rand()-free. Plans as TopK "
     "(TakeOrderedAndProject), no full sort.",
 )
+
+
+sql_query(
+    "events_ordered_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS users_total,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS stage_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS stage_full_funnel,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click
+                     AND t_buy <= t_view + INTERVAL 24 HOUR
+               THEN 1 ELSE 0 END) AS BIGINT) AS funnel_within_24h
+    FROM firsts
+    """,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS users_total,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS stage_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS stage_full_funnel,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click
+                     AND t_buy <= t_view + INTERVAL 24 HOUR
+               THEN 1 ELSE 0 END) AS BIGINT) AS funnel_within_24h
+    FROM firsts
+    """,
+    tags=("events", "funnel", "analytics"),
+    doc="Ordered conversion funnel (view -> click -> purchase, with a "
+    "24h completion bound): conditional MIN pivot per user then staged "
+    "counts — one user_id shuffle, no joins, NULL comparisons fall out "
+    "of the funnel naturally.",
+)
