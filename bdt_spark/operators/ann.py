@@ -48,7 +48,12 @@ def _cos_sim(a: str, b: str) -> str:
         lambda e: f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
         " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
-    return f"{dot} / ({nrm(a)} * {nrm(b)})"
+    # zero-norm guard: an all-zero vector has no defined cosine direction;
+    # yield NULL explicitly (callers filter it) instead of NaN from 0/0
+    return (
+        f"IF(({nrm(a)} * {nrm(b)}) = 0.0, CAST(NULL AS DOUBLE),"
+        f" {dot} / ({nrm(a)} * {nrm(b)}))"
+    )
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -163,6 +168,9 @@ def ivf_probe(
     )
     return (
         cand.withColumn("cos_sim", F.round(sim, 6))
+        # zero-norm vectors (index or query side) have NULL cos_sim: drop
+        # them explicitly rather than let NULL ordering misrank them
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= topk)
         .select("q_id", "vec_id", "cos_sim", "rk")

@@ -28,7 +28,13 @@ Composition:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _c(name: str):
+    """Column reference by literal name — backquoted so dots/hyphens/spaces
+    aren't parsed as nested-field access or operators."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def asof_join(
@@ -49,36 +55,36 @@ def asof_join(
 
     # The right payload travels as ONE struct (non-null only on right-tagged
     # rows): a single last(ignorenulls) then takes the matched right row
-    # atomically, so NULLs inside the payload never mix rows.
-    payload_type = (
-        "struct<"
-        + ",".join(
-            f"{c}:{right.schema[src].dataType.simpleString()}"
+    # atomically, so NULLs inside the payload never mix rows. Built as a
+    # StructType (not a DDL string) so column names needing backquoting
+    # (spaces, hyphens, dots) survive the cast.
+    payload_type = T.StructType(
+        [
+            T.StructField(c, right.schema[src].dataType)
             for c, src in zip(payload_out, payload_src)
-        )
-        + ">"
+        ]
     )
     l_tagged = left.select(
-        F.col(on),
-        F.col(left_ts).alias("__ts"),
+        _c(on),
+        _c(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+        *[_c(c) for c in left.columns if c not in (on, left_ts)],
         F.lit(None).cast(payload_type).alias("__rpay"),
     )
     r_tagged = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
+        _c(on),
+        _c(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, left_ts)],
         F.struct(
-            *[F.col(src).alias(c) for c, src in zip(payload_out, payload_src)]
+            *[_c(src).alias(c) for c, src in zip(payload_out, payload_src)]
         ).alias("__rpay"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(_c(on))
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -86,10 +92,10 @@ def asof_join(
     out_left = [c for c in left.columns if c not in (on, left_ts)]
     return (
         unioned.select(
-            F.col(on),
+            _c(on),
             F.col("__ts").alias(left_ts),
             "__side",
-            *out_left,
+            *[_c(c) for c in out_left],
             *[carried.getField(c).alias(c) for c in payload_out],
         )
         .filter(F.col("__side") == 1)

@@ -46,8 +46,19 @@ def band_keys_expr() -> str:
 
 def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Groups of exact duplicates on `cols`: md5-hash groupBy, survivor =
-    MIN(id). One partial+final agg shuffle."""
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    MIN(id). One partial+final agg shuffle.
+
+    NULL-safe key: each column is length-prefixed after a NULL sentinel
+    substitution, so ('a', NULL) != (NULL, 'a') and ('ab', 'c') != ('a', 'bc')
+    — concat_ws alone would silently drop NULLs and merge those rows."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        enc = F.when(s.isNull(), F.lit("\x00N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+        parts.append(enc)
+    key = F.md5(F.concat_ws("\x1f", *parts))
     return (
         df.groupBy(key.alias("dup_hash"))
         .agg(
@@ -121,6 +132,13 @@ def minhash_pairs(
         .join(sh.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
         .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
     )
-    return pairs.filter(F.col("jaccard") >= threshold).orderBy(
+    out = pairs.filter(F.col("jaccard") >= threshold).orderBy(
         "doc_a", "doc_b"
     )
+    # Release the shingle cache once the result no longer needs it:
+    # localCheckpoint cuts the plan above the cache (eager=True computes it
+    # now), so repeated library/CLI calls in one session don't accumulate
+    # cached blocks until executor storage evicts or OOMs.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -7,7 +7,9 @@ transactional table format the portable pattern is rewrite-and-swap:
 
     result = delta  UNION  (base ANTI JOIN delta ON keys)
 
-written to a staging directory and atomically swapped in. The anti join
+written to a staging directory and swapped in (two renames with a kept
+backup — see merge_upsert for the exact crash-recovery contract; directory
+rename is not a single atomic step). The anti join
 broadcasts when the delta is small (the common case: daily increment
 vs full history); with co-partitioned/bucketed layouts it is
 exchange-free on the base side. At real scale the same merge routes
@@ -34,7 +36,26 @@ def merge_upsert(
 
     Returns the resulting row count. Delta rows replace base rows with
     the same key; new keys are appended.
+
+    Swap contract: the staged result is fully written and counted before
+    the base moves. The swap itself is two renames (base -> `._old`,
+    staged -> base), NOT one atomic step; if the second rename fails the
+    backup is restored, and if the process dies between the renames the
+    previous table survives intact at `<base_path>._old` (recover by
+    renaming it back). The `._old` backup is only deleted after the new
+    table is in place.
+
+    Limitation: this swap uses local-filesystem os.rename/shutil.rmtree,
+    so `base_path` must be a local path — hdfs://, s3://, or other URI
+    schemes are rejected here (on such stores, route the same merge
+    through dynamic partition overwrite or a table format instead).
     """
+    if "://" in base_path and not base_path.startswith("file://"):
+        raise ValueError(
+            "merge_upsert's rewrite-and-swap only supports local filesystem "
+            f"paths; got {base_path!r}. On distributed stores use dynamic "
+            "partition overwrite or a transactional table format."
+        )
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
     base = spark.read.parquet(base_path)
@@ -52,10 +73,15 @@ def merge_upsert(
     staged = base_path.rstrip("/") + "._staged"
     merged.write.mode("overwrite").parquet(staged)
     n = spark.read.parquet(staged).count()
-    # swap: the staged result is complete before the base is replaced
+    # swap: staged result is complete before the base moves; the backup
+    # stays on disk until the new table is confirmed in place
     backup = base_path.rstrip("/") + "._old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(base_path, backup)
-    os.rename(staged, base_path)
+    try:
+        os.rename(staged, base_path)
+    except BaseException:
+        os.rename(backup, base_path)  # restore: base is whole again
+        raise
     shutil.rmtree(backup, ignore_errors=True)
     return n

@@ -84,3 +84,30 @@ def test_build_is_deterministic(spark, sf_dir, index_path, tmp_path):
         .select("vec_id", "cluster_id").collect()
     }
     assert a1 == a2
+
+
+def test_probe_zero_norm_vectors_dropped(spark, tmp_path):
+    """All-zero embeddings (no cosine direction) must be filtered out of
+    probe results, not NaN-misranked (regression: unguarded 0/0)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector in the index
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    path = str(tmp_path / "zidx")
+    build_ivf_index(spark, emb, path, k=2, n_iters=2)
+    out = ivf_probe(
+        spark, path, emb.filter(F.col("vec_id") == 0), topk=3, nprobe=2
+    ).collect()
+    ids = [r.vec_id for r in out]
+    assert 2 not in ids                      # zero vector never ranked
+    assert all(r.cos_sim is not None for r in out)
+    # zero-vector QUERY yields no rows rather than NaN ranks
+    qz = ivf_probe(
+        spark, path, emb.filter(F.col("vec_id") == 2), topk=3, nprobe=2
+    ).collect()
+    assert qz == []

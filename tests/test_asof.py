@@ -61,3 +61,22 @@ def test_asof_null_payload_taken_atomically(spark):
     assert row.ts_r == T(2024, 1, 1, 11)
     assert row.v_r is None  # NOT 100.0 — whole row taken atomically
     assert row.tag_r == "b"
+
+
+def test_asof_right_columns_needing_backquotes(spark):
+    """Right payload columns with spaces/dots/hyphens must survive the
+    struct carry (regression: DDL-string cast broke on such names)."""
+    T = dt.datetime
+    left = _df(
+        spark,
+        [(1, T(2024, 1, 1, 12), "x")],
+        "uid int, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), 7.0, "ok")],
+        "uid int, ts timestamp, v double, t string",
+    ).withColumnRenamed("v", "my value").withColumnRenamed("t", "a.b-c")
+    [row] = asof_join(left, right, on="uid", suffix="_r").collect()
+    assert row["my value_r"] == 7.0
+    assert row["a.b-c_r"] == "ok"
+    assert row["ts_r"] == T(2024, 1, 1, 10)

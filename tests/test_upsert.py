@@ -52,3 +52,31 @@ def test_upsert_idempotent_replay(spark, base):
     n2 = merge_upsert(spark, base, delta, ["k"])  # replay same delta
     assert n2 == 10
     assert spark.read.parquet(base).filter(F.col("k") == 3).count() == 1
+
+
+def test_upsert_rejects_remote_uri(spark, tmp_path):
+    delta = spark.createDataFrame([(1, "x", 1)], "k int, v string, gen int")
+    with pytest.raises(ValueError, match="local filesystem"):
+        merge_upsert(spark, "s3://bucket/tbl", delta, ["k"])
+
+
+def test_upsert_restores_base_if_swap_fails(spark, base, monkeypatch):
+    """If the staged->base rename fails, the original table is restored."""
+    import os as _os
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second rename = staged -> base
+            raise OSError("simulated rename failure")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("bdt_spark.operators.upsert.os.rename", flaky)
+    delta = spark.createDataFrame([(1, "boom", 2)], "k int, v string, gen int")
+    with pytest.raises(OSError, match="simulated"):
+        merge_upsert(spark, base, delta, ["k"])
+    # base is whole and unchanged
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got[1] == "v1" and len(got) == 10
