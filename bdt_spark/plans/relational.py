@@ -346,10 +346,32 @@ sql_query(
 sql_query(
     "agg_approx_count_distinct",
     """
-    SELECT APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts FROM lineitem
+    SELECT l_returnflag,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey, 0.01) AS DOUBLE)
+               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS parts_within_5pct,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey, 0.01) AS DOUBLE)
+               / COUNT(DISTINCT l_orderkey) - 1.0) < 0.05 AS orders_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
-    oracle=None,  # HLL sketches differ across engines (SURVEY §2 B4 note)
+    oracle="""
+    SELECT l_returnflag,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey) AS DOUBLE)
+               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS parts_within_5pct,
+           ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey) AS DOUBLE)
+               / COUNT(DISTINCT l_orderkey) - 1.0) < 0.05 AS orders_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("agg", "approx"),
+    doc="Grouped approx-distinct, property-oracled: raw HLL sketch values "
+    "differ across engines, so per-group the estimate is asserted within 5% "
+    "of the exact count. Spark's rsd is pinned to 0.01 (its default 0.05 "
+    "sketch observedly misses a group by 8.6% at sf0.01) so the boolean is "
+    "deterministic with margin. Exercises the partial-aggregation HLL merge "
+    "path that the global agg_approx_distinct_error_bound query does not.",
 )
 
 sql_query(
