@@ -11,10 +11,15 @@ Two modes:
   differing (row, column, left, right).
 
 - `hash` (the 100 TB mode — an improvement the reference lacks): fully
-  distributed multiset equality via Spark `exceptAll` both ways; no
-  driver materialization, no row-order assumption. Epsilon is honored by
-  rounding floats to ceil(-log10(eps)) digits on both sides (documented
-  approximation of pairwise epsilon, which is undefined without row order).
+  distributed multiset equality in ONE pass — each side aggregates to
+  (md5(row) -> count), the two count maps full-outer join on the hash,
+  and one scalar aggregate yields totals plus per-side unmatched counts.
+  No driver materialization, no row-order assumption, and one hash
+  shuffle per side (the join reuses the aggregation's partitioning)
+  instead of the two full `exceptAll` shuffles it replaced. Epsilon is
+  honored by rounding floats to ceil(-log10(eps)) digits on both sides
+  (documented approximation of pairwise epsilon, which is undefined
+  without row order).
 
 Fixes vs the reference (documented, SURVEY §2 compare notes):
 - Epsilon compares |l - r| < eps; the reference's `(l - r) < eps` is
@@ -153,6 +158,43 @@ def _diff(row: int, col: int, left, right) -> ComparisonResult:
     )
 
 
+def _row_hash(df):
+    """md5 over the row's JSON serialization (null fields kept, so NULL
+    occupies a position; names are already aligned by the caller)."""
+    return F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"ignoreNullFields": "false"},
+        )
+    )
+
+
+def _hash_diff_stats(df1, df2):
+    """Single-row DataFrame with (n1, n2, extra1, extra2): total rows per
+    side and per-side multiset-unmatched row counts.
+
+    Shape: each side aggregates to (md5(row) -> count) — one hash shuffle
+    per side with map-side partial aggregation — then the two count maps
+    full-outer join on the hash (both sides already hash-partitioned on
+    the key, so the join adds no exchange) and reduce to one row. This is
+    the whole compare as ONE Spark action; contrast with exceptAll both
+    directions = two full-width shuffles of both inputs plus separate
+    count jobs.
+    """
+    h1 = df1.groupBy(_row_hash(df1).alias("h")).agg(F.count("*").alias("c1"))
+    h2 = df2.groupBy(_row_hash(df2).alias("h")).agg(F.count("*").alias("c2"))
+    joined = h1.join(h2, "h", "full_outer").select(
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    return joined.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.greatest(F.col("c1") - F.col("c2"), F.lit(0))).alias("extra1"),
+        F.sum(F.greatest(F.col("c2") - F.col("c1"), F.lit(0))).alias("extra2"),
+    )
+
+
 def _compare_hash(
     spark: SparkSession,
     path1: str,
@@ -164,10 +206,15 @@ def _compare_hash(
     df1 = read_file(spark, path1, header=header)
     df2 = read_file(spark, path2, header=header)
 
-    n1, n2 = df1.count(), df2.count()
-    if n1 != n2:
-        return ComparisonResult(False, f"Row counts do not match: {n1} != {n2}")
     if len(df1.columns) != len(df2.columns):
+        # reference reports count mismatch before row-length mismatch
+        # (compare.rs:22-24 then :56-63); only this rare path pays the
+        # extra count jobs
+        n1, n2 = df1.count(), df2.count()
+        if n1 != n2:
+            return ComparisonResult(
+                False, f"Row counts do not match: {n1} != {n2}"
+            )
         return ComparisonResult(
             False,
             f"Rows have different lengths: {len(df1.columns)} != {len(df2.columns)}",
@@ -189,14 +236,16 @@ def _compare_hash(
                 df2 = df.select(rounded)
     df2 = df2.toDF(*df1.columns)
 
-    extra1 = df1.exceptAll(df2).count()
-    if extra1:
+    [row] = _hash_diff_stats(df1, df2).collect()
+    n1, n2 = row.n1 or 0, row.n2 or 0
+    if n1 != n2:
+        return ComparisonResult(False, f"Row counts do not match: {n1} != {n2}")
+    if row.extra1:
         return ComparisonResult(
-            False, f"{extra1} rows in {path1} have no match in {path2}"
+            False, f"{row.extra1} rows in {path1} have no match in {path2}"
         )
-    extra2 = df2.exceptAll(df1).count()
-    if extra2:
+    if row.extra2:
         return ComparisonResult(
-            False, f"{extra2} rows in {path2} have no match in {path1}"
+            False, f"{row.extra2} rows in {path2} have no match in {path1}"
         )
     return ComparisonResult(True, "Files match")

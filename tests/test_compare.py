@@ -98,3 +98,35 @@ def test_hash_mode_epsilon(spark, files):
     assert compare_files(spark, a, b, epsilon=0.001, method="hash").ok
     res = compare_files(spark, a, b, epsilon=1e-7, method="hash")
     assert not res.ok
+
+
+def test_hash_mode_count_mismatch_message(spark, files):
+    a = files("cm_a.parquet", {"x": [1, 2, 3]})
+    b = files("cm_b.parquet", {"x": [1, 2]})
+    res = compare_files(spark, a, b, method="hash")
+    assert not res.ok and "Row counts do not match: 3 != 2" in res.message
+
+
+def test_hash_mode_null_vs_value_differ(spark, files):
+    a = files("nz_a.parquet", {"x": [1, None], "y": ["a", "b"]})
+    b = files("nz_b.parquet", {"x": [1, 2], "y": ["a", "b"]})
+    assert not compare_files(spark, a, b, method="hash").ok
+    c = files("nz_c.parquet", {"x": [None, 1], "y": ["b", "a"]})
+    assert compare_files(spark, a, c, method="hash").ok
+
+
+def test_hash_mode_single_pass_plan(spark, files):
+    """The hash diff must be ONE pass: md5-count aggregation per side +
+    full-outer join on the hash — no ExceptAll, and the join adds no
+    exchange beyond the two per-side aggregation shuffles (+1 single-
+    partition exchange for the final scalar aggregate)."""
+    from bdt_spark.operators.compare import _hash_diff_stats
+
+    a = files("sp_a.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    df = spark.read.parquet(a)
+    plan = _hash_diff_stats(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan
+    n_exchanges = plan.count("Exchange")
+    # 2 per-side hash-aggregate shuffles + 1 SinglePartition for the
+    # final one-row aggregate; a 4th would mean the join re-shuffled
+    assert n_exchanges <= 3, plan
