@@ -38,21 +38,31 @@ def _dist2(vec_col: str, cen_col: str) -> str:
     )
 
 
-def _cos_sim(a: str, b: str) -> str:
+def _norm(e: str) -> str:
+    """Euclidean norm as a sequential fold — projected ONCE per vector row
+    (pre-join), never inline per candidate pair: interpreted higher-order
+    folds are the dominant probe cost when evaluated O(pairs) times."""
+    return (
+        f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _cos_sim_pre(a: str, b: str, a_nrm: str, b_nrm: str) -> str:
+    """Cosine from precomputed norm columns.
+
+    Zero-norm guard: an all-zero vector has no defined cosine direction;
+    yield NULL explicitly (callers filter it) instead of NaN from 0/0.
+    Each norm is tested separately — a product test would underflow to 0.0
+    for two tiny-but-nonzero vectors and silently drop them."""
     dot = (
         f"aggregate(zip_with({a}, {b}, (x, y) ->"
         " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    nrm = (
-        lambda e: f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
-        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    # zero-norm guard: an all-zero vector has no defined cosine direction;
-    # yield NULL explicitly (callers filter it) instead of NaN from 0/0
     return (
-        f"IF(({nrm(a)} * {nrm(b)}) = 0.0, CAST(NULL AS DOUBLE),"
-        f" {dot} / ({nrm(a)} * {nrm(b)}))"
+        f"IF({a_nrm} = 0.0 OR {b_nrm} = 0.0, CAST(NULL AS DOUBLE),"
+        f" {dot} / ({a_nrm} * {b_nrm}))"
     )
 
 
@@ -159,20 +169,25 @@ def ivf_probe(
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "q_vec", "cluster_id")
     )
-    cand = probes.join(assignments, "cluster_id").filter(
-        F.col("vec_id") != F.col("q_id")
+    cand = probes.withColumn("q_nrm", F.expr(_norm("q_vec"))).join(
+        assignments.withColumn("v_nrm", F.expr(_norm("embedding"))),
+        "cluster_id",
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "cos_raw", F.expr(_cos_sim_pre("q_vec", "embedding", "q_nrm", "v_nrm"))
     )
-    sim = F.expr(_cos_sim("q_vec", "embedding"))
     w2 = Window.partitionBy("q_id").orderBy(
-        F.round(sim, 9).desc(), F.col("vec_id").asc()
+        F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
     )
     return (
-        cand.withColumn("cos_sim", F.round(sim, 6))
-        # zero-norm vectors (index or query side) have NULL cos_sim: drop
+        scored
+        # zero-norm vectors (index or query side) have NULL cos_raw: drop
         # them explicitly rather than let NULL ordering misrank them
-        .filter(F.col("cos_sim").isNotNull())
+        .filter(F.col("cos_raw").isNotNull())
         .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= topk)
-        .select("q_id", "vec_id", "cos_sim", "rk")
+        .select(
+            "q_id", "vec_id", F.round("cos_raw", 6).alias("cos_sim"), "rk"
+        )
         .orderBy("q_id", "rk")
     )

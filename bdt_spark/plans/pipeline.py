@@ -345,38 +345,56 @@ sql_query(
 # --- embedding cosine (near-dup + ANN) --------------------------------------
 
 
-def _cos(dialect: str, a: str, b: str) -> str:
-    """Deterministic double-precision cosine with sequential folds."""
+def _dot(dialect: str, a: str, b: str) -> str:
+    """Deterministic double-precision dot product (sequential fold)."""
     if dialect == "spark":
-        dot = (
+        return (
             f"aggregate(zip_with({a}, {b}, (x, y) ->"
             " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        nrm = (
-            lambda e: f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), i ->"
+        f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _norm(dialect: str, e: str) -> str:
+    """Euclidean norm of a vector column (sequential fold).
+
+    The similarity queries project this ONCE per vector row before any
+    pair-building join, so the higher-order fold runs O(n) times instead of
+    O(pairs) — the interpreted-HOF cost was the dominant term in the
+    pre-factored form (cosine inlined per pair evaluated 2 dots + 4 norms
+    per candidate, twice more inside the window ORDER BY)."""
+    if dialect == "spark":
+        return (
+            f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
             " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
         )
-    else:
-        dot = (
-            f"list_reduce(list_transform(range(1, len({a}) + 1), i ->"
-            f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
-            " (x, y) -> x + y)"
-        )
-        nrm = (
-            lambda e: f"SQRT(list_reduce(list_transform({e}, x ->"
-            " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
-        )
-    return f"ROUND({dot} / ({nrm(a)} * {nrm(b)}), 6)"
+    return (
+        f"SQRT(list_reduce(list_transform({e}, x ->"
+        " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:
+    """Cosine from a fresh dot product and two PREcomputed norm columns."""
+    return f"({_dot(dialect, a, b)} / ({a_nrm} * {b_nrm}))"
 
 
 def _cosine_neardup_sql(dialect: str) -> str:
-    cos = _cos(dialect, "a.embedding", "b.embedding")
+    cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
     return f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH v AS (
+      SELECT vec_id, label, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim
+      FROM v a
+      JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cos_sim FROM pairs
     WHERE cos_sim >= 0.9
@@ -396,19 +414,27 @@ sql_query(
 
 
 def _topk_bruteforce_sql(dialect: str) -> str:
-    cos = _cos(dialect, "q.embedding", "c.embedding")
+    cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     return f"""
-    WITH queries AS (
-      SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5
+    WITH v AS (
+      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding, nrm FROM v WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT q.q_id, c.vec_id, {cos} AS cos_raw
+      FROM queries q
+      JOIN v c ON c.vec_id <> q.q_id
     ),
     scored AS (
-      SELECT q.q_id, c.vec_id, {cos} AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.q_id
-                                ORDER BY {cos} DESC, c.vec_id) AS rk
-      FROM queries q
-      JOIN embeddings c ON c.vec_id <> q.q_id
+      SELECT q_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, vec_id) AS rk
+      FROM pairs
     )
-    SELECT q_id, vec_id, cos_sim, rk
+    SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos_sim, rk
     FROM scored WHERE rk <= 10
     ORDER BY q_id, rk
     """
@@ -507,23 +533,29 @@ def _lsh_topk_sql(dialect: str) -> str:
             )
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     bucket = " + ".join(bits)
-    cos = _cos(dialect, "q.embedding", "c.embedding")
+    cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     return f"""
     WITH bucketed AS (
-      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket
+      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket,
+             {_norm(dialect, "embedding")} AS nrm
       FROM embeddings
     ),
     queries AS (
-      SELECT vec_id AS q_id, embedding, bucket FROM bucketed WHERE vec_id < 20
+      SELECT vec_id AS q_id, embedding, bucket, nrm
+      FROM bucketed WHERE vec_id < 20
     ),
-    scored AS (
-      SELECT q.q_id, c.vec_id, {cos} AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.q_id
-                                ORDER BY {cos} DESC, c.vec_id) AS rk
+    pairs AS (
+      SELECT q.q_id, c.vec_id, {cos} AS cos_raw
       FROM queries q
       JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    ),
+    scored AS (
+      SELECT q_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, vec_id) AS rk
+      FROM pairs
     )
-    SELECT q_id, vec_id, cos_sim, rk
+    SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos_sim, rk
     FROM scored WHERE rk <= 5
     ORDER BY q_id, rk
     """
@@ -863,9 +895,13 @@ def _ivf_topk_sql(dialect: str) -> str:
             "             CAST(unnest(embedding) AS DOUBLE) AS qv\n"
             "      FROM embeddings WHERE vec_id < 10"
         )
-    cos = _cos(dialect, "q.embedding", "c.embedding")
+    cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     return f"""
     WITH {_centroids_cte(dialect)},
+    v AS (
+      SELECT vec_id, label, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings
+    ),
     q_exp AS (
       {q_exploded}
     ),
@@ -881,15 +917,19 @@ def _ivf_topk_sql(dialect: str) -> str:
     probe AS (
       SELECT q_id, label FROM assignment WHERE rk = 1
     ),
-    scored AS (
-      SELECT p.q_id, c.vec_id, {cos} AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY p.q_id
-                                ORDER BY {cos} DESC, c.vec_id) AS rk
+    pairs AS (
+      SELECT p.q_id, c.vec_id, {cos} AS cos_raw
       FROM probe p
-      JOIN embeddings q ON q.vec_id = p.q_id
-      JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.q_id
+      JOIN v q ON q.vec_id = p.q_id
+      JOIN v c ON c.label = p.label AND c.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT q_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, vec_id) AS rk
+      FROM pairs
     )
-    SELECT q_id, vec_id, cos_sim, rk FROM scored
+    SELECT q_id, vec_id, ROUND(cos_raw, 6) AS cos_sim, rk FROM scored
     WHERE rk <= 5
     ORDER BY q_id, rk
     """

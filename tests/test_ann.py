@@ -33,17 +33,19 @@ def test_probe_full_nprobe_equals_bruteforce(spark, sf_dir, index_path):
     queries = emb.filter(F.col("vec_id") < 5)
     got = ivf_probe(spark, index_path, queries, topk=5, nprobe=10).collect()
 
-    from bdt_spark.operators.ann import _cos_sim
+    from bdt_spark.operators.ann import _cos_sim_pre, _norm
     from pyspark.sql import Window
 
-    sim = F.expr(_cos_sim("q_vec", "embedding"))
+    sim = F.expr(_cos_sim_pre("q_vec", "embedding", "q_nrm", "v_nrm"))
     w = Window.partitionBy("q_id").orderBy(
         F.round(sim, 9).desc(), F.col("vec_id").asc()
     )
     truth = (
         queries.select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec"))
+        .withColumn("q_nrm", F.expr(_norm("q_vec")))
         .crossJoin(emb.select("vec_id", "embedding"))
+        .withColumn("v_nrm", F.expr(_norm("embedding")))
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
