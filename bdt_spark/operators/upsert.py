@@ -49,8 +49,19 @@ def merge_upsert(
     so `base_path` must be a local path — hdfs://, s3://, or other URI
     schemes are rejected here (on such stores, route the same merge
     through dynamic partition overwrite or a table format instead).
+    `file:` / `file://` URIs are accepted and normalized to their POSIX
+    path so the os-level swap operates on the real directory.
     """
-    if "://" in base_path and not base_path.startswith("file://"):
+    if base_path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        u = urlparse(base_path)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"merge_upsert only supports the local host; got {base_path!r}"
+            )
+        base_path = u.path or "/"
+    elif "://" in base_path:
         raise ValueError(
             "merge_upsert's rewrite-and-swap only supports local filesystem "
             f"paths; got {base_path!r}. On distributed stores use dynamic "

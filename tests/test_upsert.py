@@ -54,6 +54,20 @@ def test_upsert_idempotent_replay(spark, base):
     assert spark.read.parquet(base).filter(F.col("k") == 3).count() == 1
 
 
+def test_upsert_accepts_file_uri(spark, base):
+    """file:// URIs are normalized to POSIX paths for the os-level swap."""
+    delta = spark.createDataFrame(
+        [(5, "v5-uri", 2), (12, "v12", 2)], "k int, v string, gen int"
+    )
+    n = merge_upsert(spark, "file://" + base, delta, ["k"])
+    assert n == 11
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got[5] == "v5-uri" and got[12] == "v12"
+    import os as _os
+
+    assert not _os.path.exists(base + "._staged")  # no leaked staging dir
+
+
 def test_upsert_rejects_remote_uri(spark, tmp_path):
     delta = spark.createDataFrame([(1, "x", 1)], "k int, v string, gen int")
     with pytest.raises(ValueError, match="local filesystem"):
