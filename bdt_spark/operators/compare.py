@@ -160,12 +160,30 @@ def _diff(row: int, col: int, left, right) -> ComparisonResult:
 
 def _row_hash(df):
     """md5 over the row's JSON serialization (null fields kept, so NULL
-    occupies a position; names are already aligned by the caller)."""
+    occupies a position; names are already aligned by the caller).
+
+    Two equality-semantics patches so the JSON hash matches what a set-op
+    comparison would have said:
+    - float/double columns get `+ 0.0`, folding -0.0 into +0.0 (IEEE:
+      -0.0 + 0.0 = +0.0; NaN and NULL pass through) — textually they
+      serialize differently but compare equal.
+    - map columns are replaced by their entry array sorted by key
+      (`array_sort(map_entries(c))`): JSON serialization of a map follows
+      its physical entry order, which is not canonical for equal maps.
+    Both patches apply to TOP-LEVEL columns; floats or maps nested inside
+    structs/arrays keep raw serialization (documented limitation)."""
+    from pyspark.sql.types import DoubleType, FloatType, MapType
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (FloatType, DoubleType)):
+            c = c + F.lit(0.0)
+        elif isinstance(f.dataType, MapType):
+            c = F.array_sort(F.map_entries(c))
+        cols.append(c.alias(f.name))
     return F.md5(
-        F.to_json(
-            F.struct(*[F.col(c) for c in df.columns]),
-            {"ignoreNullFields": "false"},
-        )
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"})
     )
 
 

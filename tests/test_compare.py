@@ -130,3 +130,30 @@ def test_hash_mode_single_pass_plan(spark, files):
     # 2 per-side hash-aggregate shuffles + 1 SinglePartition for the
     # final one-row aggregate; a 4th would mean the join re-shuffled
     assert n_exchanges <= 3, plan
+
+
+def test_hash_mode_negative_zero_equal(spark, files):
+    a = files("z_a.parquet", {"k": [1, 2], "y": [-0.0, 1.5]})
+    b = files("z_b.parquet", {"k": [1, 2], "y": [0.0, 1.5]})
+    assert compare_files(spark, a, b, method="hash").ok
+
+
+def test_hash_mode_map_entry_order_equal(spark, tmp_path):
+    """Equal maps hash equal regardless of physical entry order."""
+    from pyspark.sql import functions as F
+
+    a = str(tmp_path / "m_a.parquet")
+    b = str(tmp_path / "m_b.parquet")
+    spark.range(1).select(
+        F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("m")
+    ).write.parquet(a)
+    spark.range(1).select(
+        F.create_map(F.lit("b"), F.lit(2), F.lit("a"), F.lit(1)).alias("m")
+    ).write.parquet(b)
+    assert compare_files(spark, a, b, method="hash").ok
+    # and genuinely different maps still differ
+    c = str(tmp_path / "m_c.parquet")
+    spark.range(1).select(
+        F.create_map(F.lit("a"), F.lit(9), F.lit("b"), F.lit(2)).alias("m")
+    ).write.parquet(c)
+    assert not compare_files(spark, a, c, method="hash").ok
