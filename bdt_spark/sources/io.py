@@ -168,15 +168,38 @@ def register_table(
     return df
 
 
-def register_dir(spark: SparkSession, directory: str) -> dict[str, DataFrame]:
-    """Register every recognized file in a directory (main.rs:154-166)."""
+def register_dir(
+    spark: SparkSession,
+    directory: str,
+    *,
+    skip_unsupported: bool = False,
+) -> dict[str, DataFrame]:
+    """Register every file in a directory (main.rs:154-166).
+
+    Like the reference, an unsupported extension is an ERROR, not a silent
+    skip — main.rs registers every entry and fails on unknown extensions.
+    Subdirectories and hidden files are ignored (they are not files the
+    reference's loop would register). Pass `skip_unsupported=True` for the
+    lenient mode.
+    """
     out: dict[str, DataFrame] = {}
     for entry in sorted(os.listdir(directory)):
         full = os.path.join(directory, entry)
+        if entry.startswith(".") or entry.startswith("_"):
+            continue  # hidden/metadata entries (e.g. _SUCCESS markers)
         try:
             file_format(full)
         except UnsupportedFormatError:
-            continue
+            # a directory without a data extension (e.g. a nested output
+            # dir) is not a registerable entry either way; only FILES with
+            # unknown extensions are the reference's error case
+            if skip_unsupported or os.path.isdir(full):
+                continue
+            raise UnsupportedFormatError(
+                f"unsupported file in --tables directory: {full!r} "
+                "(pass only recognized extensions: "
+                f"{', '.join(sorted(EXTENSION_FORMATS))})"
+            ) from None
         name = table_name_from_path(full)
         out[name] = register_table(spark, name, full)
     return out

@@ -116,3 +116,18 @@ def test_path_glob_filter(spark, sf_dir):
         .parquet(sf_dir)
     )
     assert df.count() == 25
+
+
+def test_register_dir_errors_on_unsupported(spark, tmp_path):
+    """--tables DIR matches the reference: unknown extensions are an error
+    (main.rs:154-166 registers every entry and fails), not a silent skip."""
+    import pytest
+    from bdt_spark.sources.io import UnsupportedFormatError, register_dir
+
+    spark.range(3).write.parquet(str(tmp_path / "good.parquet"))
+    (tmp_path / "notes.txt").write_text("not a table")
+    with pytest.raises(UnsupportedFormatError, match="notes.txt"):
+        register_dir(spark, str(tmp_path))
+    # lenient mode still available for mixed directories
+    out = register_dir(spark, str(tmp_path), skip_unsupported=True)
+    assert set(out) == {"good"}
