@@ -479,6 +479,31 @@ sql_query(
     ORDER BY o_totalprice, o_orderkey
     """,
     tags=("window", "range-frame"),
+    doc="RANGE-frame conformance demo over a pre-filtered slice. The window "
+    "is deliberately UNpartitioned to pin global RANGE semantics; the "
+    "partitioned companion below is the shape to copy at scale.",
+)
+
+sql_query(
+    "window_range_frame_partitioned",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_within_1k_below,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+             AS DOUBLE) AS sum_within_500
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+    doc="Partitioned RANGE frames — the scale-safe companion to "
+    "window_range_frame: PARTITION BY bounds each frame's sort to one "
+    "key's rows, so WindowExec parallelizes across custkeys instead of "
+    "single-tasking a global sort.",
 )
 
 
