@@ -110,7 +110,7 @@ def build_ivf_index(
             ),
         )
     )
-    for _ in range(n_iters):
+    for i in range(n_iters):
         assigned = _assign(emb, centroids)
         centroids = (
             assigned.select(
@@ -131,6 +131,11 @@ def build_ivf_index(
                 ).alias("centroid")
             )
         )
+        if (i + 1) % 5 == 0 and i + 1 < n_iters:
+            # k rows only, but the lineage doubles per Lloyd iteration:
+            # truncate every 5 so long trainings keep bounded plans and a
+            # straggler retry re-runs one iteration, not the whole chain
+            centroids = centroids.localCheckpoint(eager=True)
     final = _assign(emb, centroids)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     # cluster-local layout: each probe reads only its clusters' row groups

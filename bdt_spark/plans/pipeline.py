@@ -1110,45 +1110,16 @@ def _cc_oracle_sql() -> str:
     "recursive CTE, which Spark lacks.",
 )
 def dedup_connected_components(spark, sf_dir):
-    from pyspark import StorageLevel
+    # loop lives in operators/graph.py (periodic lineage checkpointing,
+    # reusable on any pair list); this query pins it to the oracle
+    from bdt_spark.operators.graph import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select("cluster_id", F.col("node").alias("doc_id"))
+        .orderBy("cluster_id", "doc_id")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels.count()
-    for _ in range(20):  # diameter bound; dup clusters converge in 2-4
-        msgs = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
-    ).orderBy("cluster_id", "doc_id")
 
 
 # ---------------------------------------------------------------------------
