@@ -1,0 +1,168 @@
+"""Avro container-file support: pure-Python spec decoder (sources/avro.py)
+distributed via binaryFile + mapInPandas. The reference reads avro
+natively (utils.rs:62-64, feature flag Cargo.toml:22); this environment
+has no spark-avro jar, so the decoder is implemented from the public Avro
+spec and these tests pin it with writer->reader round-trips."""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from bdt_spark.sources.avro import (
+    AvroError,
+    avro_schema_to_spark,
+    decode_file,
+    spark_schema_to_avro,
+    write_avro,
+)
+from bdt_spark.sources.io import read_file
+
+
+def _write(tmp_path, name, rows, avro_schema, codec="deflate"):
+    p = tmp_path / name
+    p.write_bytes(write_avro(rows, avro_schema, codec=codec))
+    return str(p)
+
+
+BASIC_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+BASIC_ROWS = [
+    {"id": 1, "name": "alpha", "score": 1.5, "ok": True},
+    {"id": 2, "name": None, "score": -2.25, "ok": False},
+    {"id": 3, "name": "γδ", "score": 0.0, "ok": True},
+]
+
+
+def test_decode_roundtrip_both_codecs():
+    for codec in ("null", "deflate"):
+        raw = write_avro(BASIC_ROWS, BASIC_SCHEMA, codec=codec)
+        schema, rows = decode_file(raw)
+        assert schema["name"] == "t"
+        assert rows == BASIC_ROWS
+
+
+def test_spark_reads_avro_file(spark, tmp_path):
+    p = _write(tmp_path, "basic.avro", BASIC_ROWS, BASIC_SCHEMA)
+    df = read_file(spark, p)
+    assert df.columns == ["id", "name", "score", "ok"]
+    got = {r.id: (r.name, r.score, r.ok) for r in df.collect()}
+    assert got == {
+        1: ("alpha", 1.5, True),
+        2: (None, -2.25, False),
+        3: ("γδ", 0.0, True),
+    }
+
+
+def test_spark_reads_avro_directory(spark, tmp_path):
+    _write(tmp_path, "p1.avro", BASIC_ROWS[:2], BASIC_SCHEMA)
+    _write(tmp_path, "p2.avro", BASIC_ROWS[2:], BASIC_SCHEMA)
+    df = read_file(spark, str(tmp_path), fmt="avro")
+    assert df.count() == 3
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_complex_types_roundtrip(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "c",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "x", "type": "double"},
+                        {"name": "y", "type": ["null", "string"]},
+                    ],
+                },
+            },
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "price",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    rows = [
+        {
+            "id": 1,
+            "tags": ["a", "b"],
+            "attrs": {"k1": 10, "k2": -3},
+            "nested": {"x": 1.25, "y": "yes"},
+            "d": datetime.date(2024, 2, 29),
+            "ts": datetime.datetime(2024, 2, 29, 12, 30, 45, 123456),
+            "price": Decimal("12345.67"),
+        },
+        {
+            "id": 2,
+            "tags": [],
+            "attrs": {},
+            "nested": {"x": -0.5, "y": None},
+            "d": datetime.date(1969, 12, 31),
+            "ts": datetime.datetime(1969, 12, 31, 23, 59, 59),
+            "price": Decimal("-0.01"),
+        },
+    ]
+    p = _write(tmp_path, "complex.avro", rows, schema)
+    df = read_file(spark, p)
+    got = {r.id: r for r in df.collect()}
+    assert got[1].tags == ["a", "b"]
+    assert got[1].attrs == {"k1": 10, "k2": -3}
+    assert got[1].nested.x == 1.25 and got[1].nested.y == "yes"
+    assert got[1].d == datetime.date(2024, 2, 29)
+    assert got[1].ts == datetime.datetime(2024, 2, 29, 12, 30, 45, 123456)
+    assert got[1].price == Decimal("12345.67")
+    assert got[2].tags == [] and got[2].attrs == {}
+    assert got[2].nested.y is None
+    assert got[2].d == datetime.date(1969, 12, 31)
+    assert got[2].price == Decimal("-0.01")
+
+
+def test_schema_conversion_matches_spark_read(spark, tmp_path):
+    st = avro_schema_to_spark(BASIC_SCHEMA)
+    p = _write(tmp_path, "s.avro", BASIC_ROWS, BASIC_SCHEMA)
+    assert read_file(spark, p).schema == st
+
+
+def test_spark_schema_to_avro_roundtrip(spark, tmp_path):
+    df = spark.range(3).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS x", "CAST(id AS STRING) AS s"
+    )
+    avs = spark_schema_to_avro(df.schema)
+    rows = [r.asDict() for r in df.collect()]
+    p = _write(tmp_path, "rt.avro", rows, avs)
+    back = read_file(spark, p)
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2]
+    assert [f.name for f in back.schema.fields] == ["id", "x", "s"]
+
+
+def test_bad_magic_and_codec_errors(tmp_path):
+    with pytest.raises(AvroError, match="magic"):
+        decode_file(b"NOPE" + b"\x00" * 32)
+    raw = bytearray(write_avro(BASIC_ROWS, BASIC_SCHEMA, codec="null"))
+    # corrupt the sync marker of the data block
+    raw[-1] ^= 0xFF
+    with pytest.raises(AvroError, match="sync"):
+        decode_file(bytes(raw))

@@ -55,18 +55,29 @@ def test_read_csv_roundtrip(spark, tmp_path):
     assert df2.count() == 3
 
 
-def test_avro_gated_with_clear_error(spark, tmp_path):
-    """Avro needs the spark-avro package (reference: feature-flagged in
-    Cargo.toml). Absent the jar, the read must fail with Spark's standard
-    missing-data-source error, not a silent wrong result."""
-    p = str(tmp_path / "x.avro")
-    open(p, "w").close()
+def test_avro_dispatch_reads_real_file(spark, tmp_path):
+    """.avro dispatch is functional without the spark-avro jar: the pure-
+    Python spec decoder (sources/avro.py) reads container files through
+    binaryFile + mapInPandas. Full coverage lives in tests/test_avro.py."""
+    from bdt_spark.sources.avro import spark_schema_to_avro, write_avro
+
+    df = spark.range(4).selectExpr("id", "CAST(id % 2 = 0 AS BOOLEAN) AS even")
+    rows = [r.asDict() for r in df.collect()]
+    p = tmp_path / "t.avro"
+    p.write_bytes(write_avro(rows, spark_schema_to_avro(df.schema)))
+    back = read_file(spark, str(p))
+    assert back.columns == ["id", "even"]
+    assert back.count() == 4
+
+    # corrupt input still fails loudly, never silently succeeds
     import pytest as _pytest
 
-    from pyspark.errors import AnalysisException
+    from bdt_spark.sources.avro import AvroError
 
-    with _pytest.raises(AnalysisException, match="avro"):
-        read_file(spark, p).count()
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(b"not avro at all")
+    with _pytest.raises(AvroError):
+        read_file(spark, str(bad)).count()
 
 
 def test_arrow_feather_read(spark, tmp_path):
