@@ -4,10 +4,11 @@ Design (matches the batch queries in plans/pipeline.py so streaming and
 batch results can be cross-checked — the Kappa-architecture property):
 
 - `read_events_stream`: file-source stream over the fixture parquet. The
-  fixture stores ts as TIMESTAMP(NANOS); Spark 4 reads it as LongType under
-  `spark.sql.legacy.parquet.nanosAsLong`, so the declared schema carries
-  `ts_ns: long` and we derive a micros-truncated event-time column — the
-  same truncation the batch reader applies (sources/io.py).
+  fixture's ts unit varies by generator version: TIMESTAMP(NANOS) files
+  are read as LongType under `spark.sql.legacy.parquet.nanosAsLong` and
+  truncated to micros — the same shim the batch reader applies
+  (sources/io.py) — while micros files stream as TimestampType directly;
+  the unit is detected from the parquet footer at stream definition.
 - Watermarks bound state: 1 hour of allowed lateness on every windowed
   aggregate, so state for closed windows is dropped — the thing that keeps
   a 100 TB/day stream's state finite.
@@ -35,33 +36,42 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Schema as stored (nanos surfaced as long under nanosAsLong).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_file_schema(ts_is_nanos: bool) -> StructType:
+    # nanos surface as long under nanosAsLong; micros stream natively
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    from bdt_spark.sources.io import _nano_timestamp_columns
+
+    nanos = "ts" in _nano_timestamp_columns(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a directory: stream the fixture dir
     # with a glob pinned to the events file (a real deployment points this
     # at an arriving-files directory or a Kafka source).
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_file_schema(nanos))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    if nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_counts_stream(
