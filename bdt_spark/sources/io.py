@@ -279,10 +279,21 @@ def load_fixture_tables(
     key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
     if not force and _FIXTURES_LOADED.get(key) == sf_dir:
         return {t: spark.table(t) for t in tables if spark.catalog.tableExists(t)}
-    out = {}
-    for t in tables:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            out[t] = register_table(spark, t, path)
+    present = [
+        t for t in tables if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+    # Registration is driver-side metadata work (footer peek + DataFrame
+    # creation + temp-view registration) — ~0.2 s per table serially, all
+    # py4j round-trips. The session is thread-safe for reads, so do the
+    # 10 tables on a small thread pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _reg(t: str):
+        return t, register_table(
+            spark, t, os.path.join(sf_dir, f"{t}.parquet")
+        )
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
+        out = dict(ex.map(_reg, present))
     _FIXTURES_LOADED[key] = sf_dir
     return out
