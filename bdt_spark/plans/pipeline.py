@@ -386,9 +386,16 @@ def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:
 
 def _cosine_neardup_sql(dialect: str) -> str:
     cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    # Spark side: the embeddings fixture is one small file = ONE input
+    # partition, and a 1-partition self-join runs the whole O(pairs/block)
+    # cosine workload in a single task (observed single-task 10-minute
+    # stage at sf1). REPARTITION spreads the pair space across the
+    # cluster; DuckDB plans its own parallelism and takes no hint.
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     return f"""
     WITH v AS (
-      SELECT vec_id, label, embedding, {_norm(dialect, "embedding")} AS nrm
+      SELECT {hint}vec_id, label, embedding,
+             {_norm(dialect, "embedding")} AS nrm
       FROM embeddings
     ),
     pairs AS (
@@ -415,9 +422,12 @@ sql_query(
 
 def _topk_bruteforce_sql(dialect: str) -> str:
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    # REPARTITION: one-file corpus = one partition; without it the whole
+    # query x corpus scoring runs as a single task (see _cosine_neardup_sql)
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     return f"""
     WITH v AS (
-      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
+      SELECT {hint}vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
       FROM embeddings
     ),
     queries AS (
@@ -534,9 +544,11 @@ def _lsh_topk_sql(dialect: str) -> str:
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     bucket = " + ".join(bits)
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    # REPARTITION: see _cosine_neardup_sql — avoids a 1-task bucket join
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     return f"""
     WITH bucketed AS (
-      SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket,
+      SELECT {hint}vec_id, embedding, CAST({bucket} AS INT) AS bucket,
              {_norm(dialect, "embedding")} AS nrm
       FROM embeddings
     ),
@@ -896,10 +908,13 @@ def _ivf_topk_sql(dialect: str) -> str:
             "      FROM embeddings WHERE vec_id < 10"
         )
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    # REPARTITION: see _cosine_neardup_sql — parallelize the probe scoring
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     return f"""
     WITH {_centroids_cte(dialect)},
     v AS (
-      SELECT vec_id, label, embedding, {_norm(dialect, "embedding")} AS nrm
+      SELECT {hint}vec_id, label, embedding,
+             {_norm(dialect, "embedding")} AS nrm
       FROM embeddings
     ),
     q_exp AS (

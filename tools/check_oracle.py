@@ -37,7 +37,15 @@ def canon_value(v):
             return "NaN"
         if v == 0.0:
             v = 0.0  # normalize -0.0
-        return repr(v)
+        # 15 significant digits — double's guaranteed precision. Full repr
+        # (17 digits) distinguishes ADJACENT doubles, which turns engine
+        # conversion quirks into false mismatches: DuckDB's
+        # DECIMAL(30,8)->DOUBLE cast is observably 1 ulp off correctly-
+        # rounded at >= 1e10 magnitudes (e.g. 24836464858.90 ->
+        # ...58.899998 while Java BigDecimal.doubleValue() rounds
+        # correctly). Values that agree to 15 significant digits are the
+        # same number at double precision.
+        return f"{v:.15g}"
     if isinstance(v, bool):
         return str(v)
     return str(v)

@@ -16,6 +16,12 @@ data statistically comparable, not just bigger:
   near-dup and blow the pair count up ~K² — a different workload).
 - embeddings: replica vectors get a tiny deterministic per-replica nudge
   on dim 0 so brute-force rankings don't become all-ties.
+- continuous measures (o_totalprice, acctbals, l_extendedprice,
+  p_retailprice, events.value) get + i*1e-6 per replica: naive
+  replication duplicates every value exactly, which turns argmin/argmax
+  (min_by/max_by) into engine-dependent tie-breaks — real 10× data does
+  not contain ten copies of every measure. The nudge is invisible at
+  display precision but makes the measures unique again.
 
 Usage: python tools/gen_scale.py [src_dir] [dst_dir] [K]
 """
@@ -68,26 +74,29 @@ def gen(src: str, dst: str, k: int) -> None:
     write(
         "customer",
         f"""SELECT c_custkey + i*{c_off} AS c_custkey, c_name, c_nationkey,
-                   c_acctbal, c_mktsegment
+                   c_acctbal + i*0.000001 AS c_acctbal, c_mktsegment
             FROM {rp('customer')} CROSS JOIN reps""",
     )
     write(
         "supplier",
         f"""SELECT s_suppkey + i*{s_off} AS s_suppkey, s_name, s_nationkey,
-                   s_acctbal
+                   s_acctbal + i*0.000001 AS s_acctbal
             FROM {rp('supplier')} CROSS JOIN reps""",
     )
     write(
         "part",
         f"""SELECT p_partkey + i*{p_off} AS p_partkey, p_name, p_brand,
-                   p_type, p_size, p_retailprice
+                   p_type, p_size,
+                   p_retailprice + i*0.000001 AS p_retailprice
             FROM {rp('part')} CROSS JOIN reps""",
     )
     write(
         "orders",
         f"""SELECT o_orderkey + i*{o_off} AS o_orderkey,
                    o_custkey + i*{c_off} AS o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                   o_orderstatus,
+                   o_totalprice + i*0.000001 AS o_totalprice,
+                   o_orderdate, o_orderpriority
             FROM {rp('orders')} CROSS JOIN reps""",
     )
     write(
@@ -95,15 +104,16 @@ def gen(src: str, dst: str, k: int) -> None:
         f"""SELECT l_orderkey + i*{o_off} AS l_orderkey,
                    l_partkey + i*{p_off} AS l_partkey,
                    l_suppkey + i*{s_off} AS l_suppkey,
-                   l_linenumber, l_quantity, l_extendedprice, l_discount,
-                   l_tax, l_returnflag, l_linestatus, l_shipdate
+                   l_linenumber, l_quantity,
+                   l_extendedprice + i*0.000001 AS l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
             FROM {rp('lineitem')} CROSS JOIN reps""",
     )
     write(
         "events",
         f"""SELECT event_id + i*{e_off} AS event_id, ts,
                    user_id + i*{u_off} AS user_id,
-                   event_type, value, props
+                   event_type, value + i*0.000001 AS value, props
             FROM {rp('events')} CROSS JOIN reps""",
     )
     write(
