@@ -90,3 +90,29 @@ def test_nested_struct_roundtrip(spark, tmp_path):
     assert got[0].s.b == "x" and got[1].arr == [3]
     # distributed hash compare handles nested columns
     assert compare_files(spark, p1, p2, method="hash").ok
+
+
+def test_convert_avro_to_parquet(spark, tmp_path):
+    """The reference's avro flow is read-avro -> query/write other formats
+    (utils.rs:62-64; avro OUT is rejected, convert.rs:37-39). Prove the
+    same: an .avro input converts to parquet losslessly."""
+    from bdt_spark.operators.convert import convert
+    from bdt_spark.sources.avro import spark_schema_to_avro, write_avro
+
+    src = spark.range(10).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS x", "CAST(id AS STRING) AS s"
+    )
+    avro_path = tmp_path / "in.avro"
+    avro_path.write_bytes(
+        write_avro(
+            [r.asDict() for r in src.collect()],
+            spark_schema_to_avro(src.schema),
+        )
+    )
+    out = str(tmp_path / "out.parquet")
+    convert(spark, str(avro_path), out)
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert {r.id: (r.x, r.s) for r in back.collect()} == {
+        r.id: (r.x, r.s) for r in src.collect()
+    }
