@@ -1273,6 +1273,76 @@ sql_query(
 )
 
 
+def _lang_temperature_sql(dialect: str) -> str:
+    """Temperature-based language rebalancing (the mC4/XLM-R scheme):
+    sampling weight per lang = count^alpha / sum(count^alpha), alpha<1
+    upweights low-resource languages. Allocation uses largest-remainder
+    rounding so the per-lang quotas sum exactly to the budget; the docs
+    actually taken are the md5-smallest per lang — deterministic on any
+    engine and any partitioning."""
+    alpha = 0.5
+    budget = 1000
+    md5_id = (
+        "md5(CAST(doc_id AS STRING))"
+        if dialect == "spark"
+        else "md5(CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    weights AS (
+      SELECT lang, n_docs,
+             POWER(n_docs, {alpha})
+               / SUM(POWER(n_docs, {alpha})) OVER () AS w
+      FROM counts
+    ),
+    quota AS (
+      SELECT lang, n_docs, w,
+             CAST(FLOOR(w * {budget}) AS BIGINT) AS base_take,
+             ROW_NUMBER() OVER (
+               ORDER BY w * {budget} - FLOOR(w * {budget}) DESC, lang
+             ) AS frac_rank
+      FROM weights
+    ),
+    alloc AS (
+      SELECT lang, n_docs, w,
+             base_take + CASE WHEN frac_rank <=
+               {budget} - (SELECT SUM(base_take) FROM quota)
+               THEN 1 ELSE 0 END AS take_n
+      FROM quota
+    ),
+    ranked AS (
+      SELECT d.lang, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY {md5_id}, d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT a.lang, a.n_docs, ROUND(a.w, 6) AS weight,
+           CAST(a.take_n AS BIGINT) AS take_n,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS taken,
+           MIN(r.doc_id) AS first_doc
+    FROM alloc a
+    JOIN ranked r ON r.lang = a.lang AND r.rk <= a.take_n
+    GROUP BY a.lang, a.n_docs, a.w, a.take_n
+    ORDER BY a.lang
+    """
+
+
+sql_query(
+    "sample_language_temperature",
+    _lang_temperature_sql("spark"),
+    oracle=_lang_temperature_sql("duck"),
+    tags=("sampling", "mixing", "pipeline"),
+    doc="Temperature-resampled language mix (mC4/XLM-R): per-lang weight "
+    "count^0.5 normalized, largest-remainder rounding to hit the budget "
+    "exactly, md5-order deterministic selection within each language. "
+    "Two tiny aggs over lang cardinality + one ranking window per lang — "
+    "the doc scan is one pass; the allocation table is driver-size at any "
+    "corpus scale.",
+)
+
+
 def _topk_terms_sql(dialect: str) -> str:
     spark = dialect == "spark"
     words = (
