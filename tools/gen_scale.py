@@ -16,12 +16,16 @@ data statistically comparable, not just bigger:
   near-dup and blow the pair count up ~K² — a different workload).
 - embeddings: replica vectors get a tiny deterministic per-replica nudge
   on dim 0 so brute-force rankings don't become all-ties.
-- continuous measures (o_totalprice, acctbals, l_extendedprice,
-  p_retailprice, events.value) get + i*1e-6 per replica: naive
-  replication duplicates every value exactly, which turns argmin/argmax
-  (min_by/max_by) into engine-dependent tie-breaks — real 10× data does
-  not contain ten copies of every measure. The nudge is invisible at
-  display precision but makes the measures unique again.
+- o_totalprice gets + i*1e-6 per replica: naive replication duplicates
+  every value exactly, which turns argmin/argmax (min_by/max_by — the
+  fixture queries argmin over o_totalprice) into engine-dependent
+  tie-breaks. The nudge is invisible at display precision but makes the
+  measure unique again. Other measures are copied verbatim: perturbing
+  l_extendedprice was observed to accumulate ~1e-5 engine divergence in
+  6M-row decimal casts of derived products (Spark casts double->decimal
+  via shortest-repr, DuckDB via exact binary — an 8-decimal perturbed
+  operand lands the products off the scale-8 grid where the two
+  conventions disagree row by row).
 
 Usage: python tools/gen_scale.py [src_dir] [dst_dir] [K]
 """
@@ -37,6 +41,11 @@ import duckdb
 def gen(src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # UTC + TIMESTAMPTZ casts below: the driver's fixtures store
+    # timestamps UTC-adjusted (parquet isAdjustedToUTC=true -> Spark
+    # TIMESTAMP); DuckDB's plain TIMESTAMP would come back TIMESTAMP_NTZ
+    # and change function semantics (e.g. unix_micros rejects NTZ).
+    con.execute("SET timezone='UTC'")
     con.execute(f"CREATE VIEW reps AS SELECT unnest(range({k})) AS i")
 
     def write(table: str, sql: str) -> None:
@@ -74,20 +83,20 @@ def gen(src: str, dst: str, k: int) -> None:
     write(
         "customer",
         f"""SELECT c_custkey + i*{c_off} AS c_custkey, c_name, c_nationkey,
-                   c_acctbal + i*0.000001 AS c_acctbal, c_mktsegment
+                   c_acctbal, c_mktsegment
             FROM {rp('customer')} CROSS JOIN reps""",
     )
     write(
         "supplier",
         f"""SELECT s_suppkey + i*{s_off} AS s_suppkey, s_name, s_nationkey,
-                   s_acctbal + i*0.000001 AS s_acctbal
+                   s_acctbal
             FROM {rp('supplier')} CROSS JOIN reps""",
     )
     write(
         "part",
         f"""SELECT p_partkey + i*{p_off} AS p_partkey, p_name, p_brand,
                    p_type, p_size,
-                   p_retailprice + i*0.000001 AS p_retailprice
+                   p_retailprice
             FROM {rp('part')} CROSS JOIN reps""",
     )
     write(
@@ -96,7 +105,8 @@ def gen(src: str, dst: str, k: int) -> None:
                    o_custkey + i*{c_off} AS o_custkey,
                    o_orderstatus,
                    o_totalprice + i*0.000001 AS o_totalprice,
-                   o_orderdate, o_orderpriority
+                   CAST(o_orderdate AS TIMESTAMPTZ) AS o_orderdate,
+                   o_orderpriority
             FROM {rp('orders')} CROSS JOIN reps""",
     )
     write(
@@ -104,16 +114,17 @@ def gen(src: str, dst: str, k: int) -> None:
         f"""SELECT l_orderkey + i*{o_off} AS l_orderkey,
                    l_partkey + i*{p_off} AS l_partkey,
                    l_suppkey + i*{s_off} AS l_suppkey,
-                   l_linenumber, l_quantity,
-                   l_extendedprice + i*0.000001 AS l_extendedprice,
-                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                   l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus,
+                   CAST(l_shipdate AS TIMESTAMPTZ) AS l_shipdate
             FROM {rp('lineitem')} CROSS JOIN reps""",
     )
     write(
         "events",
-        f"""SELECT event_id + i*{e_off} AS event_id, ts,
+        f"""SELECT event_id + i*{e_off} AS event_id,
+                   CAST(ts AS TIMESTAMPTZ) AS ts,
                    user_id + i*{u_off} AS user_id,
-                   event_type, value + i*0.000001 AS value, props
+                   event_type, value, props
             FROM {rp('events')} CROSS JOIN reps""",
     )
     write(
