@@ -206,8 +206,25 @@ def read_file(
         df = reader.format(fmt).load(path)
         for col in nano_cols:
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-        return df
-    return reader.format(fmt).load(path)
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(reader.format(fmt).load(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-zone TIMESTAMP.
+
+    Parquet written without isAdjustedToUTC surfaces as TIMESTAMP_NTZ,
+    which strict-LTZ functions (unix_micros, to_utc_timestamp, ...)
+    reject. The session is pinned to UTC (SURVEY §1.2: naive timestamps
+    mean UTC wall time), so the cast preserves the wall-clock value while
+    restoring the TIMESTAMP type every query expects."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_table(
