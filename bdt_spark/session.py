@@ -36,6 +36,11 @@ _DEFAULTS = {
     # and convert to micros-truncated timestamps in io.read_file (matches
     # DuckDB's nanos->micros truncation; SURVEY §1.2 divergence note).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not the INT96 default: INT96
+    # is deprecated AND carries no column statistics, which silently
+    # disables row-group min/max skipping on every timestamp-clustered
+    # table (caught by tests/test_layout.py).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
