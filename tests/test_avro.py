@@ -166,3 +166,73 @@ def test_bad_magic_and_codec_errors(tmp_path):
     raw[-1] ^= 0xFF
     with pytest.raises(AvroError, match="sync"):
         decode_file(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip fuzzing (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    scalars = st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, width=64),
+        st.text(max_size=40),
+        st.booleans(),
+        st.binary(max_size=40),
+        st.none(),
+    )
+
+    def _schema_for(value):
+        if value is None:
+            return ["null", "long"]
+        if isinstance(value, bool):
+            return ["null", "boolean"]
+        if isinstance(value, int):
+            return ["null", "long"]
+        if isinstance(value, float):
+            return ["null", "double"]
+        if isinstance(value, bytes):
+            return ["null", "bytes"]
+        return ["null", "string"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(scalars, scalars, st.lists(st.text(max_size=8), max_size=4)),
+            max_size=20,
+        ),
+        st.sampled_from(["null", "deflate"]),
+    )
+    def test_fuzz_roundtrip(rows_data, codec):
+        """Any (scalar, scalar, array<string>) rows survive write->decode
+        bit-exactly under both codecs."""
+        # per-column schema must be consistent: derive from first non-null
+        col_a = next((v for v, _, _ in rows_data if v is not None), None)
+        col_b = next((v for _, v, _ in rows_data if v is not None), None)
+        schema = {
+            "type": "record",
+            "name": "fz",
+            "fields": [
+                {"name": "a", "type": _schema_for(col_a)},
+                {"name": "b", "type": _schema_for(col_b)},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+            ],
+        }
+        rows = [
+            {
+                "a": v if type(v) is type(col_a) or v is None else None,
+                "b": w if type(w) is type(col_b) or w is None else None,
+                "tags": t,
+            }
+            for v, w, t in rows_data
+        ]
+        raw = write_avro(rows, schema, codec=codec)
+        _, back = decode_file(raw)
+        assert back == rows

@@ -135,3 +135,21 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
         if "CartesianProduct" in text:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+
+
+def test_similarity_selfjoins_are_repartitioned(spark, sf_dir):
+    """The embedding similarity queries must NOT run their pairwise
+    scoring in one task: the corpus is a single small file (one input
+    partition) and a broadcast self-join inherits it, so the Spark side
+    carries an explicit REPARTITION hint. Regression: a 10-minute
+    single-task stage at sf1."""
+    for name in (
+        "dedup_embedding_cosine",
+        "similarity_topk_bruteforce",
+        "similarity_topk_lsh",
+        "similarity_topk_ivf",
+    ):
+        text = _plan(spark, sf_dir, name)
+        assert "REPARTITION_BY_NUM" in text or "RoundRobinPartitioning" in text, (
+            f"{name}: no repartition of the one-file corpus\n{text[:1500]}"
+        )
