@@ -1112,6 +1112,77 @@ def _cc_oracle_sql() -> str:
     """
 
 
+def _semantic_cc_oracle_sql() -> str:
+    """Same recursive-CTE component oracle over the COSINE pair graph."""
+    pair_sql = _cosine_neardup_sql("duck")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pair_sql}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    reach(node, seen) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.seen FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT MIN(seen) AS cluster_id, node AS vec_id
+    FROM reach
+    GROUP BY node
+    ORDER BY cluster_id, vec_id
+    """
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semantic_cc_oracle_sql(),
+    tags=("dedup", "embedding", "graph", "iterative"),
+    doc="SEMANTIC near-dup clusters: connected components over the "
+    "label-blocked cosine>=0.9 pair graph — the embedding-space "
+    "counterpart of dedup_connected_components, reusing the same "
+    "operators/graph.py loop on a different edge source (the operator "
+    "composes over any pair list). Oracle = DuckDB recursive CTE.",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from bdt_spark.operators.graph import connected_components
+
+    load_fixture_tables(spark, sf_dir)
+    pairs = spark.sql(_cosine_neardup_sql("spark")).select("vec_a", "vec_b")
+    return (
+        connected_components(pairs, "vec_a", "vec_b")
+        .select("cluster_id", F.col("node").alias("vec_id"))
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+sql_query(
+    "sample_global_shuffle",
+    """
+    SELECT doc_id, lang,
+           md5(concat('epoch7#', CAST(doc_id AS STRING))) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+    oracle="""
+    SELECT doc_id, lang,
+           md5('epoch7#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+    tags=("sampling", "shuffle", "pipeline"),
+    doc="Deterministic global training-order shuffle: sort by "
+    "md5(epoch_seed # doc_id). Reproducible on any engine/cluster/retry "
+    "(rand() is not), reshuffled per epoch by changing the seed; at scale "
+    "this is a single range-partitioned sort producing shard files in "
+    "epoch order.",
+)
+
+
 @query(
     "dedup_connected_components",
     oracle=_cc_oracle_sql(),
