@@ -210,6 +210,56 @@ def purchases_after_errors_stream(
     ).select("error_id", "purchase_id", "e_user", "e_ts", "p_ts")
 
 
+def upsert_stream_to_parquet(
+    events: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming keyed writeback: each micro-batch MERGEs into a parquet
+    table via operators/upsert.py — the incremental-pipeline pattern of
+    maintaining a latest-state table from an event stream.
+
+    Per batch: reduce the batch to one row per key (last event wins by
+    ts), then merge_upsert replaces/ inserts those keys in the base
+    table. Replaying a batch after failure re-applies the same keyed
+    rows — idempotent, so the sink stays exactly-once given the
+    checkpoint. At 100 TB the same foreachBatch body routes through
+    dynamic partition overwrite or a transactional table format instead
+    of the rewrite-and-swap."""
+    from pyspark.sql import Window
+
+    from bdt_spark.operators.upsert import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        spark = batch_df.sparkSession
+        import os
+
+        if not os.path.exists(base_path):
+            latest.write.parquet(base_path)
+        else:
+            merge_upsert(spark, base_path, latest, key_cols)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream_to_parquet(
     events: DataFrame,
     out_dir: str,

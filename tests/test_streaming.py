@@ -193,3 +193,42 @@ def test_foreachbatch_checkpoint_restart_is_noop(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.option("basePath", out).parquet(out).count()
     assert n1 == n2  # nothing reprocessed, nothing duplicated
+
+
+def test_streaming_upsert_writeback(spark, sf_dir, tmp_path):
+    """foreachBatch + merge_upsert: the stream maintains a latest-state
+    table; the result equals the batch 'last event per user' query."""
+    from bdt_spark.streaming.windows import upsert_stream_to_parquet
+
+    base = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    q = upsert_stream_to_parquet(stream, base, ckpt, ["user_id"])
+    q.awaitTermination()
+
+    # replay with a fresh checkpoint: the table now EXISTS, so the batch
+    # goes through merge_upsert — and the keyed merge is idempotent
+    q2 = upsert_stream_to_parquet(
+        stream, base, str(tmp_path / "ckpt2"), ["user_id"]
+    )
+    q2.awaitTermination()
+
+    got = {r.user_id: r.event_id for r in spark.read.parquet(base).collect()}
+
+    from pyspark.sql import Window
+
+    batch = _batch_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        r.user_id: r.event_id
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == expected
