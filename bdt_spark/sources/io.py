@@ -106,12 +106,14 @@ def _read_avro(spark: SparkSession, path: str) -> DataFrame:
     scale datasets are written as many ~100-500 MB container files); each
     executor task decodes its file's blocks and emits Arrow batches.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.format("avro").load(path)
         df.schema  # forces source resolution; raises without the jar
         return df
-    except Exception:
-        pass  # fall through to the spec decoder
+    except AnalysisException:
+        pass  # jar absent (FAILED_TO_FIND_DATA_SOURCE) -> spec decoder
 
     import glob as _glob
 
