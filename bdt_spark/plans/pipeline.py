@@ -1705,9 +1705,12 @@ sql_query(
 def _decontam_sql(dialect: str) -> str:
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
-    expl = "explode(shingles)" if spark else "unnest(shingles)"
-    # single shingle+explode pass shared by both sides (computing the
-    # shingle expression per branch measured 3.3x slower at sf0.1)
+    # explode_OUTER, not explode: plain explode implies a size(arr)>0
+    # filter that Catalyst pushes into the scan — re-evaluating the whole
+    # interpreted shingle expression a second time per row (measured 2x
+    # the query cost at sf1). The outer form's empty-array NULL rows
+    # never survive the equi join, so results are identical.
+    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
     return f"""
     WITH ex AS (
       SELECT doc_id, {expl} AS shingle
@@ -1746,7 +1749,10 @@ sql_query(
 def _dup_span_sql(dialect: str) -> str:
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
-    expl = "explode(shingles)" if spark else "unnest(shingles)"
+    # explode_outer: see _decontam_sql — avoids the pushed size(arr)>0
+    # scan filter that re-evaluates the shingle expression per row; the
+    # NULL rows from empty arrays are dropped by the g.s = f.s equi join
+    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
     return f"""
     WITH grams AS (
       SELECT doc_id, {expl} AS s
