@@ -1746,6 +1746,45 @@ sql_query(
 )
 
 
+def _substring_contam_sql(dialect: str) -> str:
+    pos = (
+        "INSTR(c.text, b.snippet) > 0"
+        if dialect == "spark"
+        else "position(b.snippet IN c.text) > 0"
+    )
+    return f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, SUBSTRING(text, 10, 40) AS snippet
+      FROM documents WHERE doc_id < 10 AND LENGTH(text) >= 50
+    ),
+    flagged AS (
+      SELECT c.doc_id, b.bench_id
+      FROM documents c JOIN bench b ON {pos}
+      WHERE c.doc_id >= 10
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_benchmarks_hit,
+           MIN(bench_id) AS first_bench
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_substring_contamination",
+    _substring_contam_sql("spark"),
+    oracle=_substring_contam_sql("duck"),
+    tags=("text", "decontamination", "substring"),
+    doc="Exact-substring contamination (the other standard decontamination "
+    "mode next to n-gram overlap): corpus docs containing a 40-char "
+    "verbatim snippet of any held-out doc. The snippet table is tiny and "
+    "broadcasts; the corpus side is one scan with a contains() predicate "
+    "per snippet — at real benchmark sizes this becomes an Aho-Corasick "
+    "pass inside mapInPandas, same join shape.",
+)
+
+
 def _dup_span_sql(dialect: str) -> str:
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
