@@ -14,11 +14,22 @@ candidate pairs. Nothing is O(n^2) in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 K_HASH = 8          # minhash signature length
 N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS)
 N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
+
+# Per-band-bucket membership cap. A band bucket with n docs emits
+# n*(n-1)/2 candidate pairs, so ONE boilerplate-heavy bucket (a shared
+# license header, an empty-string cluster) turns the candidate join
+# quadratic at corpus scale. Buckets above the cap are dropped entirely —
+# the standard LSH practice: such buckets are dominated by a near-identical
+# template whose members exact-dedup (or a smaller shingle-level dedup)
+# should collapse instead. The default is far above any fixture bucket
+# (sf1 max observed bucket ≈ low hundreds), so the oracled queries are
+# unaffected; scale callers tune it down (~300-1000 is typical).
+HOT_BUCKET_CAP = 5000
 
 
 def shingle_expr(text_col: str = "text") -> str:
@@ -76,12 +87,23 @@ def minhash_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     n_partitions: int = 32,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
     Exact transplant of the oracled `dedup_minhash_lsh` plan (see
     plans/pipeline.py for the DuckDB oracle pinning these semantics),
     parameterized by column names.
+
+    `hot_bucket_cap` bounds candidate-pair blowup: band buckets with more
+    than `hot_bucket_cap` members are dropped before the self-join (see
+    HOT_BUCKET_CAP). The membership count rides a window over the bucket
+    key, which pre-partitions both self-join sides on `bkey` — the join
+    reuses that exchange, so the cap costs no extra shuffle. Pass a
+    `stats` dict to receive {"hot_buckets_dropped": n, "hot_bucket_cap":
+    cap} (computing the count is one extra small job over the bucket
+    aggregate, only run when requested).
     """
     from pyspark import StorageLevel
 
@@ -110,6 +132,21 @@ def minhash_pairs(
         .agg(*lane_exprs)
     )
     buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
+    if hot_bucket_cap:
+        if stats is not None:
+            stats["hot_bucket_cap"] = hot_bucket_cap
+            stats["hot_buckets_dropped"] = (
+                buckets.groupBy("bkey")
+                .count()
+                .filter(F.col("count") > hot_bucket_cap)
+                .count()
+            )
+        bw = Window.partitionBy("bkey")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(bw))
+            .filter(F.col("_bn") <= hot_bucket_cap)
+            .drop("_bn")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -154,9 +154,9 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B4 — aggregation shapes
 # ---------------------------------------------------------------------------
 
-sql_query(
+@query(
     "agg_distinct_counts",
-    """
+    oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
            COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -167,7 +167,41 @@ sql_query(
     ORDER BY l_returnflag
     """,
     tags=("agg", "distinct"),
+    doc=(
+        "Multi-distinct aggregation, scale-safe form. Spark plans N distinct "
+        "aggregates in one SELECT via Expand with an N x row multiplier "
+        "(proven sf1 OOM on an 8 GiB heap, SCALE.md). Instead: one "
+        "column-pruned scan + pre-shuffle-dedup single-distinct sub-agg per "
+        "measure, joined on the (tiny) group key. Plan shape pinned by "
+        "tests/test_plans.py::test_multi_distinct_agg_has_no_expand."
+    ),
 )
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_fixture_tables(spark, sf_dir)["lineitem"]
+
+    def one_distinct(key_col, agg_expr, alias: str) -> DataFrame:
+        # distinct() before groupBy gives partial (map-side) dedup, a single
+        # hash shuffle on (group, key), then the final per-group aggregate —
+        # never an Expand. Each branch scans only its own 2 columns.
+        return (
+            li.select("l_returnflag", key_col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(agg_expr.alias(alias))
+        )
+
+    supp = one_distinct(
+        F.col("l_suppkey"), F.count("l_suppkey"), "distinct_suppliers"
+    )
+    part = one_distinct(F.col("l_partkey"), F.count("l_partkey"), "distinct_parts")
+    qty = one_distinct(
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.sum("q").cast("double"),
+        "sum_distinct_qty",
+    )
+    return supp.join(part, "l_returnflag").join(qty, "l_returnflag").orderBy(
+        "l_returnflag"
+    )
 
 sql_query(
     "agg_minmax_types",

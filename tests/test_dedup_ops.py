@@ -32,6 +32,34 @@ def test_exact_dup_length_prefix_blocks_boundary_collisions(spark):
     assert exact_dup_groups(df, ["x", "y"], "id").count() == 0
 
 
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    """One boilerplate template shared by many docs puts them all in the
+    same band buckets: without a cap the candidate join emits C(n,2) pairs
+    for that bucket alone. With the cap the hot buckets are dropped, the
+    pair count is bounded, and the unrelated small near-dup cluster still
+    comes through."""
+    template = "shared license header boilerplate text repeated across corpus"
+    rows = [(i, template) for i in range(40)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    stats: dict = {}
+    capped = minhash_pairs(docs, threshold=0.3, hot_bucket_cap=10, stats=stats)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 40-doc template cluster (C(40,2)=780 pairs) is gone; the small
+    # cluster survives; every bucket respects the cap: <= C(10,2) per bucket
+    assert (100, 101) in got
+    assert not any(a < 100 for a, _ in got)
+    assert stats["hot_buckets_dropped"] >= 1
+
+    # default cap is far above fixture bucket sizes -> inactive
+    uncapped = minhash_pairs(docs, threshold=0.3)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+
+
 def test_minhash_pairs_releases_shingle_cache(spark):
     docs = spark.createDataFrame(
         [

@@ -137,6 +137,16 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_multi_distinct_agg_has_no_expand(spark, sf_dir):
+    # multi-distinct via Spark's native planner expands every row 3x
+    # (Expand node) — proven OOM at sf1 on an 8 GiB heap. The rewritten
+    # query joins single-distinct sub-aggs; no Expand may ever appear.
+    text = _plan(spark, sf_dir, "agg_distinct_counts", mode="simple")
+    assert "Expand" not in text
+    # each branch: partial-dedup HashAggregate pairs, no row multiplication
+    assert "HashAggregate" in text
+
+
 def test_similarity_selfjoins_are_repartitioned(spark, sf_dir):
     """The embedding similarity queries must NOT run their pairwise
     scoring in one task: the corpus is a single small file (one input
