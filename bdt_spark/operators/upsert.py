@@ -60,12 +60,17 @@ def merge_upsert(
             raise ValueError(
                 f"merge_upsert only supports the local host; got {base_path!r}"
             )
-        base_path = u.path or "/"
+        if not u.path:
+            # 'file://' / 'file://localhost' would otherwise default to '/'
+            # and fail later with a baffling read error at filesystem root
+            raise ValueError(f"malformed file URI (empty path): {base_path!r}")
+        base_path = u.path
     elif "://" in base_path:
         raise ValueError(
             "merge_upsert's rewrite-and-swap only supports local filesystem "
-            f"paths; got {base_path!r}. On distributed stores use dynamic "
-            "partition overwrite or a transactional table format."
+            f"paths; got {base_path!r}. On distributed stores use "
+            "operators/versioned.py (manifest-commit protocol) or dynamic "
+            "partition overwrite."
         )
     if not key_cols:
         raise ValueError("key_cols must name at least one column")

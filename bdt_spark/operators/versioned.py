@@ -1,0 +1,220 @@
+"""Versioned parquet table with a manifest-commit protocol — the
+object-store-safe upsert path.
+
+`operators/upsert.py.merge_upsert` swaps directories with os.rename, which
+only exists on a local filesystem. At the 100 TB design point the table
+lives on an object store (S3/GCS-style), where there is no atomic rename —
+but a single-object PUT *is* atomic, and listing is strongly consistent.
+This module commits through that primitive only:
+
+    root/
+      _manifests/v00000042.json       <- one small object per committed version
+      data/v00000042-<token>/...parquet  <- immutable data dir per ATTEMPT
+
+Commit protocol (write-new-objects only — no rename, no delete, no
+overwrite):
+  1. write the merged result to a NEW attempt-unique data dir
+     `data/v{N+1}-{token}` (racing writers never collide on data objects);
+  2. PUT the manifest object `_manifests/v{N+1}.json` — naming the data dir
+     that carries this version — with create(overwrite=False).
+The table "is" the highest-numbered manifest. A reader resolves the
+current version with one listing + one small manifest read and scans an
+immutable directory, so a concurrent commit can never show it a
+partially-written table, and an in-flight reader of version N keeps a
+consistent view while N+1 commits. A crash before step 2 leaves an
+orphaned data dir invisible to readers (reclaimed by `vacuum_versions`).
+The exclusive manifest create is the single commit point: on HDFS/local it
+is create-exclusive; on object stores it maps to a conditional PUT
+(If-None-Match), which S3 and GCS both support — two racing writers
+produce one winner and one ConcurrentCommitError, never interleaved state.
+The loser re-reads the new current version and recomputes its merge.
+
+All filesystem access goes through the Hadoop FileSystem API of the active
+session, so the same code path serves file:/, hdfs:/, and s3a:/ URIs.
+
+The reference has no DML surface at all (its tables are read-only
+registrations, reference src/utils.rs); this module exists for the
+incremental-pipeline writeback the brief's 100 TB scenario needs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first. Re-read and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def table_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed versions (ascending). One listing of the manifest dir."""
+    fs = _fs(spark, root)
+    mdir = _jpath(spark, f"{root}/_manifests")
+    if not fs.exists(mdir):
+        return []
+    versions = []
+    for st in fs.listStatus(mdir):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m:
+            versions.append(int(m.group(1)))
+    return sorted(versions)
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    v = table_versions(spark, root)
+    return v[-1] if v else None
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    fs = _fs(spark, root)
+    path = _jpath(spark, f"{root}/_manifests/v{version:08d}.json")
+    stream = fs.open(path)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Scan one immutable version (default: current)."""
+    if version is None:
+        version = current_version(spark, root)
+        if version is None:
+            raise ValueError(f"no committed version under {root!r}")
+    meta = read_manifest(spark, root, version)
+    return spark.read.parquet(f"{root}/{meta['data_dir']}")
+
+
+def _commit_manifest(
+    spark: SparkSession, root: str, version: int, meta: dict
+) -> None:
+    """The atomic commit point: exclusive create of the manifest object."""
+    fs = _fs(spark, root)
+    fs.mkdirs(_jpath(spark, f"{root}/_manifests"))
+    target = _jpath(spark, f"{root}/_manifests/v{version:08d}.json")
+    try:
+        out = fs.create(target, False)  # overwrite=False -> exclusive
+    except Exception as e:  # Py4JJavaError(FileAlreadyExists) or precheck
+        raise ConcurrentCommitError(
+            f"version {version} already committed under {root!r}"
+        ) from e
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def write_versioned(
+    spark: SparkSession, root: str, df: DataFrame, version: int | None = None
+) -> int:
+    """Commit `df` as the next full version (initial load or replace).
+    Returns the committed version number.
+
+    `version` pins the target a writer resolved BEFORE computing its merge
+    (optimistic concurrency): if a rival committed that version in the
+    meantime, the manifest PUT loses and ConcurrentCommitError is raised —
+    the caller re-reads the new current version and retries its merge
+    against it. Default: resolve the next version at write time."""
+    if version is None:
+        version = (current_version(spark, root) or 0) + 1
+    rel = f"data/v{version:08d}-{uuid.uuid4().hex[:12]}"
+    df.write.mode("errorifexists").parquet(f"{root}/{rel}")
+    n = spark.read.parquet(f"{root}/{rel}").count()
+    try:
+        _commit_manifest(spark, root, version, {"rows": n, "data_dir": rel})
+    except ConcurrentCommitError:
+        # loser's attempt dir is orphaned and invisible to readers;
+        # best-effort reclaim now, vacuum_versions handles the crash case
+        _fs(spark, root).delete(_jpath(spark, f"{root}/{rel}"), True)
+        raise
+    return version
+
+
+def merge_upsert_versioned(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    broadcast_delta: bool = True,
+) -> int:
+    """Upsert `delta` into the versioned table by `key_cols`; commit as a
+    new version. Returns the committed version number.
+
+    Same merge as merge_upsert (delta ANTI-joined against base, small delta
+    broadcast), but the result lands in a fresh immutable data dir and
+    becomes visible only at the manifest PUT — safe on object stores and
+    under concurrent readers. The target version is pinned to base+1, so a
+    rival landing in between surfaces as ConcurrentCommitError instead of
+    silently overwriting its merge."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    base_version = current_version(spark, root)
+    if base_version is None:
+        raise ValueError(f"no committed version under {root!r}")
+    base = read_versioned(spark, root, base_version)
+    if set(base.columns) != set(delta.columns):
+        raise ValueError(
+            f"schema mismatch: base {sorted(base.columns)} "
+            f"vs delta {sorted(delta.columns)}"
+        )
+    keys = delta.select(*key_cols).distinct()
+    if broadcast_delta:
+        keys = F.broadcast(keys)
+    merged = base.join(keys, key_cols, "left_anti").unionByName(delta)
+    return write_versioned(spark, root, merged, version=base_version + 1)
+
+
+def vacuum_versions(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[int]:
+    """Delete data dirs (and manifests) of all but the newest `keep_last`
+    versions, plus orphaned attempt dirs no manifest references (crashed
+    or lost-race commits). Returns removed versions (orphans as their
+    version number). Run only when no reader can still hold a handle older
+    than the retained window."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs = _fs(spark, root)
+    versions = table_versions(spark, root)
+    keep = set(versions[-keep_last:])
+    referenced = {
+        read_manifest(spark, root, v)["data_dir"].split("/", 1)[1]
+        for v in keep
+    }
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        meta = read_manifest(spark, root, v)
+        fs.delete(_jpath(spark, f"{root}/{meta['data_dir']}"), True)
+        fs.delete(_jpath(spark, f"{root}/_manifests/v{v:08d}.json"), False)
+        removed.append(v)
+    ddir = _jpath(spark, f"{root}/data")
+    if fs.exists(ddir):
+        for st in fs.listStatus(ddir):
+            name = st.getPath().getName()
+            m = re.match(r"^v(\d{8})-", name)
+            if m and name not in referenced and int(m.group(1)) not in keep:
+                fs.delete(st.getPath(), True)  # orphan: commit never landed
+                removed.append(int(m.group(1)))
+    return sorted(removed)

@@ -1,0 +1,124 @@
+"""Versioned table manifest-commit protocol (operators/versioned.py):
+upsert through immutable data dirs, atomic manifest PUT, concurrent
+readers, racing writers, vacuum."""
+
+import pytest
+
+from bdt_spark.operators.versioned import (
+    ConcurrentCommitError,
+    current_version,
+    merge_upsert_versioned,
+    read_versioned,
+    table_versions,
+    vacuum_versions,
+    write_versioned,
+)
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    r = str(tmp_path / "vtbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(1, 11)], "k int, v string, gen int"
+    )
+    assert write_versioned(spark, r, df) == 1
+    return r
+
+
+def test_versioned_upsert_updates_and_inserts(spark, root):
+    delta = spark.createDataFrame(
+        [(5, "v5-new", 2), (11, "v11", 2)], "k int, v string, gen int"
+    )
+    assert merge_upsert_versioned(spark, root, delta, ["k"]) == 2
+    got = {r.k: (r.v, r.gen) for r in read_versioned(spark, root).collect()}
+    assert len(got) == 11
+    assert got[5] == ("v5-new", 2)
+    assert got[11] == ("v11", 2)
+    assert got[4] == ("v4", 1)
+
+
+def test_versioned_concurrent_reader_sees_consistent_version(spark, root):
+    """A reader holding version N keeps a fully consistent view while N+1
+    commits — the property the os.rename swap cannot give: the old data
+    dir is immutable and still on disk."""
+    old = read_versioned(spark, root)  # resolves to v1, lazily
+    delta = spark.createDataFrame([(5, "v5-new", 2)], "k int, v string, gen int")
+    merge_upsert_versioned(spark, root, delta, ["k"])
+    # collect AFTER the commit: the v1 scan is untouched by v2
+    got = {r.k: r.v for r in old.collect()}
+    assert got[5] == "v5" and len(got) == 10
+    # a fresh resolution sees v2
+    assert read_versioned(spark, root).filter("k = 5").first().v == "v5-new"
+
+
+def test_versioned_racing_writer_loses_cleanly(spark, root):
+    """Two writers computing the same next version: exactly one manifest
+    PUT wins; the loser raises and leaves no visible state change."""
+    from bdt_spark.operators import versioned as V
+
+    # simulate the race: the rival's attempt dir + manifest for v2 land first
+    rival = spark.createDataFrame([(99, "rival", 9)], "k int, v string, gen int")
+    rival.write.parquet(f"{root}/data/v00000002-rival0000dead")
+    V._commit_manifest(
+        spark, root, 2, {"rows": 1, "data_dir": "data/v00000002-rival0000dead"}
+    )
+
+    delta = spark.createDataFrame([(5, "mine", 2)], "k int, v string, gen int")
+    with pytest.raises(ConcurrentCommitError):
+        # loser resolved next=2 BEFORE the rival landed, computed its merge
+        # against v1, and now tries to commit v2 as well
+        df = read_versioned(spark, root, version=1)
+        merged = df.filter("k != 5").unionByName(delta)
+        V.write_versioned(spark, root, merged, version=2)
+    # table state is the rival's commit, untouched by the loser; the
+    # loser's attempt dir was reclaimed
+    assert current_version(spark, root) == 2
+    assert read_versioned(spark, root).first().v == "rival"
+    import os
+
+    attempts = [
+        d for d in os.listdir(f"{root}/data") if d.startswith("v00000002")
+    ]
+    assert attempts == ["v00000002-rival0000dead"]
+
+
+def test_versioned_vacuum_removes_old_and_orphans(spark, root):
+    for gen in (2, 3, 4):
+        delta = spark.createDataFrame(
+            [(1, f"g{gen}", gen)], "k int, v string, gen int"
+        )
+        merge_upsert_versioned(spark, root, delta, ["k"])
+    # orphan: attempt dir without a manifest (crash between step 1 and 2)
+    spark.createDataFrame([(0, "orphan", 0)], "k int, v string, gen int").write.parquet(
+        f"{root}/data/v00000099-deadbeef0000"
+    )
+    removed = vacuum_versions(spark, root, keep_last=2)
+    assert removed == [1, 2, 99]
+    assert table_versions(spark, root) == [3, 4]
+    # survivors still readable, newest state intact
+    assert read_versioned(spark, root).filter("k = 1").first().v == "g4"
+    assert read_versioned(spark, root, version=3).count() == 10
+
+
+def test_versioned_rejects_schema_drift(spark, root):
+    bad = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert_versioned(spark, root, bad, ["k"])
+
+
+def test_versioned_file_uri_roundtrip(spark, tmp_path):
+    """Hadoop-FS path handling: the same code path serves URI schemes."""
+    root = "file://" + str(tmp_path / "uri_tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert write_versioned(spark, root, df) == 1
+    delta = spark.createDataFrame([(2, "b")], "k int, v string")
+    assert merge_upsert_versioned(spark, root, delta, ["k"]) == 2
+    assert read_versioned(spark, root).count() == 2
+
+
+def test_upsert_rejects_empty_file_uri(spark):
+    from bdt_spark.operators.upsert import merge_upsert
+
+    delta = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="malformed file URI"):
+        merge_upsert(spark, "file://", delta, ["k"])
