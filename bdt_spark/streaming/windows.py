@@ -222,12 +222,18 @@ def upsert_stream_to_parquet(
     maintaining a latest-state table from an event stream.
 
     Per batch: reduce the batch to one row per key (last event wins by
-    ts), then merge_upsert replaces/ inserts those keys in the base
-    table. Replaying a batch after failure re-applies the same keyed
-    rows — idempotent, so the sink stays exactly-once given the
-    checkpoint. At 100 TB the same foreachBatch body routes through
-    dynamic partition overwrite or a transactional table format instead
-    of the rewrite-and-swap."""
+    ts), then resolve against the CURRENT stored row for each touched
+    key — the stored rows for the batch's keys are unioned in and the
+    ts-desc row_number reduction re-applied — before merge_upsert
+    replaces/inserts those keys. Without that second reduction, 'last
+    event wins' would only hold WITHIN a micro-batch: an out-of-order
+    event arriving in a later batch would regress its key to an older
+    ts. Replaying a batch after failure re-applies the same keyed rows —
+    idempotent, so the sink stays exactly-once given the checkpoint. At
+    100 TB the same foreachBatch body routes through the versioned
+    manifest-commit table (operators/versioned.py) or dynamic partition
+    overwrite instead of the rewrite-and-swap; the touched-keys read
+    stays a broadcast semi-join against the (small) batch key set."""
     from pyspark.sql import Window
 
     from bdt_spark.operators.upsert import merge_upsert
@@ -238,18 +244,31 @@ def upsert_stream_to_parquet(
         w = Window.partitionBy(*key_cols).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+
+        def latest_per_key(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        latest = latest_per_key(batch_df)
         spark = batch_df.sparkSession
         import os
 
         if not os.path.exists(base_path):
             latest.write.parquet(base_path)
         else:
-            merge_upsert(spark, base_path, latest, key_cols)
+            # cross-batch out-of-order guard: the stored row for each
+            # touched key competes in the same ts-desc reduction, so an
+            # older event in a later batch cannot overwrite newer state
+            stored = spark.read.parquet(base_path).join(
+                F.broadcast(latest.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            resolved = latest_per_key(stored.unionByName(latest))
+            merge_upsert(spark, base_path, resolved, key_cols)
 
     return (
         events.withWatermark("ts", watermark)

@@ -232,3 +232,61 @@ def test_streaming_upsert_writeback(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_upsert_cross_batch_out_of_order(spark, tmp_path):
+    """An out-of-order event arriving in a LATER micro-batch must not
+    regress its key to older state (regression: merge_upsert replaced
+    keys unconditionally, so 'last by ts' only held within one batch)."""
+    from bdt_spark.streaming.windows import upsert_stream_to_parquet
+
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = str(tmp_path / "state")
+    schema = "event_id string, ts timestamp, user_id string, value double"
+
+    def write_file(name, rows):
+        # plain single parquet FILES: the file stream source lists files,
+        # not Spark-written output directories
+        tbl = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": [r[2] for r in rows],
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    def run(ckpt_name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = upsert_stream_to_parquet(
+            stream, base, str(tmp_path / ckpt_name), ["user_id"]
+        )
+        q.awaitTermination(120)
+
+    write_file(
+        "f1.parquet",
+        [("e2", "2026-01-02 10:00:00", "u1", 2.0),
+         ("e3", "2026-01-02 11:00:00", "u2", 3.0)],
+    )
+    run("ckpt")
+
+    # later batch delivers an OLDER event for u1 and a newer one for u2
+    write_file(
+        "f2.parquet",
+        [("e1", "2026-01-01 09:00:00", "u1", 1.0),
+         ("e4", "2026-01-03 09:00:00", "u2", 4.0)],
+    )
+    run("ckpt")  # same checkpoint: only f2 is a new batch
+
+    got = {r.user_id: r.event_id for r in spark.read.parquet(base).collect()}
+    assert got == {"u1": "e2", "u2": "e4"}
