@@ -300,6 +300,122 @@ def decode_file(raw: bytes) -> tuple[dict, list[dict]]:
     return schema, rows
 
 
+class _StreamReader:
+    """_Reader interface over a seekable binary file object (used by the
+    range decoder so a task never materializes more than its own blocks)."""
+
+    __slots__ = ("f",)
+
+    def __init__(self, f):
+        self.f = f
+
+    def read(self, n: int) -> bytes:
+        b = self.f.read(n)
+        if len(b) != n:
+            raise AvroError("truncated avro data")
+        return b
+
+    def read_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            c = self.f.read(1)
+            if not c:
+                raise AvroError("truncated varint")
+            b = c[0]
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def read_header_from(f):
+    """read_header against a file object, fetching only as much of the
+    file head as the header actually needs (metadata maps are small, but
+    unbounded by spec — grow geometrically until the parse completes)."""
+    size = 1 << 14
+    while True:
+        f.seek(0)
+        buf = f.read(size)
+        try:
+            return read_header(buf)
+        except AvroError:
+            if len(buf) < size:  # hit EOF: genuinely corrupt/truncated
+                raise
+            size *= 4
+
+
+def _first_block_at_or_after(f, target: int, sync: bytes, body_pos: int):
+    """Absolute offset of the first block whose start is >= target, found
+    by scanning for the preceding 16-byte sync marker (blocks start
+    immediately after a sync; the header's trailing sync marks the first).
+    Returns None if no further block exists. Same convention as Hadoop's
+    Avro input split: the marker is 16 random bytes, so a false positive
+    inside block data is vanishingly unlikely (and detected downstream by
+    the trailing-sync check)."""
+    if body_pos >= target:
+        return body_pos
+    data_start = target - 16  # a marker ENDING exactly at target qualifies
+    f.seek(data_start)
+    data = b""
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return None
+        prev_tail = data[-15:] if data else b""
+        tail_start = data_start + len(data) - len(prev_tail)
+        data = prev_tail + chunk
+        data_start = tail_start
+        idx = data.find(sync)
+        if idx != -1:
+            return data_start + idx + 16
+
+
+def decode_range(path: str, start: int, end: int, expected_schema=None):
+    """Decode the blocks of an avro container file whose START offset lies
+    in [start, end) — the input-split contract that lets one large file
+    fan out to many tasks: adjacent ranges never skip or double-read a
+    block, because each block belongs to exactly the range containing its
+    first byte.
+
+    Returns (schema_json, rows). `expected_schema` (parsed JSON) guards
+    multi-file reads: a file whose embedded writer schema differs raises
+    AvroError instead of silently reshaping rows."""
+    with open(path, "rb") as f:
+        schema, codec, sync, body_pos = read_header_from(f)
+        if expected_schema is not None and schema != expected_schema:
+            raise AvroError(
+                f"avro schema mismatch in {path!r}: file schema differs "
+                "from the first file's schema (schema evolution across a "
+                "directory is not resolved; convert files to one schema)"
+            )
+        if not (isinstance(schema, dict) and schema.get("type") == "record"):
+            raise AvroError("top-level avro schema must be a record")
+        dec = _make_decoder(schema)
+        pos = _first_block_at_or_after(f, max(start, body_pos), sync, body_pos)
+        rows: list[dict] = []
+        if pos is None or pos >= end:
+            return schema, rows
+        f.seek(0, 2)
+        file_size = f.tell()
+        f.seek(pos)
+        sr = _StreamReader(f)
+        while pos < end and pos < file_size:
+            count = sr.read_long()
+            size = sr.read_long()
+            block = sr.read(size)
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            br = _Reader(block)
+            for _ in range(count):
+                rows.append(dec(br))
+            if sr.read(16) != sync:
+                raise AvroError("sync marker mismatch (corrupt block)")
+            pos = f.tell()
+        return schema, rows
+
+
 def avro_schema_to_spark(schema):
     """Avro record schema (parsed JSON) -> Spark StructType."""
     from pyspark.sql import types as T
@@ -533,7 +649,11 @@ def _make_encoder(schema, names=None):
             def enc_ts(v, out):
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=timezone.utc)
-                out += _zigzag(round((v - _EPOCH_DT).total_seconds() * 1e6))
+                # exact integer micros: total_seconds() is a float whose ulp
+                # reaches ~0.5 us near year 2100, off-by-1-us round trips
+                d = v - _EPOCH_DT
+                micros = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                out += _zigzag(micros)
 
             return enc_ts
         return _make_encoder(t, names)
@@ -556,8 +676,15 @@ def _make_encoder(schema, names=None):
     raise AvroError(f"unsupported avro type for write: {schema!r}")
 
 
-def write_avro(rows, avro_schema, codec: str = "deflate") -> bytes:
-    """Serialize dict rows to one container-file byte string."""
+def write_avro(
+    rows, avro_schema, codec: str = "deflate", block_bytes: int = 64 << 10
+) -> bytes:
+    """Serialize dict rows to one container-file byte string.
+
+    Rows are flushed into a new block whenever the uncompressed body
+    reaches `block_bytes` (cf. avro-tools' sync interval): many small
+    blocks are what make a container file range-splittable — a
+    single-block file can only ever be one input split."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported avro codec: {codec!r}")
     enc = _make_encoder(avro_schema)
@@ -577,10 +704,11 @@ def write_avro(rows, avro_schema, codec: str = "deflate") -> bytes:
     out.write(sync)
     body = bytearray()
     n = 0
-    for row in rows:
-        enc(row, body)
-        n += 1
-    if n:
+
+    def flush():
+        nonlocal body, n
+        if not n:
+            return
         block = bytes(body)
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -589,4 +717,13 @@ def write_avro(rows, avro_schema, codec: str = "deflate") -> bytes:
         out.write(_zigzag(len(block)))
         out.write(block)
         out.write(sync)
+        body = bytearray()
+        n = 0
+
+    for row in rows:
+        enc(row, body)
+        n += 1
+        if len(body) >= block_bytes:
+            flush()
+    flush()
     return out.getvalue()

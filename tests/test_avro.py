@@ -70,6 +70,72 @@ def test_spark_reads_avro_directory(spark, tmp_path):
     assert {r.id for r in df.collect()} == {1, 2, 3}
 
 
+def test_block_split_single_file_many_tasks(spark, tmp_path, monkeypatch):
+    """One multi-block container file must fan out to >1 task (block-range
+    input splits), and adjacent ranges must neither skip nor double-read
+    blocks — total rows and values stay exact."""
+    import bdt_spark.sources.io as io_mod
+    from bdt_spark.sources.avro import decode_range
+
+    rows = [
+        {"id": i, "name": f"name-{i}", "score": i * 0.5, "ok": i % 2 == 0}
+        for i in range(5000)
+    ]
+    # small blocks -> many sync points; small split size -> many ranges
+    p = tmp_path / "big.avro"
+    p.write_bytes(write_avro(rows, BASIC_SCHEMA, codec="null", block_bytes=2048))
+    monkeypatch.setattr(io_mod, "AVRO_SPLIT_BYTES", 16 << 10)
+
+    df = read_file(spark, str(p))
+    assert df.rdd.getNumPartitions() > 1
+    got = df.collect()
+    assert len(got) == 5000
+    assert {r.id for r in got} == set(range(5000))
+    assert {r.name for r in got if r.id == 4321} == {"name-4321"}
+
+    # the same file decoded as one full range gives identical rows
+    _, whole = decode_range(str(p), 0, p.stat().st_size)
+    assert len(whole) == 5000
+
+
+def test_avro_schema_mismatch_across_files_raises(spark, tmp_path):
+    """A directory whose files carry different writer schemas must error,
+    not silently null/drop columns (ADVICE r4)."""
+    other = {
+        "type": "record",
+        "name": "t2",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "extra", "type": "double"},
+        ],
+    }
+    _write(tmp_path, "a1.avro", BASIC_ROWS[:1], BASIC_SCHEMA)
+    _write(tmp_path, "a2.avro", [{"id": 9, "extra": 1.0}], other)
+    df = read_file(spark, str(tmp_path), fmt="avro")
+    with pytest.raises(Exception, match="schema mismatch"):
+        df.collect()
+
+
+def test_far_future_timestamp_micros_exact(spark, tmp_path):
+    """enc_ts uses exact integer micros: float total_seconds() rounds
+    ~0.5us off near year 2100 (ADVICE r4)."""
+    schema = {
+        "type": "record",
+        "name": "ts",
+        "fields": [
+            {
+                "name": "t",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    v = datetime.datetime(2099, 12, 31, 23, 59, 59, 999999)
+    raw = write_avro([{"t": v}], schema, codec="null")
+    _, rows = decode_file(raw)
+    got = rows[0]["t"]
+    assert (got.replace(tzinfo=None) if got.tzinfo else got) == v
+
+
 def test_complex_types_roundtrip(spark, tmp_path):
     schema = {
         "type": "record",
