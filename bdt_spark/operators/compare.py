@@ -16,10 +16,11 @@ Two modes:
   and one scalar aggregate yields totals plus per-side unmatched counts.
   No driver materialization, no row-order assumption, and one hash
   shuffle per side (the join reuses the aggregation's partitioning)
-  instead of the two full `exceptAll` shuffles it replaced. Epsilon is
-  honored by rounding floats to ceil(-log10(eps)) digits on both sides
-  (documented approximation of pairwise epsilon, which is undefined
-  without row order).
+  instead of the two full `exceptAll` shuffles it replaced. With
+  `epsilon`, the mode switches to a distributed EXACT-epsilon sort-zip
+  (canonical sort both sides, zip by global index, |l-r| < eps per float
+  column) — see _compare_epsilon_sorted; the old round-to-digits
+  approximation misclassified boundary-straddling pairs.
 
 Fixes vs the reference (documented, SURVEY §2 compare notes):
 - Epsilon compares |l - r| < eps; the reference's `(l - r) < eps` is
@@ -30,7 +31,6 @@ Fixes vs the reference (documented, SURVEY §2 compare notes):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession, functions as F
@@ -213,6 +213,82 @@ def _hash_diff_stats(df1, df2):
     )
 
 
+def _zip_global_index(spark: SparkSession, df):
+    """Attach a dense global row index following a canonical sort, without
+    collapsing to one partition: `sort` range-partitions (scales), and
+    RDD zipWithIndex assigns offsets from per-partition counts — the
+    distributed alternative to `row_number() OVER (ORDER BY ...)`, whose
+    empty-window frame is a single-task reduction. Map columns are
+    excluded from the sort key (Spark defines no ordering for maps);
+    float columns sort LAST so ties on exact columns are broken by the
+    (possibly epsilon-noisy) floats only when nothing else distinguishes
+    the rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    floats = [c for c, t in df.dtypes if t in ("float", "double")]
+    unsortable = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "map"
+    }
+    keys = [c for c in df.columns if c not in unsortable and c not in floats]
+    keys += [c for c in floats if c not in unsortable]
+    sdf = df.sort([F.col(c).asc_nulls_first() for c in keys]) if keys else df
+    schema = StructType(
+        [StructField("__idx", LongType(), False)] + list(sdf.schema.fields)
+    )
+    rdd = sdf.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
+    return spark.createDataFrame(rdd, schema)
+
+
+def _compare_epsilon_sorted(
+    spark: SparkSession, df1, df2, epsilon: float
+) -> ComparisonResult:
+    """Distributed EXACT-epsilon compare: canonical-sort both sides, zip by
+    global row index, test |l - r| < eps per float column (null-safe
+    equality elsewhere). Replaces the old round-to-digits approximation,
+    which misclassified pairs straddling a rounding boundary (0.0014999
+    vs 0.0015001 with eps=1e-2 round to different buckets). Cost: one
+    range-shuffle sort + one count job per side, then an index equi-join.
+    Caveat (documented): rows whose ONLY distinction is epsilon-close
+    float values can sort in different relative orders on the two sides;
+    pairwise epsilon matching without a shared row order is a bipartite
+    matching problem — this mode pins the order by the exact columns
+    first, which resolves every practical case."""
+    i1 = _zip_global_index(spark, df1)
+    i2 = _zip_global_index(spark, df2.toDF(*df1.columns))
+    r2 = i2.select(
+        "__idx", *[F.col(c).alias(f"__r_{c}") for c in df1.columns]
+    )
+    j = i1.join(r2, "__idx", "full_outer")
+
+    float_cols = {c for c, t in df1.dtypes if t in ("float", "double")}
+    bad = F.lit(False)
+    for c in df1.columns:
+        left, right = F.col(c), F.col(f"__r_{c}")
+        if c in float_cols:
+            col_ok = (
+                left.eqNullSafe(right)  # both null, or bitwise-equal (inf)
+                | (F.isnan(left) & F.isnan(right))
+                | (F.abs(left - right) < F.lit(epsilon))
+            )
+        else:
+            col_ok = left.eqNullSafe(right)
+        bad = bad | ~col_ok
+    [row] = (
+        j.select(bad.alias("bad"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bad").cast("long")).alias("n_bad"),
+        )
+        .collect()
+    )
+    if row.n_bad:
+        return ComparisonResult(
+            False,
+            f"{row.n_bad} of {row.n} rows differ beyond epsilon={epsilon}",
+        )
+    return ComparisonResult(True, "Files match")
+
+
 def _compare_hash(
     spark: SparkSession,
     path1: str,
@@ -239,19 +315,12 @@ def _compare_hash(
         )
 
     if epsilon is not None:
-        digits = max(0, math.ceil(-math.log10(epsilon)))
-        for df_name in ("df1", "df2"):
-            df = df1 if df_name == "df1" else df2
-            rounded = [
-                F.round(F.col(c), digits).alias(c)
-                if t in ("float", "double")
-                else F.col(c)
-                for c, t in df.dtypes
-            ]
-            if df_name == "df1":
-                df1 = df.select(rounded)
-            else:
-                df2 = df.select(rounded)
+        n1, n2 = df1.count(), df2.count()
+        if n1 != n2:
+            return ComparisonResult(
+                False, f"Row counts do not match: {n1} != {n2}"
+            )
+        return _compare_epsilon_sorted(spark, df1, df2, epsilon)
     df2 = df2.toDF(*df1.columns)
 
     [row] = _hash_diff_stats(df1, df2).collect()

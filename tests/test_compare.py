@@ -100,6 +100,31 @@ def test_hash_mode_epsilon(spark, files):
     assert not res.ok
 
 
+def test_hash_mode_epsilon_boundary_pairs_exact(spark, files):
+    """Pairs straddling a rounding boundary with |diff| << eps must PASS:
+    the old round-to-ceil(-log10(eps))-digits scheme bucketed 0.0014999
+    and 0.0015001 differently at eps=1e-3 (rounds to 0.001 vs 0.002) and
+    false-mismatched. The sort-zip mode compares |l-r| < eps exactly."""
+    a = files("bp_a.parquet", {"k": [1, 2], "y": [0.0014999, 7.0]})
+    b = files("bp_b.parquet", {"k": [1, 2], "y": [0.0015001, 7.0]})
+    # positional mode accepts (the semantics baseline)
+    assert compare_files(None, a, b, epsilon=1e-3).ok
+    # distributed mode must agree now
+    assert compare_files(spark, a, b, epsilon=1e-3, method="hash").ok
+
+
+def test_hash_mode_epsilon_order_insensitive(spark, files):
+    """Epsilon mode keys the zip on the canonical sort, not file order:
+    same rows shuffled with eps-noise still match; a beyond-eps value
+    still fails with a counted diff."""
+    a = files("eo_a.parquet", {"k": [3, 1, 2], "y": [30.0, 10.0, 20.0]})
+    b = files("eo_b.parquet", {"k": [1, 2, 3], "y": [10.00004, 20.0, 29.99996]})
+    assert compare_files(spark, a, b, epsilon=1e-3, method="hash").ok
+    c = files("eo_c.parquet", {"k": [1, 2, 3], "y": [10.0, 20.5, 30.0]})
+    res = compare_files(spark, a, c, epsilon=1e-3, method="hash")
+    assert not res.ok and "1 of 3 rows differ" in res.message
+
+
 def test_hash_mode_count_mismatch_message(spark, files):
     a = files("cm_a.parquet", {"x": [1, 2, 3]})
     b = files("cm_b.parquet", {"x": [1, 2]})
