@@ -51,18 +51,24 @@ def _norm(e: str) -> str:
 def _cos_sim_pre(a: str, b: str, a_nrm: str, b_nrm: str) -> str:
     """Cosine from precomputed norm columns.
 
-    Zero-norm guard: an all-zero vector has no defined cosine direction;
-    yield NULL explicitly (callers filter it) instead of NaN from 0/0.
-    Each norm is tested separately — a product test would underflow to 0.0
-    for two tiny-but-nonzero vectors and silently drop them."""
+    Denominator guard: yield NULL (callers filter it) whenever the norm
+    product is 0 or non-finite, instead of NaN/Inf — which would pass an
+    isNotNull filter and sort GREATEST in Spark ordering, top-ranking
+    garbage pairs. The product test covers every bad case through the
+    cheap norm columns alone: a zero norm (no cosine direction), the
+    product underflowing to 0.0 for two tiny-but-nonzero vectors
+    (dot/0.0 -> NaN/Inf), an Inf norm from huge elements, and NaN norms
+    from NaN elements (a dot overflowing to Inf implies an Inf norm, so
+    it's caught here without re-evaluating the expensive dot fold)."""
     dot = (
         f"aggregate(zip_with({a}, {b}, (x, y) ->"
         " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    prod = f"({a_nrm} * {b_nrm})"
     return (
-        f"IF({a_nrm} = 0.0 OR {b_nrm} = 0.0, CAST(NULL AS DOUBLE),"
-        f" {dot} / ({a_nrm} * {b_nrm}))"
+        f"IF({prod} = 0.0 OR isnan({prod}) OR {prod} = double('Infinity'),"
+        f" CAST(NULL AS DOUBLE), {dot} / {prod})"
     )
 
 

@@ -962,6 +962,59 @@ sql_query(
 )
 
 
+@query(
+    "similarity_ivf_recall_curve",
+    oracle="""
+    SELECT * FROM (VALUES (1, TRUE), (2, TRUE), (4, TRUE))
+      AS t(nprobe, recall_ok)
+    ORDER BY nprobe
+    """,
+    tags=("similarity", "ann", "ivf", "recall", "property"),
+    doc=(
+        "Measured recall@10 of the persistent IVF index (operators/ann.py) "
+        "vs brute-force ground truth at nprobe in {1, 2, 4} with k=8 "
+        "clusters, property-oracled: recall floors (0.15 / 0.35 / 0.60) are "
+        "pinned well under the measured curve (~0.26 / ~0.46 / ~0.74 at "
+        "sf0.01-sf0.1) so the boolean is deterministic with margin. Ground "
+        "truth = ivf_probe at nprobe=k, which test_ann proves exact. The "
+        "k-means build is fully deterministic (md5-seeded, no rand), so the "
+        "curve is stable per fixture. This is the quality half of the "
+        "ANN speed/recall trade the index exists for."
+    ),
+)
+def similarity_ivf_recall_curve(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from bdt_spark.operators.ann import build_ivf_index, ivf_probe
+
+    emb = load_fixture_tables(spark, sf_dir)["embeddings"]
+    path = tempfile.mkdtemp(prefix="bdt_ivf_recall_")
+    try:
+        build_ivf_index(spark, emb, path, k=8, n_iters=3)
+        qs = emb.orderBy("vec_id").limit(20)  # deterministic query subset
+        truth = (
+            ivf_probe(spark, path, qs, topk=10, nprobe=8)
+            .select("q_id", "vec_id")
+            .cache()
+        )
+        denom = truth.count()
+        floors = {1: 0.15, 2: 0.35, 4: 0.60}
+        rows = []
+        for nprobe, floor in floors.items():
+            got = ivf_probe(spark, path, qs, topk=10, nprobe=nprobe).select(
+                "q_id", "vec_id"
+            )
+            recall = got.join(truth, ["q_id", "vec_id"]).count() / denom
+            rows.append((nprobe, recall >= floor))
+        truth.unpersist()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "nprobe int, recall_ok boolean"
+    ).orderBy("nprobe")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline (quality filter -> exact dedup -> accounting)
 # ---------------------------------------------------------------------------
