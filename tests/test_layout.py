@@ -43,6 +43,64 @@ def test_clustered_write_has_disjoint_rowgroup_ranges(spark, sf_dir, tmp_path):
     )
 
 
+def _scan_output_rows(spark, path, pred):
+    """Rows the parquet scan actually produced (post row-group pruning) —
+    the executed leaf scan node's numOutputRows metric."""
+    q = spark.read.parquet(path).filter(pred)
+    q.collect()
+    leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+    metrics = leaves.apply(0).metrics()
+    it = metrics.iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "numOutputRows":
+            return kv._2().value()
+    raise AssertionError("no numOutputRows metric on scan node")
+
+
+def test_bloom_filter_prunes_scattered_id_lookup(spark, tmp_path):
+    """Equality lookup on a high-cardinality column scattered across the
+    cluster order: every row group's min/max spans the full domain, so
+    stats alone prune NOTHING — only the bloom filter proves absence.
+    Assert the bloom-enabled layout reads 0 rows for an absent key while
+    the bloom-less control reads the entire file."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 100).alias("bucket"),          # cluster column
+        F.xxhash64(F.col("id")).alias("doc_id"),      # scattered id
+    )
+    with_bloom = str(tmp_path / "with_bloom")
+    without = str(tmp_path / "without")
+    write_clustered(
+        df,
+        with_bloom,
+        ["bucket"],
+        num_partitions=4,
+        bloom_filter_cols=["doc_id"],
+        bloom_expected_ndv=50_000,
+    )
+    write_clustered(df, without, ["bucket"], num_partitions=4)
+
+    absent = 123  # not a value xxhash64 produced for this domain
+    assert spark.read.parquet(with_bloom).filter(
+        F.col("doc_id") == absent
+    ).count() == 0
+    pruned = _scan_output_rows(spark, with_bloom, F.col("doc_id") == absent)
+    control = _scan_output_rows(spark, without, F.col("doc_id") == absent)
+    assert pruned == 0, f"bloom scan read {pruned} rows"
+    assert control == 100_000  # stats can't prune scattered ids
+
+    # present key still found through the bloom path
+    some_id = df.first()["doc_id"]
+    got = (
+        spark.read.parquet(with_bloom)
+        .filter(F.col("doc_id") == some_id)
+        .count()
+    )
+    assert got == 1
+
+
 def test_unclustered_write_overlaps(spark, sf_dir, tmp_path):
     # control: the same data written with default layout has wide,
     # overlapping envelopes (every row group spans ~the full domain)
