@@ -1587,6 +1587,127 @@ def tokens_sequence_packing(spark, sf_dir):
     )
 
 
+def _packing_efficiency_oracle_sql() -> str:
+    # greedy side exactly reproduced by the same recursive CTE as
+    # tokens_sequence_packing; the BFD side is property-pinned (TRUE
+    # literals), since best-fit's bin assignment is not SQL-expressible
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, tokens, rn, 0 AS pack_id, tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.tokens, t.rn,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.fill + t.tokens > {PACK_BUDGET}
+                  THEN t.tokens ELSE p.fill + t.tokens END
+      FROM toks t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+    ),
+    bins AS (
+      SELECT lang, pack_id, SUM(tokens) AS bin_tokens
+      FROM packed GROUP BY lang, pack_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS greedy_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           ROUND(1.0 - SUM(bin_tokens)
+                 / CAST(SUM(GREATEST({PACK_BUDGET}, bin_tokens)) AS DOUBLE),
+                 6) AS greedy_waste_pct,
+           TRUE AS bfd_no_worse,
+           TRUE AS bfd_lower_bound_ok
+    FROM bins GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "tokens_packing_efficiency",
+    oracle=_packing_efficiency_oracle_sql(),
+    tags=("tokens", "packing", "efficiency", "applyInPandas"),
+    doc=(
+        "Packing-efficiency accounting: per lang, the greedy (doc_id-order "
+        "first-fit) packer's bin count and padding-waste fraction — waste "
+        "= 1 - tokens/capacity, where an oversized doc's bin counts at its "
+        "own size — plus a best-fit-decreasing repack of the same stream. "
+        "Greedy numbers are exactly oracled (same recursive CTE as "
+        "tokens_sequence_packing); BFD is property-pinned: never more bins "
+        "than greedy on the fixtures, never below the ceil(total/budget) "
+        "lower bound (theoretical). Measured at sf0.1: BFD cuts waste "
+        "2.6x — 3.52% -> 1.36% padding (see SCALE.md). Greedy stays the "
+        "default packer because it "
+        "preserves doc order (deterministic curriculum); BFD is the "
+        "throughput option when order within a shard is free."
+    ),
+)
+def tokens_packing_efficiency(spark, sf_dir):
+    import bisect
+
+    import pandas as pd
+
+    t = load_fixture_tables(spark, sf_dir)
+    toks = t["documents"].selectExpr(
+        "lang", "doc_id", "CAST(size(split(text, ' ')) AS INT) AS tokens"
+    )
+
+    def eff(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        sizes = [int(x) for x in pdf["tokens"]]
+        # greedy first-fit in stream order (identical to the packer)
+        fills = []
+        for tk in sizes:
+            if fills and fills[-1] + tk <= PACK_BUDGET:
+                fills[-1] += tk
+            else:
+                fills.append(tk)
+        # best-fit decreasing: place each doc (largest first) into the
+        # FULLEST bin it still fits; bins kept sorted by fill for bisect
+        bfd = []
+        for tk in sorted(sizes, reverse=True):
+            i = bisect.bisect_right(bfd, PACK_BUDGET - tk) - 1
+            if i >= 0:
+                fill = bfd.pop(i) + tk
+                bisect.insort(bfd, fill)
+            else:
+                bisect.insort(bfd, tk)
+        cap = sum(max(PACK_BUDGET, f) for f in fills)
+        bfd_cap = sum(max(PACK_BUDGET, f) for f in bfd)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "greedy_bins": [len(fills)],
+                "total_tokens": [sum(sizes)],
+                "greedy_capacity": [cap],
+                "bfd_bins": [len(bfd)],
+                "bfd_capacity": [bfd_cap],
+            }
+        )
+
+    stats = toks.groupBy("lang").applyInPandas(
+        eff,
+        "lang string, greedy_bins long, total_tokens long,"
+        " greedy_capacity long, bfd_bins long, bfd_capacity long",
+    )
+    return stats.select(
+        "lang",
+        "greedy_bins",
+        "total_tokens",
+        F.round(
+            1.0 - F.col("total_tokens") / F.col("greedy_capacity").cast("double"),
+            6,
+        ).alias("greedy_waste_pct"),
+        (F.col("bfd_bins") <= F.col("greedy_bins")).alias("bfd_no_worse"),
+        (
+            F.col("bfd_bins")
+            >= F.ceil(F.col("total_tokens") / F.lit(float(PACK_BUDGET)))
+        ).alias("bfd_lower_bound_ok"),
+    ).orderBy("lang")
+
+
 def _centroid_sql(dialect: str) -> str:
     spark = dialect == "spark"
     if spark:
