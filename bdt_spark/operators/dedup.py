@@ -116,20 +116,21 @@ def minhash_pairs(
     # a lazy cache lets concurrent branches of one job recompute it
     sh.count()
 
-    md5_exprs = [
-        f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)
+    # map-only signatures: one digest array per seed (md5 evaluated once
+    # per (shingle, seed), exactly like the exploded form), then lane mins
+    # via array_min — no explode, no doc_id shuffle; the band-bucket
+    # exchange below is the pipeline's ONLY pre-join shuffle
+    digest_exprs = [
+        f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
+        for i in range(N_MD5_SEEDS)
     ]
-    lane_exprs = []
-    for j in range(K_HASH):
-        seed, lane = divmod(j, 4)
-        lane_exprs.append(
-            F.expr(f"MIN(substring(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
-        )
-    sig = (
-        sh.selectExpr(id_col, "explode(shingles) AS s")
-        .selectExpr(id_col, *md5_exprs)
-        .groupBy(id_col)
-        .agg(*lane_exprs)
+    lane_exprs = [
+        f"array_min(transform(d{j // 4}, x -> substring(x,"
+        f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
+        for j in range(K_HASH)
+    ]
+    sig = sh.selectExpr(id_col, *digest_exprs).selectExpr(
+        id_col, *lane_exprs
     )
     buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
     if hot_bucket_cap:

@@ -127,12 +127,33 @@ def _minhash_lsh_sql(dialect: str) -> str:
             "ROUND(len(list_intersect(sa.shingles, sb.shingles)) /"
             " CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6)"
         )
-    return f"""
-    WITH sh AS (
-      SELECT doc_id, {shingles} AS shingles FROM documents
+    if spark:
+        # map-only signatures: per-seed digest arrays via transform, lane
+        # mins via array_min — zero shuffle between the scan and the band-
+        # bucket exchange (the explode->GROUP BY form pays a doc_id
+        # shuffle for the same result; min over identical values)
+        digests = ", ".join(
+            f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
+            for i in range(N_MD5_SEEDS)
+        )
+        lanes = ",\n         ".join(
+            f"array_min(transform(d{j // 4}, x -> substring(x,"
+            f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
+            for j in range(K_HASH)
+        )
+        sig_ctes = f"""
+    digests AS (
+      SELECT doc_id, {digests} FROM sh
     ),
+    sig AS (
+      SELECT doc_id,
+         {lanes}
+      FROM digests
+    ),"""
+    else:
+        sig_ctes = f"""
     exploded AS (
-      SELECT doc_id, {"explode(shingles)" if spark else "unnest(shingles)"} AS s
+      SELECT doc_id, unnest(shingles) AS s
       FROM sh
     ),
     hashed AS (
@@ -142,7 +163,11 @@ def _minhash_lsh_sql(dialect: str) -> str:
       SELECT doc_id,
          {_lane_mins(dialect)}
       FROM hashed GROUP BY doc_id
-    ),
+    ),"""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles} AS shingles FROM documents
+    ),{sig_ctes}
     buckets AS (
       SELECT doc_id, {explode} AS bkey FROM sig
     ),
