@@ -174,9 +174,49 @@ def cmd_cluster_write(args) -> None:
     spark = get_spark("bdt_cluster_write")
     df = read_file(spark, args.input)
     write_clustered(
-        df, args.output, args.by.split(","), num_partitions=args.partitions
+        df,
+        args.output,
+        args.by.split(","),
+        num_partitions=args.partitions,
+        bloom_filter_cols=args.bloom.split(",") if args.bloom else None,
+        bloom_expected_ndv=args.bloom_ndv,
     )
     print(f"clustered {df.count()} rows by {args.by} into {args.output}")
+
+
+def cmd_upsert(args) -> None:
+    # extension: keyed merge of a delta file into a table. Local paths use
+    # the rewrite-and-swap; --versioned uses the manifest-commit protocol
+    # (operators/versioned.py), which is also the object-store-safe path.
+    spark = get_spark("bdt_upsert")
+    delta = read_file(spark, args.delta)
+    keys = args.keys.split(",")
+    if args.versioned:
+        from bdt_spark.operators.versioned import (
+            current_version,
+            merge_upsert_versioned,
+            write_versioned,
+        )
+
+        if current_version(spark, args.table) is None:
+            v = write_versioned(spark, args.table, delta)
+            print(f"initialized versioned table {args.table} at v{v}")
+        else:
+            v = merge_upsert_versioned(spark, args.table, delta, keys)
+            print(f"committed version v{v} of {args.table}")
+    else:
+        from bdt_spark.operators.upsert import merge_upsert
+
+        n = merge_upsert(spark, args.table, delta, keys)
+        print(f"table {args.table} now has {n} rows")
+
+
+def cmd_vacuum(args) -> None:
+    from bdt_spark.operators.versioned import vacuum_versions
+
+    spark = get_spark("bdt_vacuum")
+    removed = vacuum_versions(spark, args.table, keep_last=args.keep_last)
+    print(f"removed versions: {removed or 'none'}")
 
 
 def cmd_ann_build(args) -> None:
@@ -272,7 +312,27 @@ def build_parser() -> argparse.ArgumentParser:
     cw.add_argument("output")
     cw.add_argument("--by", required=True, help="comma list of cluster cols")
     cw.add_argument("--partitions", type=int, default=None)
+    cw.add_argument(
+        "--bloom", help="comma list of point-lookup cols to bloom-filter"
+    )
+    cw.add_argument("--bloom-ndv", type=int, default=None)
     cw.set_defaults(fn=cmd_cluster_write)
+
+    up = sub.add_parser("upsert", help="keyed merge of a delta into a table")
+    up.add_argument("table", help="base table dir (or versioned table root)")
+    up.add_argument("delta", help="file with new/updated rows")
+    up.add_argument("--keys", required=True, help="comma list of key cols")
+    up.add_argument(
+        "--versioned",
+        action="store_true",
+        help="manifest-commit protocol (object-store-safe, snapshot reads)",
+    )
+    up.set_defaults(fn=cmd_upsert)
+
+    vc = sub.add_parser("vacuum", help="reclaim old versioned-table versions")
+    vc.add_argument("table", help="versioned table root")
+    vc.add_argument("--keep-last", type=int, default=2)
+    vc.set_defaults(fn=cmd_vacuum)
 
     ab = sub.add_parser("ann-build", help="build a persistent IVF ANN index")
     ab.add_argument("embeddings")

@@ -144,9 +144,13 @@ def build_ivf_index(
             centroids = centroids.localCheckpoint(eager=True)
     final = _assign(emb, centroids)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    # cluster-local layout: each probe reads only its clusters' row groups
+    # cluster-local layout: each probe reads only its clusters' row groups.
+    # The vector norm is materialized INTO the index (one fold per vector
+    # at build time) so every probe skips the per-candidate-row norm fold
+    # — the index is built once, probed many times.
     (
-        final.repartition("cluster_id")
+        final.withColumn("nrm", F.expr(_norm("embedding")))
+        .repartition("cluster_id")
         .sortWithinPartitions("cluster_id")
         .write.mode("overwrite")
         .parquet(f"{path}/assignments")
@@ -180,9 +184,12 @@ def ivf_probe(
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "q_vec", "cluster_id")
     )
+    if "nrm" in assignments.columns:  # norms precomputed at build time
+        indexed = assignments.withColumnRenamed("nrm", "v_nrm")
+    else:  # pre-norm index layout: fall back to computing per probe
+        indexed = assignments.withColumn("v_nrm", F.expr(_norm("embedding")))
     cand = probes.withColumn("q_nrm", F.expr(_norm("q_vec"))).join(
-        assignments.withColumn("v_nrm", F.expr(_norm("embedding"))),
-        "cluster_id",
+        indexed, "cluster_id"
     ).filter(F.col("vec_id") != F.col("q_id"))
     scored = cand.withColumn(
         "cos_raw", F.expr(_cos_sim_pre("q_vec", "embedding", "q_nrm", "v_nrm"))

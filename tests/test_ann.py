@@ -21,8 +21,9 @@ def test_index_layout(spark, index_path):
     asg = spark.read.parquet(f"{index_path}/assignments")
     assert cen.count() <= 10
     assert asg.select("vec_id").distinct().count() == asg.count()
-    # every vector got exactly one cluster
-    assert set(asg.columns) == {"vec_id", "cluster_id", "embedding"}
+    # every vector got exactly one cluster; norms materialized at build
+    assert set(asg.columns) == {"vec_id", "cluster_id", "embedding", "nrm"}
+    assert asg.filter("nrm IS NULL OR nrm < 0").count() == 0
 
 
 def test_probe_full_nprobe_equals_bruteforce(spark, sf_dir, index_path):

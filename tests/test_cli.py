@@ -138,3 +138,47 @@ def test_cli_cluster_write_and_ann(tmp_path, capsys):
         "--output", str(tmp_path / "nn.parquet"),
     ])
     assert rc == 0
+
+
+def test_cli_upsert_and_versioned_vacuum(tmp_path, capsys, spark):
+    from bdt_spark.cli import main
+
+    base = str(tmp_path / "tbl")
+    delta_p = str(tmp_path / "delta.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "k int, v string"
+    ).write.parquet(delta_p)
+
+    rc = main(["upsert", base, delta_p, "--keys", "k"])
+    assert rc == 0
+    assert "3 rows" in capsys.readouterr().out
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+    # versioned path: init + merge + vacuum
+    root = str(tmp_path / "vtbl")
+    assert main(["upsert", root, delta_p, "--keys", "k", "--versioned"]) == 0
+    assert "initialized" in capsys.readouterr().out
+    assert main(["upsert", root, delta_p, "--keys", "k", "--versioned"]) == 0
+    assert "v2" in capsys.readouterr().out
+    assert main(["vacuum", root, "--keep-last", "1"]) == 0
+    assert "removed versions: [1]" in capsys.readouterr().out
+
+    from bdt_spark.operators.versioned import read_versioned
+
+    assert read_versioned(spark, root).count() == 2
+
+
+def test_cli_cluster_write_bloom(tmp_path, capsys):
+    from bdt_spark.cli import main
+
+    out = str(tmp_path / "bl")
+    rc = main([
+        "cluster-write", f"{SF_DIR}/orders.parquet", out,
+        "--by", "o_orderdate", "--partitions", "2",
+        "--bloom", "o_orderkey", "--bloom-ndv", "10000",
+    ])
+    assert rc == 0
