@@ -14,7 +14,7 @@ candidate pairs. Nothing is O(n^2) in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 K_HASH = 8          # minhash signature length
 N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS)
@@ -98,12 +98,15 @@ def minhash_pairs(
 
     `hot_bucket_cap` bounds candidate-pair blowup: band buckets with more
     than `hot_bucket_cap` members are dropped before the self-join (see
-    HOT_BUCKET_CAP). The membership count rides a window over the bucket
-    key, which pre-partitions both self-join sides on `bkey` — the join
-    reuses that exchange, so the cap costs no extra shuffle. Pass a
-    `stats` dict to receive {"hot_buckets_dropped": n, "hot_bucket_cap":
-    cap} (computing the count is one extra small job over the bucket
-    aggregate, only run when requested).
+    HOT_BUCKET_CAP). The hot-key set is found with a partial-agg count
+    (map-side combine, so the hot keys themselves cannot skew it) and
+    removed via a BROADCAST anti-join — the bucket rows are never
+    shuffled for the cap, and no single task ever holds a hot bucket's
+    full membership (a window-count over bkey would put all members of
+    exactly the pathological buckets into one task). The hot set is tiny
+    by construction (at most n_rows / cap keys, in practice a handful of
+    boilerplate clusters). Pass a `stats` dict to receive
+    {"hot_buckets_dropped": n, "hot_bucket_cap": cap}.
     """
     from pyspark import StorageLevel
 
@@ -134,20 +137,16 @@ def minhash_pairs(
     )
     buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
     if hot_bucket_cap:
+        hot = (
+            buckets.groupBy("bkey")
+            .count()
+            .filter(F.col("count") > hot_bucket_cap)
+            .select("bkey")
+        )
         if stats is not None:
             stats["hot_bucket_cap"] = hot_bucket_cap
-            stats["hot_buckets_dropped"] = (
-                buckets.groupBy("bkey")
-                .count()
-                .filter(F.col("count") > hot_bucket_cap)
-                .count()
-            )
-        bw = Window.partitionBy("bkey")
-        buckets = (
-            buckets.withColumn("_bn", F.count("*").over(bw))
-            .filter(F.col("_bn") <= hot_bucket_cap)
-            .drop("_bn")
-        )
+            stats["hot_buckets_dropped"] = hot.count()
+        buckets = buckets.join(F.broadcast(hot), "bkey", "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
