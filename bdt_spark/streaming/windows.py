@@ -216,6 +216,7 @@ def upsert_stream_to_parquet(
     checkpoint_dir: str,
     key_cols: list[str],
     watermark: str = "1 hour",
+    versioned: bool = False,
 ) -> "StreamingQuery":  # noqa: F821
     """Streaming keyed writeback: each micro-batch MERGEs into a parquet
     table via operators/upsert.py — the incremental-pipeline pattern of
@@ -229,11 +230,11 @@ def upsert_stream_to_parquet(
     event wins' would only hold WITHIN a micro-batch: an out-of-order
     event arriving in a later batch would regress its key to an older
     ts. Replaying a batch after failure re-applies the same keyed rows —
-    idempotent, so the sink stays exactly-once given the checkpoint. At
-    100 TB the same foreachBatch body routes through the versioned
-    manifest-commit table (operators/versioned.py) or dynamic partition
-    overwrite instead of the rewrite-and-swap; the touched-keys read
-    stays a broadcast semi-join against the (small) batch key set."""
+    idempotent, so the sink stays exactly-once given the checkpoint.
+    `versioned=True` routes the same merge through the manifest-commit
+    table (operators/versioned.py) — the object-store-safe path, with
+    snapshot-consistent concurrent readers; the touched-keys read stays
+    a broadcast semi-join against the (small) batch key set either way."""
     from pyspark.sql import Window
 
     from bdt_spark.operators.upsert import merge_upsert
@@ -254,20 +255,42 @@ def upsert_stream_to_parquet(
 
         latest = latest_per_key(batch_df)
         spark = batch_df.sparkSession
+
+        def resolve_against(base_df: DataFrame) -> DataFrame:
+            # cross-batch out-of-order guard: the stored row for each
+            # touched key competes in the same ts-desc reduction, so an
+            # older event in a later batch cannot overwrite newer state
+            stored = base_df.join(
+                F.broadcast(latest.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            return latest_per_key(stored.unionByName(latest))
+
+        if versioned:
+            from bdt_spark.operators.versioned import (
+                current_version,
+                merge_upsert_versioned,
+                read_versioned,
+                write_versioned,
+            )
+
+            if current_version(spark, base_path) is None:
+                write_versioned(spark, base_path, latest)
+            else:
+                merge_upsert_versioned(
+                    spark,
+                    base_path,
+                    resolve_against(read_versioned(spark, base_path)),
+                    key_cols,
+                )
+            return
         import os
 
         if not os.path.exists(base_path):
             latest.write.parquet(base_path)
         else:
-            # cross-batch out-of-order guard: the stored row for each
-            # touched key competes in the same ts-desc reduction, so an
-            # older event in a later batch cannot overwrite newer state
-            stored = spark.read.parquet(base_path).join(
-                F.broadcast(latest.select(*key_cols).distinct()),
-                key_cols,
-                "left_semi",
-            )
-            resolved = latest_per_key(stored.unionByName(latest))
+            resolved = resolve_against(spark.read.parquet(base_path))
             merge_upsert(spark, base_path, resolved, key_cols)
 
     return (

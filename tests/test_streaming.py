@@ -290,3 +290,58 @@ def test_streaming_upsert_cross_batch_out_of_order(spark, tmp_path):
 
     got = {r.user_id: r.event_id for r in spark.read.parquet(base).collect()}
     assert got == {"u1": "e2", "u2": "e4"}
+
+
+def test_streaming_upsert_versioned_manifest_table(spark, tmp_path):
+    """versioned=True: the stream maintains a manifest-commit table —
+    one committed version per non-empty micro-batch, same out-of-order
+    semantics, snapshot-consistent reads."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.operators.versioned import read_versioned, table_versions
+    from bdt_spark.streaming.windows import upsert_stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "vstate")
+    schema = "event_id string, ts timestamp, user_id string, value double"
+
+    def write_file(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": [r[2] for r in rows],
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = upsert_stream_to_parquet(
+            stream, root, str(tmp_path / "ckpt"), ["user_id"], versioned=True
+        )
+        q.awaitTermination(120)
+
+    write_file("f1.parquet", [("e2", "2026-01-02 10:00:00", "u1", 2.0)])
+    run()
+    assert table_versions(spark, root) == [1]
+
+    write_file(
+        "f2.parquet",
+        [("e1", "2026-01-01 09:00:00", "u1", 1.0),   # older: must lose
+         ("e4", "2026-01-03 09:00:00", "u2", 4.0)],
+    )
+    run()
+    assert table_versions(spark, root) == [1, 2]
+    got = {r.user_id: r.event_id for r in read_versioned(spark, root).collect()}
+    assert got == {"u1": "e2", "u2": "e4"}
+    # the v1 snapshot is still intact for in-flight readers
+    assert read_versioned(spark, root, version=1).count() == 1
