@@ -282,9 +282,33 @@ def _compare_epsilon_sorted(
         .collect()
     )
     if row.n_bad:
+        # failure path only: fetch the first differing row (canonical
+        # order) and name the offending column, mirroring positional
+        # mode's report shape
+        first = j.filter(bad).orderBy("__idx").limit(1).collect()[0]
+        detail = ""
+        for ci, c in enumerate(df1.columns):
+            left, right = first[c], first[f"__r_{c}"]
+            if c in float_cols and left is not None and right is not None:
+                import math as _m
+
+                if (
+                    left == right
+                    or (_m.isnan(left) and _m.isnan(right))
+                    or abs(left - right) < epsilon
+                ):
+                    continue
+            elif left == right:
+                continue
+            detail = (
+                f" First diff at canonical row {first['__idx']}: "
+                f"{left} != {right} at position {ci}"
+            )
+            break
         return ComparisonResult(
             False,
-            f"{row.n_bad} of {row.n} rows differ beyond epsilon={epsilon}",
+            f"{row.n_bad} of {row.n} rows differ beyond "
+            f"epsilon={epsilon}.{detail}",
         )
     return ComparisonResult(True, "Files match")
 
