@@ -14,6 +14,8 @@ import tempfile
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import functions as F
+
 from bdt_spark.session import get_spark
 from bdt_spark.sources.io import load_fixture_tables, read_file
 
@@ -64,8 +66,24 @@ def main() -> None:
     from bdt_spark.operators.layout import write_clustered
 
     write_clustered(tables["orders"], f"{tmp}/orders_clustered",
-                    ["o_orderdate"], num_partitions=4)
-    print("clustered parquet at", f"{tmp}/orders_clustered")
+                    ["o_orderdate"], num_partitions=4,
+                    bloom_filter_cols=["o_orderkey"])
+    print("clustered parquet (+ o_orderkey bloom filters) at",
+          f"{tmp}/orders_clustered")
+
+    print("== 7. Versioned table (manifest-commit upsert) ==")
+    from bdt_spark.operators.versioned import (
+        merge_upsert_versioned, read_versioned, table_versions,
+        write_versioned,
+    )
+
+    root = f"{tmp}/nation_versioned"
+    write_versioned(spark, root, tables["nation"])
+    delta = tables["nation"].limit(2).withColumn(
+        "n_name", F.upper(F.col("n_name")))
+    merge_upsert_versioned(spark, root, delta, ["n_nationkey"])
+    print("versions:", table_versions(spark, root),
+          "rows:", read_versioned(spark, root).count())
 
     spark.stop()
 
