@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession, Window, functions as F
 
 from bdt_spark.sources.io import file_format, read_file
 
@@ -214,29 +214,51 @@ def _hash_diff_stats(df1, df2):
 
 
 def _zip_global_index(spark: SparkSession, df):
-    """Attach a dense global row index following a canonical sort, without
-    collapsing to one partition: `sort` range-partitions (scales), and
-    RDD zipWithIndex assigns offsets from per-partition counts — the
-    distributed alternative to `row_number() OVER (ORDER BY ...)`, whose
-    empty-window frame is a single-task reduction. Map columns are
+    """Attach a dense global row index following a canonical sort, fully
+    JVM-side and without collapsing to one partition (`row_number() OVER
+    (ORDER BY ...)` with an empty partition spec is a single-task
+    reduction; `rdd.zipWithIndex` pipes every row through Python):
+    range-repartition on the sort keys (ordered partitions), sort within
+    partitions, per-partition `row_number`, then add broadcast
+    per-partition offsets from one tiny count job. Map columns are
     excluded from the sort key (Spark defines no ordering for maps);
     float columns sort LAST so ties on exact columns are broken by the
     (possibly epsilon-noisy) floats only when nothing else distinguishes
     the rows."""
-    from pyspark.sql.types import LongType, StructField, StructType
-
     floats = [c for c, t in df.dtypes if t in ("float", "double")]
     unsortable = {
         f.name for f in df.schema.fields if f.dataType.typeName() == "map"
     }
     keys = [c for c in df.columns if c not in unsortable and c not in floats]
     keys += [c for c in floats if c not in unsortable]
-    sdf = df.sort([F.col(c).asc_nulls_first() for c in keys]) if keys else df
-    schema = StructType(
-        [StructField("__idx", LongType(), False)] + list(sdf.schema.fields)
+    if not keys:
+        keys = list(df.columns)
+    order = [F.col(c).asc_nulls_first() for c in keys]
+    sdf = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
     )
-    rdd = sdf.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
-    return spark.createDataFrame(rdd, schema)
+    # the sorted layout is computed once: offsets job + the index pass
+    # both read it from cache, and the partitioning/order survive into
+    # the downstream index join; the caller unpersists the returned
+    # handle once its action completes
+    sdf = sdf.persist()
+    counts = {r["__pid"]: r["cnt"] for r in
+              sdf.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):  # range partitions are globally ordered
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    indexed = (
+        sdf.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("__idx", F.col("__off") + F.col("__rn") - F.lit(1))
+        .drop("__pid", "__rn", "__off")
+    )
+    return indexed, sdf
 
 
 def _compare_epsilon_sorted(
@@ -253,8 +275,8 @@ def _compare_epsilon_sorted(
     pairwise epsilon matching without a shared row order is a bipartite
     matching problem — this mode pins the order by the exact columns
     first, which resolves every practical case."""
-    i1 = _zip_global_index(spark, df1)
-    i2 = _zip_global_index(spark, df2.toDF(*df1.columns))
+    i1, c1 = _zip_global_index(spark, df1)
+    i2, c2 = _zip_global_index(spark, df2.toDF(*df1.columns))
     r2 = i2.select(
         "__idx", *[F.col(c).alias(f"__r_{c}") for c in df1.columns]
     )
@@ -273,44 +295,48 @@ def _compare_epsilon_sorted(
         else:
             col_ok = left.eqNullSafe(right)
         bad = bad | ~col_ok
-    [row] = (
-        j.select(bad.alias("bad"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("bad").cast("long")).alias("n_bad"),
-        )
-        .collect()
-    )
-    if row.n_bad:
-        # failure path only: fetch the first differing row (canonical
-        # order) and name the offending column, mirroring positional
-        # mode's report shape
-        first = j.filter(bad).orderBy("__idx").limit(1).collect()[0]
-        detail = ""
-        for ci, c in enumerate(df1.columns):
-            left, right = first[c], first[f"__r_{c}"]
-            if c in float_cols and left is not None and right is not None:
-                import math as _m
-
-                if (
-                    left == right
-                    or (_m.isnan(left) and _m.isnan(right))
-                    or abs(left - right) < epsilon
-                ):
-                    continue
-            elif left == right:
-                continue
-            detail = (
-                f" First diff at canonical row {first['__idx']}: "
-                f"{left} != {right} at position {ci}"
+    try:
+        [row] = (
+            j.select(bad.alias("bad"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("bad").cast("long")).alias("n_bad"),
             )
-            break
-        return ComparisonResult(
-            False,
-            f"{row.n_bad} of {row.n} rows differ beyond "
-            f"epsilon={epsilon}.{detail}",
+            .collect()
         )
-    return ComparisonResult(True, "Files match")
+        if row.n_bad:
+            # failure path only: fetch the first differing row (canonical
+            # order) and name the offending column, mirroring positional
+            # mode's report shape
+            first = j.filter(bad).orderBy("__idx").limit(1).collect()[0]
+            detail = ""
+            for ci, c in enumerate(df1.columns):
+                left, right = first[c], first[f"__r_{c}"]
+                if c in float_cols and left is not None and right is not None:
+                    import math as _m
+
+                    if (
+                        left == right
+                        or (_m.isnan(left) and _m.isnan(right))
+                        or abs(left - right) < epsilon
+                    ):
+                        continue
+                elif left == right:
+                    continue
+                detail = (
+                    f" First diff at canonical row {first['__idx']}: "
+                    f"{left} != {right} at position {ci}"
+                )
+                break
+            return ComparisonResult(
+                False,
+                f"{row.n_bad} of {row.n} rows differ beyond "
+                f"epsilon={epsilon}.{detail}",
+            )
+        return ComparisonResult(True, "Files match")
+    finally:
+        c1.unpersist()
+        c2.unpersist()
 
 
 def _compare_hash(

@@ -125,6 +125,34 @@ def test_hash_mode_epsilon_order_insensitive(spark, files):
     assert not res.ok and "1 of 3 rows differ" in res.message
 
 
+def test_epsilon_index_plan_is_distributed_jvm_only(spark):
+    """The global index must come from range partitions + per-partition
+    row_number — no single-task global window, no RDD/Python round-trip
+    (rdd.zipWithIndex pipes every row through Python)."""
+    from bdt_spark.operators.compare import _zip_global_index
+
+    df = spark.range(10_000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) / 7 AS y"
+    )
+    indexed, cached = _zip_global_index(spark, df)
+    try:
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan          # no Python round-trip
+        assert "Exchange SinglePartition" not in plan  # no 1-task window
+        # dense, unique, 0-based
+        stats = indexed.selectExpr(
+            "COUNT(*) AS n",
+            "COUNT(DISTINCT __idx) AS d",
+            "MIN(__idx) AS mn",
+            "MAX(__idx) AS mx",
+        ).first()
+        assert (stats.n, stats.d, stats.mn, stats.mx) == (
+            10_000, 10_000, 0, 9_999
+        )
+    finally:
+        cached.unpersist()
+
+
 def test_hash_mode_count_mismatch_message(spark, files):
     a = files("cm_a.parquet", {"x": [1, 2, 3]})
     b = files("cm_b.parquet", {"x": [1, 2]})
