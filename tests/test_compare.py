@@ -137,7 +137,11 @@ def test_epsilon_index_plan_is_distributed_jvm_only(spark):
     indexed, cached = _zip_global_index(spark, df)
     try:
         plan = indexed._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" not in plan          # no Python round-trip
+        # the DATA path must not round-trip through an RDD (the tiny
+        # driver-built offsets table is a legitimate ExistingRDD on the
+        # broadcast side) and no Python evaluation may appear anywhere
+        assert "Scan ExistingRDD[k" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
         assert "Exchange SinglePartition" not in plan  # no 1-task window
         # dense, unique, 0-based
         stats = indexed.selectExpr(
