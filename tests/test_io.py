@@ -90,6 +90,29 @@ def test_arrow_feather_read(spark, tmp_path):
     feather.write_feather(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), p)
     df = read_file(spark, p)
     assert df.count() == 3 and df.columns == ["a", "b"]
+    # distributed path: decoding happens in executor tasks, not the driver
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_arrow_directory_multifile_read(spark, tmp_path):
+    """A directory of IPC files reads as one table, one task per file;
+    stream-format and file-format payloads both decode."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.ipc as ipc
+
+    d = tmp_path / "arrows"
+    d.mkdir()
+    feather.write_feather(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                          str(d / "p1.arrow"))
+    with ipc.new_stream(
+        str(d / "p2.arrow"), pa.schema([("a", pa.int64()), ("b", pa.string())])
+    ) as w:
+        w.write_table(pa.table({"a": [3], "b": ["z"]}))
+    df = read_file(spark, str(d), fmt="arrow")
+    assert df.count() == 3
+    assert {r.a for r in df.collect()} == {1, 2, 3}
 
 
 def test_mergeschema_reads_drifted_directory(spark, tmp_path):
