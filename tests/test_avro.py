@@ -302,3 +302,41 @@ if HAVE_HYP:
         raw = write_avro(rows, schema, codec=codec)
         _, back = decode_file(raw)
         assert back == rows
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_rows=st.integers(min_value=0, max_value=400),
+        block_bytes=st.integers(min_value=64, max_value=4096),
+        split_bytes=st.integers(min_value=128, max_value=8192),
+        codec=st.sampled_from(["null", "deflate"]),
+    )
+    def test_range_splits_reconstruct_file_exactly(
+        tmp_path_factory, n_rows, block_bytes, split_bytes, codec
+    ):
+        """Input-split contract: for ANY block size and ANY split size,
+        the union of decode_range over adjacent [k*split, (k+1)*split)
+        ranges equals the whole-file decode — no block skipped, none
+        double-read."""
+        import os
+
+        from bdt_spark.sources.avro import decode_file, decode_range, write_avro
+
+        rows = [
+            {"id": i, "name": f"n{i}" * (i % 7), "score": i * 0.25, "ok": i % 3 == 0}
+            for i in range(n_rows)
+        ]
+        raw = write_avro(rows, BASIC_SCHEMA, codec=codec, block_bytes=block_bytes)
+        d = tmp_path_factory.mktemp("avro_prop")
+        p = str(d / "f.avro")
+        with open(p, "wb") as f:
+            f.write(raw)
+        size = os.path.getsize(p)
+        got = []
+        for start in range(0, max(size, 1), split_bytes):
+            _, part = decode_range(p, start, min(start + split_bytes, size))
+            got.extend(part)
+        _, whole = decode_file(raw)
+        assert got == whole == rows
