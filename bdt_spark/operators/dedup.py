@@ -136,6 +136,15 @@ def minhash_pairs(
         id_col, *lane_exprs
     )
     buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
+    # Persist the (id, bkey) table: it is tiny (N_BANDS rows per doc, two
+    # narrow columns) but its lineage contains ALL the md5 signature
+    # transforms — and it has three consumers (the hot-bucket count and
+    # both sides of the band self-join). Without the cache each consumer
+    # re-hashes every shingle from the persisted `sh` (measured ~2x the
+    # query's whole cost at sf0.1). At 100 TB this is the same call:
+    # MEMORY_AND_DISK spills per-executor, no shuffle is added.
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets.count()
     if hot_bucket_cap:
         hot = (
             buckets.groupBy("bkey")
@@ -146,8 +155,10 @@ def minhash_pairs(
         if stats is not None:
             stats["hot_bucket_cap"] = hot_bucket_cap
             stats["hot_buckets_dropped"] = hot.count()
-        buckets = buckets.join(F.broadcast(hot), "bkey", "left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
+        capped = buckets.join(F.broadcast(hot), "bkey", "left_anti")
+    else:
+        capped = buckets
+    a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
             b,
@@ -182,4 +193,5 @@ def minhash_pairs(
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist()
+    buckets.unpersist()
     return out
