@@ -36,6 +36,7 @@ HEADLINE = [
     "tpch_q21_waiting_supplier", # exists + not-exists
     "window_running_frames",     # window frames
     "agg_rollup",                # grouping analytics
+    "agg_distinct_counts",       # multi-distinct (Expand-free rewrite)
     "setop_except",              # set ops
 ]
 # Pipeline operators benched when present (added as plans/pipeline.py grows).
@@ -57,6 +58,8 @@ PIPELINE = [
     "sample_stratified_exact",
     "embedding_normalize_centroid",
     "query_recursive_cte",
+    # round-5 additions
+    "tokens_packing_efficiency",
 ]
 
 

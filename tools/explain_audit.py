@@ -35,6 +35,10 @@ AUDITED = [
     "dedup_survivors_corpus",
     "pipeline_curation_v2",
     "query_recursive_cte",
+    # round-5 operators
+    "agg_distinct_counts",
+    "tokens_packing_efficiency",
+    "similarity_ivf_recall_curve",
 ]
 
 
