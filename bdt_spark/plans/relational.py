@@ -380,13 +380,21 @@ sql_query(
 sql_query(
     "agg_approx_count_distinct",
     """
-    SELECT l_returnflag,
-           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey, 0.01) AS DOUBLE)
-               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS parts_within_5pct,
-           ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey, 0.01) AS DOUBLE)
-               / COUNT(DISTINCT l_orderkey) - 1.0) < 0.05 AS orders_within_5pct
-    FROM lineitem
-    GROUP BY l_returnflag
+    SELECT l_returnflag, p.parts_within_5pct, o.orders_within_5pct
+    FROM (
+      SELECT l_returnflag,
+             ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey, 0.01) AS DOUBLE)
+                 / COUNT(l_partkey) - 1.0) < 0.05 AS parts_within_5pct
+      FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+      GROUP BY l_returnflag
+    ) p
+    JOIN (
+      SELECT l_returnflag,
+             ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey, 0.01) AS DOUBLE)
+                 / COUNT(l_orderkey) - 1.0) < 0.05 AS orders_within_5pct
+      FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+      GROUP BY l_returnflag
+    ) o USING (l_returnflag)
     ORDER BY l_returnflag
     """,
     oracle="""
@@ -405,19 +413,32 @@ sql_query(
     "of the exact count. Spark's rsd is pinned to 0.01 (its default 0.05 "
     "sketch observedly misses a group by 8.6% at sf0.01) so the boolean is "
     "deterministic with margin. Exercises the partial-aggregation HLL merge "
-    "path that the global agg_approx_distinct_error_bound query does not.",
+    "path that the global agg_approx_distinct_error_bound query does not. "
+    "Spark side is the Expand-free form: mixing COUNT(DISTINCT) with other "
+    "aggregates plans a 3x-row Expand (the agg_distinct_counts scale "
+    "killer), but HLL is duplicate-insensitive, so APPROX_COUNT_DISTINCT "
+    "over a pre-deduplicated subquery yields the identical estimate and "
+    "COUNT over it IS the exact distinct count — one sub-agg per measure "
+    "column, joined on the group key. Plan pinned Expand-free by "
+    "tests/test_plans.py.",
 )
 
 sql_query(
     "agg_approx_distinct_error_bound",
     """
-    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
-           ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey) AS DOUBLE)
-               / COUNT(DISTINCT l_partkey) - 1.0) < 0.05 AS within_5pct,
-           COUNT(DISTINCT l_suppkey) AS exact_supps,
-           ABS(CAST(APPROX_COUNT_DISTINCT(l_suppkey) AS DOUBLE)
-               / COUNT(DISTINCT l_suppkey) - 1.0) < 0.05 AS supp_within_5pct
-    FROM lineitem
+    SELECT p.exact_parts, p.within_5pct, s.exact_supps, s.supp_within_5pct
+    FROM (
+      SELECT COUNT(l_partkey) AS exact_parts,
+             ABS(CAST(APPROX_COUNT_DISTINCT(l_partkey) AS DOUBLE)
+                 / COUNT(l_partkey) - 1.0) < 0.05 AS within_5pct
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ) p
+    CROSS JOIN (
+      SELECT COUNT(l_suppkey) AS exact_supps,
+             ABS(CAST(APPROX_COUNT_DISTINCT(l_suppkey) AS DOUBLE)
+                 / COUNT(l_suppkey) - 1.0) < 0.05 AS supp_within_5pct
+      FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+    ) s
     """,
     oracle="""
     SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -432,7 +453,9 @@ sql_query(
     doc="Approx-distinct oracled by PROPERTY: each engine's HLL estimate "
     "must sit within 5% of the exact count (HLL standard error ~2%, so "
     "the boolean is deterministic even though raw sketch values differ). "
-    "Complements the rows-only raw-value query above.",
+    "Complements the rows-only raw-value query above. Spark side uses the "
+    "Expand-free pre-dedup form (see agg_approx_count_distinct); the two "
+    "1-row sub-aggregates meet in a broadcast cross join.",
 )
 
 # ---------------------------------------------------------------------------

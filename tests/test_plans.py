@@ -147,6 +147,18 @@ def test_multi_distinct_agg_has_no_expand(spark, sf_dir):
     assert "HashAggregate" in text
 
 
+def test_approx_distinct_aggs_have_no_expand(spark, sf_dir):
+    # COUNT(DISTINCT) mixed with APPROX_COUNT_DISTINCT also plans a 3x
+    # Expand. HLL is duplicate-insensitive, so both queries compute the
+    # sketch over a pre-deduplicated subquery instead — same estimate,
+    # no row multiplication. (Expand remains legitimate where it IS the
+    # operator: rollup/cube/grouping-sets and hopping windows.)
+    for name in ("agg_approx_count_distinct", "agg_approx_distinct_error_bound"):
+        text = _plan(spark, sf_dir, name, mode="simple")
+        assert "Expand" not in text, name
+        assert "HashAggregate" in text, name
+
+
 def test_similarity_selfjoins_are_repartitioned(spark, sf_dir):
     """The embedding similarity queries must NOT run their pairwise
     scoring in one task: the corpus is a single small file (one input
