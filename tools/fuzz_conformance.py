@@ -179,20 +179,73 @@ def gen_subquery_query(rng: random.Random) -> str:
     )
 
 
+def gen_having_query(rng: random.Random) -> str:
+    """HAVING over conditional (CASE) aggregates — exercises the
+    filter-after-aggregate path plus CASE inside agg buffers."""
+    lim = rng.randint(2000, 12000)
+    gcol = rng.choice(["o_orderstatus", "o_orderpriority"])
+    status = rng.choice(["'O'", "'F'", "'P'"])
+    hmin = rng.randint(5, 60)
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS cnt",
+            f"CAST(SUM(CASE WHEN o_orderstatus = {status} THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS flagged",
+            "CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN CAST(o_totalprice "
+            "AS DECIMAL(30,8)) ELSE 0 END) AS DOUBLE) AS even_rev",
+            "CAST(MAX(o_orderkey) AS BIGINT) AS mx",
+        ],
+        k=rng.randint(2, 3),
+    )
+    return (
+        f"SELECT {gcol} AS g, {', '.join(sorted(aggs))} FROM orders "
+        f"WHERE o_orderkey <= {lim} GROUP BY {gcol} "
+        f"HAVING COUNT(*) >= {hmin} ORDER BY g NULLS FIRST"
+    )
+
+
+def gen_case_projection_query(rng: random.Random) -> str:
+    """Nested CASE / COALESCE / NULLIF projections — the null-semantics
+    corner both engines must agree on exactly."""
+    lim = rng.randint(100, 800)
+    mod = rng.randint(2, 6)
+    exprs = rng.sample(
+        [
+            f"CASE WHEN c_nationkey % {mod} = 0 THEN 'even' "
+            "WHEN c_acctbal < 0 THEN 'debt' ELSE 'other' END AS c1",
+            f"COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'B') AS c2",
+            f"CAST(CASE WHEN c_custkey % {mod} = 1 THEN NULL "
+            "ELSE c_nationkey END AS BIGINT) AS c3",
+            "ifnull(NULLIF(upper(c_mktsegment), 'MACHINERY'), 'M') AS c4",
+            f"CASE c_nationkey % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' "
+            "ELSE 'c' END AS c5",
+        ],
+        k=rng.randint(2, 4),
+    )
+    return (
+        f"SELECT c_custkey, {', '.join(sorted(exprs))} FROM customer "
+        f"WHERE c_custkey <= {lim} ORDER BY c_custkey NULLS FIRST"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     r = rng.random()
     if r < 0.1:
         return gen_subquery_query(rng)
     if r < 0.2:
         return gen_date_query(rng)
-    if r < 0.32:
+    if r < 0.3:
         return gen_join_query(rng)
-    if r < 0.44:
+    if r < 0.4:
         return gen_window_query(rng)
-    if r < 0.56:
+    if r < 0.48:
         return gen_setop_query(rng)
-    if r < 0.68:
+    if r < 0.56:
         return gen_scalar_query(rng)
+    if r < 0.62:
+        return gen_having_query(rng)
+    if r < 0.68:
+        return gen_case_projection_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
     gcol = rng.choice(cols["str"] + cols["int"])
