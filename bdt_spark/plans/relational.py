@@ -1327,6 +1327,37 @@ def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "ordinal")
 
 
+sql_query(
+    "scalar_typeof",
+    """
+    SELECT lower(typeof(o_orderkey)) AS t_key,
+           lower(typeof(o_totalprice)) AS t_price,
+           lower(typeof(o_orderstatus)) AS t_status,
+           lower(typeof(o_orderdate)) AS t_date,
+           lower(typeof(o_orderkey > 1)) AS t_bool,
+           lower(typeof(CAST(o_totalprice AS DECIMAL(18,2)))) AS t_dec
+    FROM orders WHERE o_orderkey = 1
+    """,
+    oracle="""
+    SELECT lower(typeof(o_orderkey)) AS t_key,
+           lower(typeof(o_totalprice)) AS t_price,
+           replace(lower(typeof(o_orderstatus)), 'varchar', 'string')
+             AS t_status,
+           replace(lower(typeof(o_orderdate)), ' with time zone', '')
+             AS t_date,
+           lower(typeof(o_orderkey > 1)) AS t_bool,
+           lower(typeof(CAST(o_totalprice AS DECIMAL(18,2)))) AS t_dec
+    FROM orders WHERE o_orderkey = 1
+    """,
+    tags=("scalar", "misc"),
+    doc="arrow_typeof parity (reference B8 misc, the one DataFusion scalar "
+    "with no same-name Spark twin): Spark's typeof() vs DuckDB's typeof(). "
+    "Engines name types differently (VARCHAR vs string, TIMESTAMP WITH "
+    "TIME ZONE vs timestamp), so the oracle maps the documented vocabulary "
+    "and the query asserts structural type identity: int/float width, "
+    "decimal precision/scale, boolean, timestamp-ness.",
+)
+
 # ---------------------------------------------------------------------------
 # B8 — second array sweep; B4 — argmin/argmax + conditional count aggregates
 # ---------------------------------------------------------------------------
