@@ -258,7 +258,9 @@ def _zip_global_index(spark: SparkSession, df):
         .withColumn("__idx", F.col("__off") + F.col("__rn") - F.lit(1))
         .drop("__pid", "__rn", "__off")
     )
-    return indexed, sdf
+    # acc is the side's total row count — the offsets job already paid
+    # for it, so callers need no separate df.count() scan
+    return indexed, sdf, acc
 
 
 def _compare_epsilon_sorted(
@@ -275,14 +277,23 @@ def _compare_epsilon_sorted(
     pairwise epsilon matching without a shared row order is a bipartite
     matching problem — this mode pins the order by the exact columns
     first, which resolves every practical case."""
-    i1, c1 = _zip_global_index(spark, df1)
-    i2, c2 = _zip_global_index(spark, df2.toDF(*df1.columns))
+    i1, c1, n1 = _zip_global_index(spark, df1)
+    i2, c2, n2 = _zip_global_index(spark, df2.toDF(*df1.columns))
+    if n1 != n2:
+        c1.unpersist()
+        c2.unpersist()
+        return ComparisonResult(
+            False, f"Row counts do not match: {n1} != {n2}"
+        )
     r2 = i2.select(
         "__idx", *[F.col(c).alias(f"__r_{c}") for c in df1.columns]
     )
     j = i1.join(r2, "__idx", "full_outer")
 
     float_cols = {c for c, t in df1.dtypes if t in ("float", "double")}
+    map_cols = {
+        f.name for f in df1.schema.fields if f.dataType.typeName() == "map"
+    }
     bad = F.lit(False)
     for c in df1.columns:
         left, right = F.col(c), F.col(f"__r_{c}")
@@ -291,6 +302,16 @@ def _compare_epsilon_sorted(
                 left.eqNullSafe(right)  # both null, or bitwise-equal (inf)
                 | (F.isnan(left) & F.isnan(right))
                 | (F.abs(left - right) < F.lit(epsilon))
+            )
+            # NULL-vs-value: |l - r| is NULL, and a NULL col_ok would be
+            # skipped by the SUM and dropped by the filter below — i.e.
+            # silently counted as a match. Pin it to a definite mismatch.
+            col_ok = F.coalesce(col_ok, F.lit(False))
+        elif c in map_cols:
+            # eqNullSafe is undefined over maps (no ordering); compare
+            # the canonical entry arrays, as the exact hash mode does
+            col_ok = F.array_sort(F.map_entries(left)).eqNullSafe(
+                F.array_sort(F.map_entries(right))
             )
         else:
             col_ok = left.eqNullSafe(right)
@@ -365,11 +386,8 @@ def _compare_hash(
         )
 
     if epsilon is not None:
-        n1, n2 = df1.count(), df2.count()
-        if n1 != n2:
-            return ComparisonResult(
-                False, f"Row counts do not match: {n1} != {n2}"
-            )
+        # count pre-check happens inside: the per-partition offsets job
+        # already totals each side, so no separate count() scans
         return _compare_epsilon_sorted(spark, df1, df2, epsilon)
     df2 = df2.toDF(*df1.columns)
 

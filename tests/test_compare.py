@@ -113,6 +113,60 @@ def test_hash_mode_epsilon_boundary_pairs_exact(spark, files):
     assert compare_files(spark, a, b, epsilon=1e-3, method="hash").ok
 
 
+def test_hash_mode_epsilon_null_vs_value_differ(spark, files):
+    """A NULL float against a value is a MISMATCH. Regression: the
+    three-valued |l-r|<eps predicate evaluated to NULL for such a pair,
+    and a NULL verdict was skipped by the SUM and dropped by the filter
+    — i.e. silently counted as a match ('Files match' on differing
+    files)."""
+    a = files("en_a.parquet", {"k": [1, 2], "y": [1.0, 2.0]})
+    b = files("en_b.parquet", {"k": [1, 2], "y": [1.0, None]})
+    res = compare_files(spark, a, b, epsilon=0.001, method="hash")
+    assert not res.ok
+    # symmetric direction too (NULL on the left)
+    assert not compare_files(spark, b, a, epsilon=0.001, method="hash").ok
+    # both NULL stays a match
+    c = files("en_c.parquet", {"k": [1, 2], "y": [1.0, None]})
+    assert compare_files(spark, b, c, epsilon=0.001, method="hash").ok
+
+
+def test_hash_mode_epsilon_with_map_column(spark, tmp_path):
+    """Epsilon mode must not apply eqNullSafe to map columns (Spark
+    defines no map ordering and rejects the comparison); maps compare by
+    canonical entry arrays, as in the exact hash mode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "k": [1, 2],
+            "y": [1.0, 2.0],
+            "m": pa.array(
+                [{"a": 1, "b": 2}, {"c": 3}],
+                type=pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    a, b = str(tmp_path / "ma.parquet"), str(tmp_path / "mb.parquet")
+    pq.write_table(t, a)
+    pq.write_table(t, b)
+    assert compare_files(spark, a, b, epsilon=0.001, method="hash").ok
+    # differing map -> mismatch
+    t2 = pa.table(
+        {
+            "k": [1, 2],
+            "y": [1.0, 2.0],
+            "m": pa.array(
+                [{"a": 1, "b": 2}, {"c": 4}],
+                type=pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    c = str(tmp_path / "mc.parquet")
+    pq.write_table(t2, c)
+    assert not compare_files(spark, a, c, epsilon=0.001, method="hash").ok
+
+
 def test_hash_mode_epsilon_order_insensitive(spark, files):
     """Epsilon mode keys the zip on the canonical sort, not file order:
     same rows shuffled with eps-noise still match; a beyond-eps value
@@ -134,8 +188,9 @@ def test_epsilon_index_plan_is_distributed_jvm_only(spark):
     df = spark.range(10_000).selectExpr(
         "id AS k", "CAST(id AS DOUBLE) / 7 AS y"
     )
-    indexed, cached = _zip_global_index(spark, df)
+    indexed, cached, total = _zip_global_index(spark, df)
     try:
+        assert total == 10_000  # offsets job doubles as the side's count
         plan = indexed._jdf.queryExecution().executedPlan().toString()
         # the DATA path must not round-trip through an RDD (the tiny
         # driver-built offsets table is a legitimate ExistingRDD on the
