@@ -124,7 +124,13 @@ def _read_arrow(spark: SparkSession, path: str) -> DataFrame:
         with pa.memory_map(first, "rb") as f:
             arrow_schema = ipc.open_file(f).schema
     except pa.ArrowInvalid:
-        arrow_schema = feather.read_table(first).schema  # stream/v1 path
+        try:
+            # IPC *stream* format: the schema is the stream's first
+            # message, so this reads only the header, no data
+            with pa.memory_map(first, "rb") as f:
+                arrow_schema = ipc.open_stream(f).schema
+        except pa.ArrowInvalid:
+            arrow_schema = feather.read_table(first).schema  # feather v1
     from pyspark.sql.pandas.types import from_arrow_schema
 
     spark_schema = from_arrow_schema(arrow_schema)

@@ -115,6 +115,38 @@ def test_arrow_directory_multifile_read(spark, tmp_path):
     assert {r.a for r in df.collect()} == {1, 2, 3}
 
 
+def test_arrow_stream_format_single_file_read(spark, tmp_path):
+    """A single stream-format .arrow file must read. Regression: the
+    driver schema probe tried ipc.open_file then feather.read_table,
+    and NEITHER reads stream format — only the executor-side decoder
+    did, so the read crashed before any task ran. Also covers a
+    directory whose alphabetically-first file is stream-format (the
+    probe reads whichever sorts first)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    p = str(tmp_path / "s.arrow")
+    with ipc.new_stream(
+        p, pa.schema([("a", pa.int64()), ("b", pa.string())])
+    ) as w:
+        w.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}))
+    df = read_file(spark, p)
+    assert df.count() == 2 and df.columns == ["a", "b"]
+
+    d = tmp_path / "sdir"
+    d.mkdir()
+    with ipc.new_stream(
+        str(d / "a1.arrow"), pa.schema([("a", pa.int64())])
+    ) as w:
+        w.write_table(pa.table({"a": [1]}))
+    with ipc.new_stream(
+        str(d / "b2.arrow"), pa.schema([("a", pa.int64())])
+    ) as w:
+        w.write_table(pa.table({"a": [2]}))
+    df = read_file(spark, str(d), fmt="arrow")
+    assert {r.a for r in df.collect()} == {1, 2}
+
+
 def test_mergeschema_reads_drifted_directory(spark, tmp_path):
     # schema evolution across files in one table directory: mergeSchema
     # unions the schemas; missing columns null-fill (the B1 robustness a
