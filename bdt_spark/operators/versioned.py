@@ -105,23 +105,64 @@ def read_versioned(
     return spark.read.parquet(f"{root}/{meta['data_dir']}")
 
 
+def _is_already_exists(e: Exception) -> bool:
+    """True only for the exclusive-create collision, not other IO errors."""
+    je = getattr(e, "java_exception", None)
+    if je is None:
+        return isinstance(e, FileExistsError)
+    names = []
+    cur = je
+    while cur is not None:
+        try:
+            names.append(cur.getClass().getName())
+            cur = cur.getCause()
+        except Exception:
+            break
+    return any(
+        n.endswith("FileAlreadyExistsException")
+        or n.endswith("PathExistsException")
+        for n in names
+    )
+
+
 def _commit_manifest(
     spark: SparkSession, root: str, version: int, meta: dict
 ) -> None:
-    """The atomic commit point: exclusive create of the manifest object."""
+    """The atomic commit point: exclusive create of the manifest object,
+    then a read-back verification.
+
+    The exclusive create is atomic on local FS and HDFS, and maps to a
+    conditional PUT on object stores that support it (S3 If-None-Match
+    needs Hadoop 3.4.1+ with fs.s3a.create.conditional.enabled; GCS
+    preconditions are native). On an S3A stack WITHOUT conditional
+    create, create(overwrite=False) degrades to HEAD-then-PUT and two
+    racing writers can both "succeed" with the last PUT winning — so
+    after writing, each writer reads the manifest back and checks its
+    own attempt token: exactly one writer (the surviving PUT) sees its
+    token; the other gets ConcurrentCommitError instead of silent loss.
+    """
     fs = _fs(spark, root)
     fs.mkdirs(_jpath(spark, f"{root}/_manifests"))
     target = _jpath(spark, f"{root}/_manifests/v{version:08d}.json")
+    meta = dict(meta, attempt=uuid.uuid4().hex)
     try:
         out = fs.create(target, False)  # overwrite=False -> exclusive
-    except Exception as e:  # Py4JJavaError(FileAlreadyExists) or precheck
-        raise ConcurrentCommitError(
-            f"version {version} already committed under {root!r}"
-        ) from e
+    except Exception as e:
+        if _is_already_exists(e):
+            raise ConcurrentCommitError(
+                f"version {version} already committed under {root!r}"
+            ) from e
+        raise  # permission / transient IO: surface the real error
     try:
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
     finally:
         out.close()
+    committed = read_manifest(spark, root, version)
+    if committed.get("attempt") != meta["attempt"]:
+        raise ConcurrentCommitError(
+            f"lost non-atomic commit race on version {version} under "
+            f"{root!r} (store lacks conditional PUT)"
+        )
 
 
 def write_versioned(
@@ -185,15 +226,25 @@ def merge_upsert_versioned(
 
 
 def vacuum_versions(
-    spark: SparkSession, root: str, keep_last: int = 2
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    orphan_min_age_s: float = 24 * 3600,
 ) -> list[int]:
     """Delete data dirs (and manifests) of all but the newest `keep_last`
     versions, plus orphaned attempt dirs no manifest references (crashed
     or lost-race commits). Returns removed versions (orphans as their
     version number). Run only when no reader can still hold a handle older
-    than the retained window."""
+    than the retained window.
+
+    `orphan_min_age_s`: an unreferenced attempt dir younger than this is
+    NOT an orphan — it may belong to an in-flight writer that has staged
+    its data but not yet PUT the manifest; deleting it would let that
+    commit land pointing at nothing. The default (24 h) outlives any
+    reasonable write job; pass 0 only when no writer can be in flight."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time as _time
     fs = _fs(spark, root)
     versions = table_versions(spark, root)
     keep = set(versions[-keep_last:])
@@ -211,10 +262,16 @@ def vacuum_versions(
         removed.append(v)
     ddir = _jpath(spark, f"{root}/data")
     if fs.exists(ddir):
+        cutoff_ms = (_time.time() - orphan_min_age_s) * 1000
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
             m = re.match(r"^v(\d{8})-", name)
-            if m and name not in referenced and int(m.group(1)) not in keep:
+            if (
+                m
+                and name not in referenced
+                and int(m.group(1)) not in keep
+                and st.getModificationTime() <= cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)  # orphan: commit never landed
                 removed.append(int(m.group(1)))
     return sorted(removed)

@@ -92,12 +92,50 @@ def test_versioned_vacuum_removes_old_and_orphans(spark, root):
     spark.createDataFrame([(0, "orphan", 0)], "k int, v string, gen int").write.parquet(
         f"{root}/data/v00000099-deadbeef0000"
     )
+    # a FRESH unreferenced attempt dir is an in-flight writer, not an
+    # orphan: the default age guard must keep it
     removed = vacuum_versions(spark, root, keep_last=2)
-    assert removed == [1, 2, 99]
+    assert removed == [1, 2]
+    import os
+
+    assert os.path.isdir(f"{root}/data/v00000099-deadbeef0000")
+    # with the guard waived (caller asserts no writer in flight) it goes
+    removed = vacuum_versions(spark, root, keep_last=2, orphan_min_age_s=0)
+    assert removed == [99]
     assert table_versions(spark, root) == [3, 4]
     # survivors still readable, newest state intact
     assert read_versioned(spark, root).filter("k = 1").first().v == "g4"
     assert read_versioned(spark, root, version=3).count() == 10
+
+
+def test_commit_readback_detects_lost_nonatomic_race(spark, root, monkeypatch):
+    """On a store where create(overwrite=False) is HEAD-then-PUT (plain
+    S3A), two racing PUTs can both 'succeed'. The commit reads the
+    manifest back and checks its attempt token, so the overwritten
+    writer raises instead of silently losing its merge."""
+    import bdt_spark.operators.versioned as V
+
+    monkeypatch.setattr(
+        V, "read_manifest", lambda *a, **k: {"attempt": "rival-writer"}
+    )
+    with pytest.raises(ConcurrentCommitError, match="non-atomic"):
+        V._commit_manifest(
+            spark, root, 42, {"rows": 0, "data_dir": "data/v00000042-x"}
+        )
+
+
+def test_commit_ioerror_is_not_masked_as_concurrency(spark, root):
+    """A create failure that is NOT an exists-collision must surface as
+    the real error, not ConcurrentCommitError (which tells the caller to
+    retry forever against a commit that never happened)."""
+    import bdt_spark.operators.versioned as V
+
+    # root path inside a FILE (not a dir) -> create fails with an IO
+    # error that is not FileAlreadyExists
+    bad_root = f"{root}/_manifests/v00000001.json/sub"
+    with pytest.raises(Exception) as ei:
+        V._commit_manifest(spark, bad_root, 1, {"rows": 0, "data_dir": "d"})
+    assert not isinstance(ei.value, ConcurrentCommitError)
 
 
 def test_versioned_rejects_schema_drift(spark, root):
