@@ -205,10 +205,19 @@ def cmd_upsert(args) -> None:
             v = merge_upsert_versioned(spark, args.table, delta, keys)
             print(f"committed version v{v} of {args.table}")
     else:
+        import os as _os
+
         from bdt_spark.operators.upsert import merge_upsert
 
-        n = merge_upsert(spark, args.table, delta, keys)
-        print(f"table {args.table} now has {n} rows")
+        if not _os.path.exists(args.table):
+            # first use: initialize, like the versioned branch above and
+            # the streaming writeback do
+            delta.write.parquet(args.table)
+            n = spark.read.parquet(args.table).count()
+            print(f"initialized table {args.table} with {n} rows")
+        else:
+            n = merge_upsert(spark, args.table, delta, keys)
+            print(f"table {args.table} now has {n} rows")
 
 
 def cmd_vacuum(args) -> None:

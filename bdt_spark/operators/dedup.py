@@ -145,6 +145,7 @@ def minhash_pairs(
     # MEMORY_AND_DISK spills per-executor, no shuffle is added.
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     buckets.count()
+    hot = None
     if hot_bucket_cap:
         hot = (
             buckets.groupBy("bkey")
@@ -153,6 +154,10 @@ def minhash_pairs(
             .select("bkey")
         )
         if stats is not None:
+            # persist so the count here and the anti-join build below
+            # share one aggregation over the cached buckets (the hot set
+            # is tiny: at most n_rows / cap keys)
+            hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
             stats["hot_bucket_cap"] = hot_bucket_cap
             stats["hot_buckets_dropped"] = hot.count()
         capped = buckets.join(F.broadcast(hot), "bkey", "left_anti")
@@ -194,4 +199,6 @@ def minhash_pairs(
     out.count()
     sh.unpersist()
     buckets.unpersist()
+    if hot is not None and stats is not None:
+        hot.unpersist()
     return out

@@ -158,6 +158,12 @@ def test_cli_upsert_and_versioned_vacuum(tmp_path, capsys, spark):
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
 
+    # first use on a nonexistent path initializes instead of crashing
+    fresh = str(tmp_path / "fresh_tbl")
+    assert main(["upsert", fresh, delta_p, "--keys", "k"]) == 0
+    assert "initialized" in capsys.readouterr().out
+    assert spark.read.parquet(fresh).count() == 2
+
     # versioned path: init + merge + vacuum
     root = str(tmp_path / "vtbl")
     assert main(["upsert", root, delta_p, "--keys", "k", "--versioned"]) == 0
