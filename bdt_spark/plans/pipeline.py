@@ -843,17 +843,17 @@ sql_query(
     """,
     oracle=f"""
     WITH marks AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w > INTERVAL '1 hour'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WHERE user_id < 10 AND ts < TIMESTAMP '2024-01-08 00:00:00'
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM marks
     )
@@ -2033,7 +2033,7 @@ sql_query(
     "events_sessionize_gaps_islands",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -2044,7 +2044,7 @@ sql_query(
     numbered AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -2059,7 +2059,7 @@ sql_query(
     """,
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -2070,7 +2070,7 @@ sql_query(
     numbered AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -2139,7 +2139,9 @@ def _curation_v2_sql(dialect: str) -> str:
     packing stats on top of the v1 quality/dedup gates."""
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
-    expl = "explode(shingles)" if spark else "unnest(shingles)"
+    # explode_outer: see _decontam_sql — plain explode implies a pushed
+    # size(arr)>0 scan filter that double-evaluates the shingle expression
+    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
     if spark:
         words = "explode(split(lower(text), ' '))"
         ws_tokens = "size(split(text, ' '))"

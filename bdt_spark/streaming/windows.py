@@ -83,7 +83,13 @@ def tumbling_counts_stream(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # decimal-pinned sum (registry.dsum): micro-batch partials
+            # accumulate in a different order than the batch query's, and
+            # a plain double SUM can land on the other side of the
+            # round-to-6 boundary, flaking the stream-vs-batch cross-check
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -103,7 +109,10 @@ def sessionized_stream(
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # decimal-pinned, same reason as tumbling_counts_stream
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -126,13 +135,23 @@ RUNNING_MAX_SCHEMA = StructType(
 )
 
 
-def stateful_running_max(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+def stateful_running_max(events: DataFrame) -> DataFrame:
     """Per-user running max + count via applyInPandasWithState.
 
     The custom-stateful-operator surface: state lives partitioned by
     user_id on the executors; each micro-batch updates it from its Arrow
-    batches. GroupStateTimeout would evict idle users in production.
-    """
+    batches.
+
+    State here is NoTimeout — bounded by the key domain (users), not
+    time. Idle-key eviction via GroupStateTimeout.ProcessingTimeTimeout
+    is the production knob for unbounded key domains, but it is NOT wired
+    here: on this PySpark build the timeout path is unusable (armed
+    processing-time timeouts drive the micro-batch loop into continuous
+    no-data batches and an INTERNAL_ERROR in phase planning — reproduced
+    with the documented hasTimedOut/remove pattern). An earlier version
+    accepted a `timeout_ms` argument and silently ignored it; an
+    argument that promises state eviction and does nothing is worse than
+    no argument."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
@@ -287,8 +306,13 @@ def upsert_stream_to_parquet(
             return
         import os
 
-        if not os.path.exists(base_path):
-            latest.write.parquet(base_path)
+        # The _SUCCESS marker, not the directory, decides "table exists":
+        # a crash mid-way through the initial write leaves a partial dir
+        # with no marker, and a bare exists-check would route the replayed
+        # batch into the merge path, which then fails forever reading the
+        # truncated table. mode("overwrite") makes the init retryable.
+        if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+            latest.write.mode("overwrite").parquet(base_path)
         else:
             resolved = resolve_against(spark.read.parquet(base_path))
             merge_upsert(spark, base_path, resolved, key_cols)

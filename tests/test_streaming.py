@@ -87,6 +87,15 @@ def test_stateful_running_max(spark, sf_dir, events_stream):
         assert got_map[r.user_id] == (r.running_max, r.n_seen)
 
 
+def test_stateful_running_max_rejects_removed_timeout_arg(events_stream):
+    """The old signature accepted timeout_ms and silently ignored it —
+    promising idle-state eviction that never happened. The argument is
+    gone (the ProcessingTimeTimeout path is broken on this Spark build,
+    see the operator docstring); passing it must fail loudly, not lie."""
+    with pytest.raises(TypeError):
+        stateful_running_max(events_stream, timeout_ms=60_000)
+
+
 def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream):
     deduped = (
         events_stream.withWatermark("ts", "1 hour")
