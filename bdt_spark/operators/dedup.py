@@ -94,7 +94,10 @@ def minhash_pairs(
 
     Exact transplant of the oracled `dedup_minhash_lsh` plan (see
     plans/pipeline.py for the DuckDB oracle pinning these semantics),
-    parameterized by column names.
+    parameterized by column names. The oracle models the hot-bucket cap
+    at its DEFAULT value, so the gate holds even on corpora where the
+    cap triggers; callers overriding `hot_bucket_cap` diverge from the
+    oracle by construction (they asked for different semantics).
 
     `hot_bucket_cap` bounds candidate-pair blowup: band buckets with more
     than `hot_bucket_cap` members are dropped before the self-join (see

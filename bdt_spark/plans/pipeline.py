@@ -164,6 +164,8 @@ def _minhash_lsh_sql(dialect: str) -> str:
          {_lane_mins(dialect)}
       FROM hashed GROUP BY doc_id
     ),"""
+    from bdt_spark.operators.dedup import HOT_BUCKET_CAP
+
     return f"""
     WITH sh AS (
       SELECT doc_id, {shingles} AS shingles FROM documents
@@ -171,9 +173,19 @@ def _minhash_lsh_sql(dialect: str) -> str:
     buckets AS (
       SELECT doc_id, {explode} AS bkey FROM sig
     ),
+    capped AS (
+      -- model the Spark operator's hot-bucket cap (operators/dedup.py):
+      -- band buckets with more than HOT_BUCKET_CAP members are dropped
+      -- before pairing, so the oracle agrees even when the cap triggers
+      SELECT doc_id, bkey FROM buckets
+      WHERE bkey NOT IN (
+        SELECT bkey FROM buckets GROUP BY bkey
+        HAVING COUNT(*) > {HOT_BUCKET_CAP}
+      )
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
     verified AS (
       SELECT doc_a, doc_b, {jac} AS jaccard
