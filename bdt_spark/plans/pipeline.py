@@ -516,7 +516,11 @@ def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     return out
 
 
-def _lsh_bucket_sql(dialect: str) -> str:
+def _plane_bucket_expr(dialect: str) -> str:
+    """Sign-LSH bucket id from the fixed hyperplane table — the ONE
+    construction both similarity_lsh_buckets and similarity_topk_lsh use
+    (a plane-count or dot-product fix must hit both or their bucketing
+    silently desynchronizes)."""
     spark = dialect == "spark"
     planes = _hyperplanes()
     bits = []
@@ -536,7 +540,11 @@ def _lsh_bucket_sql(dialect: str) -> str:
                 " (x, y) -> x + y)"
             )
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bits)
+    return " + ".join(bits)
+
+
+def _lsh_bucket_sql(dialect: str) -> str:
+    bucket = _plane_bucket_expr(dialect)
     return f"""
     SELECT CAST({bucket} AS INT) AS bucket,
            COUNT(*) AS n_vectors,
@@ -560,26 +568,7 @@ sql_query(
 
 def _lsh_topk_sql(dialect: str) -> str:
     """ANN via LSH: probe only the query's bucket, exact cosine inside."""
-    spark = dialect == "spark"
-    planes = _hyperplanes()
-    bits = []
-    for p, row in enumerate(planes):
-        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in row)
-        arr = f"array({lit})" if spark else f"[{lit}]"
-        if spark:
-            dot = (
-                f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
-                " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-                " (acc, v) -> acc + v)"
-            )
-        else:
-            dot = (
-                f"list_reduce(list_transform(range(1, len(embedding) + 1),"
-                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]),"
-                " (x, y) -> x + y)"
-            )
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bits)
+    bucket = _plane_bucket_expr(dialect)
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: see _cosine_neardup_sql — avoids a 1-task bucket join
     hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
@@ -1546,6 +1535,24 @@ sql_query(
 PACK_BUDGET = 2048
 
 
+def _first_fit_pack(pdf):
+    """Stream-order (doc_id) first-fit pack ids. ONE implementation for
+    both packing queries — their DuckDB recursive-CTE oracles and the
+    independent tools/verify_packing.py checker all assume identical
+    pack semantics, so a drift between two copies would break the gate
+    subtly, not loudly."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_ids, fill, pid = [], 0, 0
+    for tk in pdf["tokens"]:
+        if fill > 0 and fill + tk > PACK_BUDGET:
+            pid, fill = pid + 1, int(tk)
+        else:
+            fill += int(tk)
+        pack_ids.append(pid)
+    pdf["pack_id"] = pack_ids
+    return pdf
+
+
 def _packing_oracle_sql() -> str:
     # Greedy consecutive packing per lang via DuckDB recursive CTE: the
     # working table carries (pack_id, fill) row to row in doc_id order.
@@ -1597,20 +1604,8 @@ def tokens_sequence_packing(spark, sf_dir):
         "lang", "doc_id", "CAST(size(split(text, ' ')) AS INT) AS tokens"
     )
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, fill, pid = [], 0, 0
-        for tk in pdf["tokens"]:
-            if fill > 0 and fill + tk > PACK_BUDGET:
-                pid, fill = pid + 1, int(tk)
-            else:
-                fill += int(tk)
-            pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
-        return pdf
-
     packed = toks.groupBy("lang").applyInPandas(
-        pack, "lang string, doc_id long, tokens int, pack_id int"
+        _first_fit_pack, "lang string, doc_id long, tokens int, pack_id int"
     )
     return (
         packed.groupBy("lang", "pack_id")
@@ -1747,11 +1742,8 @@ def tokens_packing_efficiency(spark, sf_dir):
 
 def _centroid_sql(dialect: str) -> str:
     spark = dialect == "spark"
+    nrm = _norm(dialect, "embedding")
     if spark:
-        nrm = (
-            "SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)"
-            " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-        )
         return f"""
         WITH nn AS (
           SELECT label, embedding, {nrm} AS nrm FROM embeddings
@@ -1768,10 +1760,6 @@ def _centroid_sql(dialect: str) -> str:
         FROM ex GROUP BY label, i
         ORDER BY label, i
         """
-    nrm = (
-        "SQRT(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)"
-        " * CAST(x AS DOUBLE)), (x, y) -> x + y))"
-    )
     return f"""
     WITH nn AS (
       SELECT label, embedding, {nrm} AS nrm FROM embeddings
@@ -2269,20 +2257,8 @@ def tokens_sequence_packing_sharded(spark, sf_dir):
         "CAST(size(split(text, ' ')) AS INT) AS tokens",
     )
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, fill, pid = [], 0, 0
-        for tk in pdf["tokens"]:
-            if fill > 0 and fill + tk > PACK_BUDGET:
-                pid, fill = pid + 1, int(tk)
-            else:
-                fill += int(tk)
-            pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
-        return pdf
-
     packed = toks.groupBy("lang", "shard").applyInPandas(
-        pack,
+        _first_fit_pack,
         "lang string, shard int, doc_id long, tokens int, pack_id int",
     )
     return (
