@@ -99,6 +99,20 @@ def build_ivf_index(
     emb = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    # duplicate ids would be silently collapsed by the per-id argmin in
+    # _assign (one of the embeddings vanishes from the index, unfindable
+    # by any probe) — reject them at build time instead
+    [dup_check] = (
+        emb.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("vec_id").alias("d"),
+        ).collect()
+    )
+    if dup_check.n != dup_check.d:
+        raise ValueError(
+            f"{id_col!r} must be unique: {dup_check.n} rows but only "
+            f"{dup_check.d} distinct ids"
+        )
     # deterministic seeds: smallest md5(vec_id), stable on any cluster
     seeds = (
         emb.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
@@ -125,7 +139,10 @@ def build_ivf_index(
             .groupBy("cluster_id", "pos")
             .agg(
                 (
-                    F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                    # 38,12 = 26 integer digits of headroom: 30,12 held
+                    # only 18, and a large-magnitude embedding sum
+                    # overflows the CAST under ANSI (Spark 4 default)
+                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
                     / F.count("*")
                 ).alias("m")
             )
@@ -142,6 +159,12 @@ def build_ivf_index(
             # truncate every 5 so long trainings keep bounded plans and a
             # straggler retry re-runs one iteration, not the whole chain
             centroids = centroids.localCheckpoint(eager=True)
+    # materialize the trained centroids ONCE: the centroids write and the
+    # assignments write are two separate actions, and without this each
+    # re-runs the entire Lloyd chain (double build cost, and two
+    # recomputations that must agree bit-for-bit to keep the index
+    # internally consistent)
+    centroids = centroids.localCheckpoint(eager=True)
     final = _assign(emb, centroids)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     # cluster-local layout: each probe reads only its clusters' row groups.

@@ -71,6 +71,10 @@ def asof_join(
         *[_c(c) for c in left.columns if c not in (on, left_ts)],
         F.lit(None).cast(payload_type).alias("__rpay"),
     )
+    # A right row with NULL ts can match nothing: ASOF's t_right <= t_left
+    # is NULL-falsy (the DuckDB oracle never matches it), but Spark's ASC
+    # sort puts NULLs FIRST, where the carry-forward would pick it up.
+    right = right.filter(_c(right_ts).isNotNull())
     r_tagged = right.select(
         _c(on),
         _c(right_ts).alias("__ts"),
@@ -83,9 +87,21 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # "__rpay" as the final sort key is the tiebreaker among RIGHT rows
+    # sharing (key, ts): without it their relative order is whatever the
+    # shuffle produced and the carried payload flips between runs. Struct
+    # ordering is field-wise, so of several candidates the greatest
+    # payload deterministically wins (documented choice; DuckDB's ASOF
+    # leaves the tie unspecified). NULL __rpay (left rows) sorts first
+    # within its (ts, side) group, which is inert: left rows carry no
+    # payload and side=1 already orders them after right rows. Spark
+    # defines no ordering over maps, so a map-bearing payload keeps the
+    # old unspecified tie order rather than failing the whole join.
+    orderable = "map<" not in payload_type.simpleString()
+    order_keys = ["__ts", "__side"] + (["__rpay"] if orderable else [])
     w = (
         Window.partitionBy(_c(on))
-        .orderBy("__ts", "__side")
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("__rpay", ignorenulls=True).over(w)

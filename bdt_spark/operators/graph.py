@@ -78,6 +78,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iters while labels were still moving: returning
+        # the current labels would silently split one component into
+        # several (a long dup chain surviving dedup as "distinct" docs).
+        # Min-label propagation converges in <= graph diameter rounds, so
+        # this means the diameter exceeds max_iters — fail loudly.
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); the graph "
+            f"diameter exceeds max_iters — raise max_iters"
+        )
     edges.unpersist()
     return labels.select(
         F.col("label").alias("cluster_id"), F.col("node").alias("node")

@@ -48,6 +48,8 @@ def write_clustered(
     parquet-mr's default sizing."""
     if not cluster_by:
         raise ValueError("cluster_by must name at least one column")
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     missing = [
         c for c in (bloom_filter_cols or []) if c not in df.columns
     ]
@@ -56,7 +58,7 @@ def write_clustered(
     cols = [df[c] for c in cluster_by]
     part = (
         df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
+        if num_partitions is not None
         else df.repartitionByRange(*cols)
     )
     writer = part.sortWithinPartitions(*cols).write.mode(mode)

@@ -98,9 +98,22 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
+_BUILDING = "\x00building"  # _named/_make_* in-progress sentinel key
+
+
 def _named(schema, names):
-    """Resolve named-type references ("MyRecord") against seen defs."""
+    """Resolve named-type references ("MyRecord") against seen defs.
+
+    A reference to a record whose definition is still being compiled is a
+    recursive schema: compiling it would recurse without bound, so it is
+    rejected with a clear error (the module docstring's contract) instead
+    of dying ~1000 frames deep in RecursionError."""
     if isinstance(schema, str) and schema in names:
+        if schema in names.get(_BUILDING, ()):
+            raise AvroError(
+                f"recursive avro schemas are not supported: {schema!r} "
+                f"references itself"
+            )
         return names[schema]
     return schema
 
@@ -135,11 +148,16 @@ def _make_decoder(schema, names=None):
         logical = schema.get("logicalType")
         if t in ("record", "error"):
             name = schema.get("name")
+            building = names.setdefault(_BUILDING, set())
             if name:
                 names[name] = schema
-            field_decs = [
-                _make_decoder(f["type"], names) for f in schema["fields"]
-            ]
+                building.add(name)
+            try:
+                field_decs = [
+                    _make_decoder(f["type"], names) for f in schema["fields"]
+                ]
+            finally:
+                building.discard(name)
             field_names = [f["name"] for f in schema["fields"]]
 
             def dec_record(r, fd=field_decs, fn=field_names):
@@ -434,12 +452,18 @@ def avro_schema_to_spark(schema):
             t = s["type"]
             logical = s.get("logicalType")
             if t in ("record", "error"):
-                if s.get("name"):
-                    names[s["name"]] = s
-                fields = []
-                for f in s["fields"]:
-                    typ, nullable = conv(f["type"], names)
-                    fields.append(T.StructField(f["name"], typ, nullable))
+                name = s.get("name")
+                building = names.setdefault(_BUILDING, set())
+                if name:
+                    names[name] = s
+                    building.add(name)
+                try:
+                    fields = []
+                    for f in s["fields"]:
+                        typ, nullable = conv(f["type"], names)
+                        fields.append(T.StructField(f["name"], typ, nullable))
+                finally:
+                    building.discard(name)
                 return T.StructType(fields), False
             if t == "enum":
                 return T.StringType(), False
@@ -584,23 +608,46 @@ def _make_encoder(schema, names=None):
         encs = [_make_encoder(s, names) for s in schema]
         types = [s if isinstance(s, str) else s.get("type") for s in schema]
         null_idx = types.index("null") if "null" in types else None
+        non_null = [i for i in range(len(encs)) if i != null_idx]
+        # The encoder can pick a branch unambiguously only for the
+        # [null, X] shape (either order). A general multi-branch union
+        # needs value-to-branch resolution; silently guessing branch 0
+        # wrote the NULL branch for non-null values (value read back as
+        # None — data corruption). The DECODER handles general unions;
+        # only encoding them is refused, loudly.
+        if len(non_null) != 1:
+            raise AvroError(
+                f"cannot encode union with {len(non_null)} non-null "
+                f"branches ({types}): only [null, X] unions are supported "
+                f"for writing"
+            )
+        val_idx = non_null[0]
 
-        def enc_union(v, out, encs=encs, null_idx=null_idx):
-            if v is None and null_idx is not None:
+        def enc_union(v, out, encs=encs, null_idx=null_idx, val_idx=val_idx):
+            if v is None:
+                if null_idx is None:
+                    raise AvroError(f"None for non-nullable union {types}")
                 out += _zigzag(null_idx)
                 return
-            idx = 1 - null_idx if null_idx is not None and len(encs) == 2 else 0
-            out += _zigzag(idx)
-            encs[idx](v, out)
+            out += _zigzag(val_idx)
+            encs[val_idx](v, out)
 
         return enc_union
     if isinstance(schema, dict):
         t = schema["type"]
         logical = schema.get("logicalType")
         if t in ("record", "error"):
-            if schema.get("name"):
-                names[schema["name"]] = schema
-            fencs = [_make_encoder(f["type"], names) for f in schema["fields"]]
+            name = schema.get("name")
+            building = names.setdefault(_BUILDING, set())
+            if name:
+                names[name] = schema
+                building.add(name)
+            try:
+                fencs = [
+                    _make_encoder(f["type"], names) for f in schema["fields"]
+                ]
+            finally:
+                building.discard(name)
             fnames = [f["name"] for f in schema["fields"]]
 
             def enc_record(v, out, fe=fencs, fn=fnames):
@@ -644,16 +691,17 @@ def _make_encoder(schema, names=None):
             return enc_dec
         if t == "int" and logical == "date":
             return lambda v, out: out.__iadd__(_zigzag((v - _EPOCH_DATE).days))
-        if t == "long" and logical == "timestamp-micros":
+        if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+            millis = logical == "timestamp-millis"
 
-            def enc_ts(v, out):
+            def enc_ts(v, out, millis=millis):
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=timezone.utc)
                 # exact integer micros: total_seconds() is a float whose ulp
                 # reaches ~0.5 us near year 2100, off-by-1-us round trips
                 d = v - _EPOCH_DT
                 micros = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
-                out += _zigzag(micros)
+                out += _zigzag(micros // 1000 if millis else micros)
 
             return enc_ts
         return _make_encoder(t, names)

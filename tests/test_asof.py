@@ -80,3 +80,42 @@ def test_asof_right_columns_needing_backquotes(spark):
     assert row["my value_r"] == 7.0
     assert row["a.b-c_r"] == "ok"
     assert row["ts_r"] == T(2024, 1, 1, 10)
+
+
+def test_asof_right_tie_deterministic(spark):
+    """Several RIGHT rows sharing (key, ts): the matched payload must be
+    the same on every run — the window tiebreaks on the payload struct,
+    so the greatest payload wins deterministically (documented choice)."""
+    import datetime as dt
+
+    T = dt.datetime
+    left = _df(spark, [(1, T(2024, 1, 1, 11))], "uid int, ts timestamp")
+    right = _df(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10), 100.0),
+            (1, T(2024, 1, 1, 10), 300.0),
+            (1, T(2024, 1, 1, 10), 200.0),
+        ],
+        "uid int, ts timestamp, v double",
+    )
+    for _ in range(3):
+        [row] = asof_join(
+            left.repartition(8), right.repartition(8), on="uid", suffix="_r"
+        ).collect()
+        assert row.v_r == 300.0
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts must match nothing (ASOF's t_r <= t_l is
+    NULL-falsy, as in the DuckDB oracle); Spark's NULLS FIRST sort would
+    otherwise carry it into every left row."""
+    import datetime as dt
+
+    T = dt.datetime
+    left = _df(spark, [(1, T(2024, 1, 1, 10))], "uid int, ts timestamp")
+    right = _df(
+        spark, [(1, None, 5.0)], "uid int, ts timestamp, v double"
+    )
+    [row] = asof_join(left, right, on="uid", suffix="_r").collect()
+    assert row.v_r is None and row.ts_r is None

@@ -234,6 +234,67 @@ def test_bad_magic_and_codec_errors(tmp_path):
         decode_file(bytes(raw))
 
 
+def test_union_null_first_or_last_roundtrips():
+    """[null, X] and [X, null] must both write the VALUE branch for
+    non-null values. Regression: branch selection assumed null-at-0 and
+    otherwise wrote branch 0 — for ['null','long','string'] (or any
+    general union) a non-null value was encoded on the NULL branch and
+    read back as None (silent corruption); general unions now refuse to
+    encode, loudly."""
+    for union in (["null", "long"], ["long", "null"]):
+        schema = {
+            "type": "record",
+            "name": "U",
+            "fields": [{"name": "f", "type": union}],
+        }
+        raw = write_avro([{"f": 42}, {"f": None}], schema)
+        _, rows = decode_file(raw)
+        assert [r["f"] for r in rows] == [42, None]
+    multi = {
+        "type": "record",
+        "name": "M",
+        "fields": [{"name": "f", "type": ["null", "long", "string"]}],
+    }
+    with pytest.raises(AvroError, match="non-null branches"):
+        write_avro([{"f": 42}], multi)
+
+
+def test_timestamp_millis_write_roundtrips():
+    """The decoder supports timestamp-millis; the encoder fell through to
+    the bare long encoder and crashed on datetime values."""
+    from datetime import datetime, timezone
+
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            }
+        ],
+    }
+    v = datetime(2024, 3, 1, 12, 30, 45, 123000, tzinfo=timezone.utc)
+    _, rows = decode_file(write_avro([{"ts": v}], schema))
+    # decoder yields naive UTC (session pinned to UTC)
+    assert rows[0]["ts"] == v.replace(tzinfo=None)
+
+
+def test_recursive_schema_clear_error():
+    """A self-referential record must raise AvroError (the documented
+    contract), not die in RecursionError ~1000 frames deep."""
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    with pytest.raises(AvroError, match="recursive"):
+        write_avro([{"v": 1, "next": None}], schema)
+
+
 # ---------------------------------------------------------------------------
 # property-based round-trip fuzzing (hypothesis)
 # ---------------------------------------------------------------------------

@@ -39,16 +39,18 @@ def test_lineage_is_truncated(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "a int, b int"
     )
+    # path diameter is 6; convergence DETECTION needs one further
+    # no-change round, so 7 iterations (6 would now raise non-converged)
     plan_ck = (
-        connected_components(pairs, "a", "b", max_iters=6, checkpoint_every=5)
+        connected_components(pairs, "a", "b", max_iters=7, checkpoint_every=5)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     plan_no = (
-        connected_components(pairs, "a", "b", max_iters=6, checkpoint_every=100)
+        connected_components(pairs, "a", "b", max_iters=7, checkpoint_every=100)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     # the surviving join chain above the truncation point is strictly
     # shorter than the full-lineage loop's, and absolutely shallow (only
-    # the post-checkpoint iteration survives in the plan)
+    # the 2 post-checkpoint iterations survive in the plan)
     assert plan_ck.count("Join") < plan_no.count("Join")
-    assert plan_ck.count("Join") <= 4
+    assert plan_ck.count("Join") <= 10
