@@ -97,8 +97,13 @@ def _single(output: str) -> None:
     import shutil
 
     parts = sorted(glob.glob(os.path.join(output + ".dir", "part-*")))
-    if os.path.exists(output) and os.path.isfile(output):
-        os.remove(output)
+    if len(parts) != 1:
+        raise RuntimeError(f"expected 1 part file, found {len(parts)}")
+    if os.path.exists(output):
+        # a directory at the target (interrupted run, prior non-single
+        # write) must be REPLACED — moving the part INTO it would bury
+        # the result as output/part-0000... (convert.py handles this too)
+        os.remove(output) if os.path.isfile(output) else shutil.rmtree(output)
     shutil.move(parts[0], output)
     shutil.rmtree(output + ".dir", ignore_errors=True)
 
@@ -162,7 +167,10 @@ def cmd_dedup(args) -> None:
         )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-        print(f"wrote {out.count()} rows to {args.output}")
+        # count the WRITTEN parquet (metadata-backed), not the pipeline —
+        # out.count() would re-execute the whole job a second time
+        n_rows = spark.read.parquet(args.output).count()
+        print(f"wrote {n_rows} rows to {args.output}")
     else:
         out.show(50, truncate=False)
 
@@ -181,7 +189,8 @@ def cmd_cluster_write(args) -> None:
         bloom_filter_cols=args.bloom.split(",") if args.bloom else None,
         bloom_expected_ndv=args.bloom_ndv,
     )
-    print(f"clustered {df.count()} rows by {args.by} into {args.output}")
+    n_rows = spark.read.parquet(args.output).count()  # metadata-backed
+    print(f"clustered {n_rows} rows by {args.by} into {args.output}")
 
 
 def cmd_upsert(args) -> None:
@@ -252,7 +261,10 @@ def cmd_ann_probe(args) -> None:
     )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-        print(f"wrote {out.count()} rows to {args.output}")
+        # count the WRITTEN parquet (metadata-backed), not the pipeline —
+        # out.count() would re-execute the whole job a second time
+        n_rows = spark.read.parquet(args.output).count()
+        print(f"wrote {n_rows} rows to {args.output}")
     else:
         out.show(50, truncate=False)
 

@@ -93,12 +93,22 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """Distributed decode via Arrow-batched mapInPandas."""
 
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+    _null_feats = {c: None for c in cols if c != "doc_id"}
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
+            # NULL payload (e.g. a NULL source column cast to binary) ->
+            # NULL features, not a worker-killing len(None); explicit
+            # columns= keeps empty Arrow batches typed (a bare
+            # pd.DataFrame([]) has no columns and the projection KeyErrors)
+            feats = [
+                _null_feats if p is None else decode_image(p, fake=fake)
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(feats, columns=[c for c in cols if c != "doc_id"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[[f.name for f in DECODE_SCHEMA.fields]]
+            yield out[cols]
 
     return df.mapInPandas(decode_batches, DECODE_SCHEMA)
 
@@ -114,6 +124,9 @@ def sample_frames(df: DataFrame, every_bytes: int = 100) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), 0, None))
+                    continue
                 n_frames = max(1, len(payload) // every_bytes)
                 for i in range(n_frames):
                     chunk = payload[i * every_bytes : (i + 1) * every_bytes]
@@ -152,6 +165,9 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((int(doc_id), None, None, None))
+                    continue
                 b = bytes(payload)[:target_bytes].ljust(target_bytes, b"#")
                 out.append(
                     (int(doc_id), b, len(b), hashlib.md5(b).hexdigest())
@@ -184,6 +200,9 @@ def chunk_energy(df: DataFrame, chunk_bytes: int = 100) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), 0, None, None))
+                    continue
                 b = bytes(payload)
                 for i in range(0, max(len(b), 1), chunk_bytes):
                     chunk = np.frombuffer(b[i : i + chunk_bytes], dtype=np.uint8)

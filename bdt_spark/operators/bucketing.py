@@ -52,10 +52,14 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the fact side, replicate the dim side.
 
-    Deterministic salt (hash of the full fact row's monotonically varying
-    secondary columns isn't needed — spreading rows of the SAME key is the
-    point, so any per-row value works; we use a stable hash of all columns
-    modulo n_salts).
+    Salt: `monotonically_increasing_id() % n_salts` — a per-ROW value
+    independent of content. A content hash here would be wrong twice: the
+    common skew shape is a hot key whose rows are exact DUPLICATES (repeated
+    log/default rows), which all hash identically and land on one reducer
+    anyway; and hashing all columns throws on map-typed columns. The salt
+    only affects row DISTRIBUTION, never the join result, so it does not
+    need to be stable across runs — and within one job a retried task
+    recomputes the same ids.
 
     Only `inner` and `left` (fact-preserving) joins are supported: the dim
     side is replicated n_salts times, so right/full outer joins would emit
@@ -68,7 +72,8 @@ def salted_join(
             "right/full outer joins"
         )
     fact_salted = fact.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     dim_replicated = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -86,7 +86,9 @@ def read_parquet_meta(path: str) -> ParquetMeta:
                     column=col.path_in_schema,
                     file_offset=col.file_offset,
                     physical_type=col.physical_type,
-                    logical_type=str(st.logical_type) if st else None,
+                    # from the SCHEMA, not the stats object: a chunk
+                    # written without statistics still has a logical type
+                    logical_type=str(md.schema.column(ci).logical_type),
                     compressed_bytes=col.total_compressed_size,
                     uncompressed_bytes=col.total_uncompressed_size,
                     num_values=col.num_values,

@@ -25,6 +25,51 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def validate_merge_inputs(
+    base: DataFrame, delta: DataFrame, key_cols: list[str]
+) -> None:
+    """Shared pre-merge checks for the swap and manifest upsert paths.
+
+    1. Same column NAME set. 2. Same column TYPES — same names with
+    different types would pass a name check, and unionByName would widen
+    the merged column, permanently rewriting the table's schema (e.g. a
+    CSV-inferred string id over a bigint). 3. No duplicate keys within
+    the delta — the anti-join removes the base row and then BOTH delta
+    rows would append, silently breaking the one-row-per-key invariant
+    with no defined winner."""
+    if set(base.columns) != set(delta.columns):
+        raise ValueError(
+            f"schema mismatch: base {sorted(base.columns)} "
+            f"vs delta {sorted(delta.columns)}"
+        )
+    base_types = {f.name: f.dataType for f in base.schema.fields}
+    drift = [
+        f"{f.name}: base {base_types[f.name].simpleString()} vs delta "
+        f"{f.dataType.simpleString()}"
+        for f in delta.schema.fields
+        if f.dataType != base_types[f.name]
+    ]
+    if drift:
+        raise ValueError(f"schema type mismatch: {'; '.join(drift)}")
+    # count_distinct over a STRUCT of the keys: unlike COUNT(DISTINCT a,b)
+    # it does not skip rows with NULL key components, so a NULL-keyed
+    # delta reports as duplicates of the NULL key rather than passing
+    [kdup] = (
+        delta.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(
+                F.struct(*[F.col(c) for c in key_cols])
+            ).alias("d"),
+        ).collect()
+    )
+    if kdup.n != kdup.d:
+        raise ValueError(
+            f"delta has duplicate keys on {key_cols}: {kdup.n} rows, "
+            f"{kdup.d} distinct keys — reduce to one row per key first "
+            f"(e.g. latest-by-timestamp)"
+        )
+
+
 def merge_upsert(
     spark: SparkSession,
     base_path: str,
@@ -75,11 +120,7 @@ def merge_upsert(
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
     base = spark.read.parquet(base_path)
-    if set(base.columns) != set(delta.columns):
-        raise ValueError(
-            f"schema mismatch: base {sorted(base.columns)} "
-            f"vs delta {sorted(delta.columns)}"
-        )
+    validate_merge_inputs(base, delta, key_cols)
     keys = delta.select(*key_cols).distinct()
     if broadcast_delta:
         keys = F.broadcast(keys)

@@ -213,11 +213,9 @@ def merge_upsert_versioned(
     if base_version is None:
         raise ValueError(f"no committed version under {root!r}")
     base = read_versioned(spark, root, base_version)
-    if set(base.columns) != set(delta.columns):
-        raise ValueError(
-            f"schema mismatch: base {sorted(base.columns)} "
-            f"vs delta {sorted(delta.columns)}"
-        )
+    from bdt_spark.operators.upsert import validate_merge_inputs
+
+    validate_merge_inputs(base, delta, key_cols)
     keys = delta.select(*key_cols).distinct()
     if broadcast_delta:
         keys = F.broadcast(keys)

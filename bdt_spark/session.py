@@ -64,6 +64,13 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Reuse semantics (getOrCreate): RUNTIME-settable builder confs —
+    # shuffle partitions, extra_conf — ARE applied to an existing session
+    # (so a later get_spark() with the env-default shuffle partitions
+    # overwrites a caller's earlier explicit value: pin per-query confs
+    # with spark.conf.set if they must survive other components' calls).
+    # STATIC confs (driver memory, master) are silently dropped on reuse
+    # and require a fresh JVM.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

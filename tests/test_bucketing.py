@@ -87,9 +87,15 @@ def test_aqe_skew_join_split_engages(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
+        # pin shuffle partitions: the skew sizes below are tuned for 8,
+        # and ANY in-process get_spark() call (e.g. a CLI test running
+        # earlier) resets the shared session to the env default 32 —
+        # getOrCreate applies runtime builder confs to existing sessions
+        conf.set("spark.sql.shuffle.partitions", "8")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",

@@ -26,3 +26,34 @@ def test_oracle_coverage():
     no_oracle = [n for n, s in specs.items() if s.oracle is None]
     # only genuinely non-SQL-expressible ops may omit the oracle
     assert set(no_oracle) <= {"agg_approx_count_distinct"}
+
+
+def test_multimodal_null_payload_and_empty_batch(spark):
+    """NULL payloads (a NULL source column cast to binary) must yield NULL
+    features, not kill the Python worker with len(None); empty Arrow
+    batches must stay typed (decode_features previously KeyError'd on
+    pd.DataFrame([]))."""
+    from bdt_spark.functions.multimodal import (
+        chunk_energy,
+        decode_features,
+        resize_payload,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    b = with_binary_payload(df)
+    feats = {r.doc_id: r for r in decode_features(b).collect()}
+    assert feats[1].n_bytes == 5 and feats[1].head_md5 is not None
+    assert feats[2].n_bytes is None and feats[2].head_md5 is None
+    frames = {r.doc_id: r for r in sample_frames(b).collect()}
+    assert frames[2].frame_md5 is None
+    rs = {r.doc_id: r for r in resize_payload(b).collect()}
+    assert rs[1].out_bytes == 64 and rs[2].payload_resized is None
+    en = {r.doc_id: r for r in chunk_energy(b).collect()}
+    assert en[1].energy is not None and en[2].energy is None
+    # empty input -> empty typed result, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert decode_features(with_binary_payload(empty)).count() == 0

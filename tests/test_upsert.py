@@ -94,3 +94,25 @@ def test_upsert_restores_base_if_swap_fails(spark, base, monkeypatch):
     # base is whole and unchanged
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     assert got[1] == "v1" and len(got) == 10
+
+
+def test_upsert_rejects_type_drift(spark, base, tmp_path):
+    """Same column NAMES with different TYPES passed the old name-set
+    check, and unionByName would permanently widen the table's column
+    (e.g. CSV-inferred string over bigint)."""
+    delta = spark.createDataFrame(
+        [("9", "z", 1)], "k string, v string, gen int"
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        merge_upsert(spark, base, delta, ["k"])
+
+
+def test_upsert_rejects_duplicate_delta_keys(spark, base):
+    """Two delta rows for one key would BOTH survive the merge (anti-join
+    removes the base row, both appends land) — no defined winner, so
+    reject."""
+    delta = spark.createDataFrame(
+        [(5, "x", 2), (5, "y", 2)], "k int, v string, gen int"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, base, delta, ["k"])
