@@ -238,9 +238,15 @@ def dedup_minhash_lsh(spark, sf_dir):
 sql_query(
     "dedup_exact_text",
     """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0
+    )
     SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
            MIN(doc_id) AS keep_doc_id
-    FROM documents
+    FROM corpus
     GROUP BY md5(text)
     HAVING COUNT(*) > 1
     ORDER BY text_hash
@@ -248,33 +254,53 @@ sql_query(
     tags=("dedup", "exact"),
     doc="Exact dedup: hash-groupBy on md5(text); survivors = MIN(doc_id). "
     "Map-side partial agg then one shuffle on the hash — the canonical "
-    "exact-dedup plan at any scale.",
+    "exact-dedup plan at any scale. The sf0.01 fixture is duplicate-free "
+    "(500 unique texts), which made the original query vacuously empty; "
+    "the corpus CTE re-inserts every 25th doc under a shifted id so the "
+    "HAVING>1 groups and MIN-survivor logic are exercised with a "
+    "deterministic 20-group result at the driver's sf.",
 )
+
+_NORM_DEDUP_CORPUS = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || '!!' AS text
+      FROM documents WHERE doc_id % 25 = 3
+    )
+"""
 
 sql_query(
     "dedup_exact_normalized",
-    """
+    f"""
+    WITH {_NORM_DEDUP_CORPUS}
     SELECT norm_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
     FROM (
       SELECT doc_id,
              md5(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS norm_hash
-      FROM documents) t
+      FROM corpus) t
     GROUP BY norm_hash
     HAVING COUNT(*) > 1
     ORDER BY norm_hash
     """,
-    oracle="""
+    oracle=f"""
+    WITH {_NORM_DEDUP_CORPUS}
     SELECT norm_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
     FROM (
       SELECT doc_id,
              md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm_hash
-      FROM documents) t
+      FROM corpus) t
     GROUP BY norm_hash
     HAVING COUNT(*) > 1
     ORDER BY norm_hash
     """,
     tags=("dedup", "exact"),
-    doc="Exact dedup after lowercase+strip-punctuation normalization.",
+    doc="Exact dedup after lowercase+strip-punctuation normalization. The "
+    "injected copies are UPPERCASED with trailing punctuation, so they "
+    "collide ONLY under normalization (dedup_exact_text's raw-hash query "
+    "does not see them) — the pair of queries discriminates raw-vs-"
+    "normalized semantics on a fixture that is otherwise duplicate-free "
+    "at sf<=0.01.",
 )
 
 
@@ -356,7 +382,7 @@ def _ngram_jaccard_sql(dialect: str) -> str:
     return f"""
     WITH sh AS (
       SELECT doc_id, lang, {shingles} AS shingles
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 2000
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
@@ -375,7 +401,11 @@ sql_query(
     tags=("dedup", "jaccard"),
     doc="Blocked pairwise 3-gram Jaccard (block = lang). The O(n^2) stays "
     "inside blocks; at scale the MinHash-LSH query supplies candidates "
-    "instead of the block cross-join.",
+    "instead of the block cross-join. The doc_id cut (2000) covers the "
+    "whole sf0.01 corpus — the fixture's 6 genuine near-dup pairs all "
+    "survive the 0.2 threshold (the previous <200 cut excluded every one, "
+    "leaving a vacuous empty oracle) — while still bounding the in-block "
+    "pair count at larger sf.",
 )
 
 
@@ -429,11 +459,35 @@ def _cosine_neardup_sql(dialect: str) -> str:
     # stage at sf1). REPARTITION spreads the pair space across the
     # cluster; DuckDB plans its own parallelism and takes no hint.
     hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
+    # The fixture's max same-label pair cosine is ~0.475 at sf0.01, so a
+    # 0.9 near-dup threshold was vacuously empty at the driver's sf. The
+    # injected rows re-insert every 20th vector with even-index dims
+    # scaled by 1.1 — cosine vs the source lands at ~0.9989 (non-trivial:
+    # direction changes, so the query must actually normalize), while
+    # injected-vs-other pairs stay far below threshold. Deterministic
+    # double arithmetic, identical in both engines.
+    if dialect == "spark":
+        perturbed = (
+            "transform(embedding, (x, i) -> CASE WHEN i % 2 = 0 THEN"
+            " CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END)"
+        )
+    else:
+        perturbed = (
+            "list_transform(range(1, len(embedding) + 1), i ->"
+            " CASE WHEN (i - 1) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE)"
+            " * 1.1 ELSE CAST(embedding[i] AS DOUBLE) END)"
+        )
     return f"""
-    WITH v AS (
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, label, {perturbed} AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    v AS (
       SELECT {hint}vec_id, label, embedding,
              {_norm(dialect, "embedding")} AS nrm
-      FROM embeddings
+      FROM corpus
     ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim
@@ -453,7 +507,9 @@ sql_query(
     tags=("dedup", "embedding", "cosine"),
     doc="Embedding near-dup: label-blocked pairwise cosine >= 0.9. Blocking "
     "keys bound the pair count; at 100 TB the hyperplane-LSH buckets below "
-    "replace the label block.",
+    "replace the label block. Near-dup vectors are injected (every 20th "
+    "vector, even dims scaled 1.1x) because the raw fixture's max pair "
+    "cosine is ~0.475 — see the corpus CTE comment in _cosine_neardup_sql.",
 )
 
 
@@ -1951,15 +2007,29 @@ def _substring_contam_sql(dialect: str) -> str:
         if dialect == "spark"
         else "position(b.snippet IN c.text) > 0"
     )
+    # Only one organic corpus doc contains a verbatim bench snippet at
+    # sf0.01 — a 1-row result barely exercises the contains-join. The
+    # contam CTE plants each snippet inside a synthetic carrier doc so the
+    # query provably flags every contaminated doc (>= 10 rows at any sf)
+    # on top of the organic hit.
     return f"""
     WITH bench AS (
       SELECT doc_id AS bench_id, SUBSTRING(text, 10, 40) AS snippet
       FROM documents WHERE doc_id < 10 AND LENGTH(text) >= 50
     ),
+    contam AS (
+      SELECT bench_id + 1000000 AS doc_id,
+             'leaked eval text: ' || snippet || ' (end of leak)' AS text
+      FROM bench
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 10
+      UNION ALL
+      SELECT doc_id, text FROM contam
+    ),
     flagged AS (
       SELECT c.doc_id, b.bench_id
-      FROM documents c JOIN bench b ON {pos}
-      WHERE c.doc_id >= 10
+      FROM corpus c JOIN bench b ON {pos}
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_benchmarks_hit,

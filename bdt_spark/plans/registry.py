@@ -80,8 +80,80 @@ def sql_query(
     return register(QuerySpec(name=name, fn=fn, oracle=oracle_text, tags=tags, doc=doc))
 
 
+# The driver's CORRECTNESS artifact records only the first 50 entries of
+# queries(), in dict order. Registration order is module-import order (TPC-H
+# first), which for five rounds meant the artifact never sampled the
+# LLM-pipeline families. This explicit priority prefix interleaves one-or-two
+# flagships from EVERY family (tpch, join, agg, window, sort, setop, scalar,
+# filter, array/json/struct/map, query structure, dedup, similarity, text,
+# events, sampling, tokens, embedding, graph, pipeline, multimodal,
+# grouped-map) into the first 50; everything else follows in registration
+# order. Pure ordering change — specs, oracles, and names are untouched.
+_PRIORITY_ORDER: tuple[str, ...] = (
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "similarity_topk_ivf",
+    "tokens_sequence_packing",
+    "events_asof_join",
+    "text_benchmark_decontamination",
+    "multimodal_decode_features",
+    "sample_stratified_exact",
+    "dedup_connected_components",
+    "pipeline_curation_end_to_end",
+    "graph_pagerank_neardup",
+    "grouped_map_zscore",
+    "embedding_normalize_centroid",
+    "join_inner_multi_key",
+    "agg_distinct_counts",
+    "window_ranking",
+    "sort_nulls_ordering",
+    "setop_except_all",
+    "scalar_string_functions",
+    "scalar_predicates",
+    "array_functions",
+    "json_extraction",
+    "struct_nested",
+    "query_values_inline",
+    "query_nested_cte",
+    "distinct_projection",
+    "pivot_segments_by_status",
+    "unpivot_stack",
+    "lateral_posexplode",
+    "catalog_information_schema",
+    "map_functions",
+    "nullops_fill_drop",
+    "query_recursive_cte",
+    "dedup_simhash",
+    "dedup_exact_text",
+    "similarity_topk_bruteforce",
+    "similarity_ivf_recall_curve",
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "events_session_window",
+    "events_tumbling_window",
+    "sample_language_temperature",
+    "sample_deterministic_hash",
+    "tokens_packing_efficiency",
+    "multimodal_chunk_energy",
+    "dedup_embedding_cosine",
+    "events_ordered_funnel",
+    "text_pii_redaction",
+    "pipeline_curation_v2",
+    "window_topk_per_group",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    """Registry in driver-facing order: family-sampling prefix, then the
+    remaining specs in registration order."""
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY_ORDER:
+        if name in _REGISTRY:  # tolerate partial imports in unit tests
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def get_query(name: str) -> QuerySpec:

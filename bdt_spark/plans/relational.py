@@ -1137,12 +1137,16 @@ sql_query(
 sql_query(
     "setop_except_all",
     """
-    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
     EXCEPT ALL
     SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
     ORDER BY k
     """,
     tags=("setop", "except-all"),
+    doc="Multiset EXCEPT ALL. Cuts tuned so the sf0.01 result is 3079 rows "
+    "while plain EXCEPT is 0 rows — every surviving row comes from a "
+    "multiplicity difference, so the oracle genuinely pins bag semantics "
+    "(the previous q>48 cut produced an empty, vacuous result).",
 )
 
 sql_query(
