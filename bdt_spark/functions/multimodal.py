@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -61,14 +62,17 @@ FRAME_SCHEMA = StructType(
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode one image payload to features.
 
-    Real decode requires an image codec library that is not in this
-    container — STUBBED per the build contract. `fake=True` produces a
-    deterministic content-derived result so the distributed plumbing can be
-    tested end-to-end and oracled in SQL.
+    Compressed-codec decode (PNG/JPEG/...) requires libraries this
+    container does not ship — that path stays stubbed. `fake=True`
+    produces a deterministic content-derived result so the distributed
+    plumbing can be tested end-to-end and oracled in SQL. For REAL decode
+    of uncompressed formats see decode_real_features / imagecodec.py
+    (pure-Python BMP + PPM parsers, used by multimodal_decode_bmp).
     """
     if not fake:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; use fake=True"
+            "compressed-image codecs unavailable in this environment; "
+            "use fake=True, or decode_real_features for BMP/PPM payloads"
         )
     n = len(payload)
     return {
@@ -78,6 +82,121 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
         "fake_width": (n % 64) + 1,
         "fake_height": (n % 48) + 1,
     }
+
+
+# --- real image decode (pure-Python BMP/PPM codec) --------------------------
+
+# Feature schema for REAL decoding: integer-exact channel sums plus the
+# top-left pixel (row-order sensitive: a decoder that forgets BMP's
+# bottom-up storage returns the bottom-left pixel instead) plus IEEE-exact
+# means (same int/int division in both engines — no rounding needed).
+REAL_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+    ]
+)
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _doc_pixels(doc_id: int, text: str) -> "object":
+    """Deterministic (h, w, 3) uint8 RGB derived from a document row.
+
+    Pixel k (row-major, top-down): v = byte k%len(text) of the text;
+    channels r=v, g=2v mod 256, b=v+73 mod 256 — three DIFFERENT values so
+    channel-order bugs (BMP stores BGR) break the feature parity.
+    """
+    import numpy as np
+
+    w = doc_id % 13 + 4
+    h = doc_id % 7 + 3
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    v = data[np.arange(w * h) % len(data)].astype(np.int32)
+    rgb = np.stack([v, (v * 2) % 256, (v + 73) % 256], axis=1).astype(np.uint8)
+    return rgb.reshape(h, w, 3)
+
+
+def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL image payload: even doc_ids become
+    24-bit BMPs (bottom-up rows, BGR, stride padding), odd doc_ids binary
+    PPMs (top-down, RGB, no padding). Executor-side via mapInPandas."""
+    from bdt_spark.functions.imagecodec import encode_bmp, encode_ppm
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                px = _doc_pixels(int(doc_id), text)
+                enc = encode_bmp if doc_id % 2 == 0 else encode_ppm
+                rows.append((int(doc_id), enc(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)
+
+
+def decode_real_features(df: DataFrame) -> DataFrame:
+    """REAL image decode via the pure-Python BMP/PPM parser — no fake path.
+
+    The parser (functions/imagecodec.py) is independent of the encoder's
+    pixel formula: it reads only the byte layout, so the SQL oracle
+    recomputing the same features from first principles catches any
+    encode- or decode-side layout bug (row order, channel order, stride)."""
+    import numpy as np
+
+    from bdt_spark.functions.imagecodec import decode_image_bytes
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, px = decode_image_bytes(payload)
+                h, w, _ = px.shape
+                npix = w * h
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                tl = px[0, 0]
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        w,
+                        h,
+                        npix,
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        int(sums[0]) / npix,
+                        int(sums[1]) / npix,
+                        int(sums[2]) / npix,
+                        int(tl[0]),
+                        int(tl[1]),
+                        int(tl[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_DECODE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decode_batches, REAL_DECODE_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -128,6 +128,63 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 7 + 3 AS INT) AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM documents WHERE length(text) >= 1
+    ),
+    px AS (
+      SELECT doc_id, fmt, width, height, n, text,
+             CAST(unnest(range(0, width * height)) AS BIGINT) AS k
+      FROM dims
+    ),
+    vals AS (
+      SELECT doc_id, fmt, width, height, k,
+             ascii(substr(text, CAST(k % n AS INT) + 1, 1)) AS v
+      FROM px
+    )
+    SELECT doc_id, fmt, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM((v * 2) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((v + 73) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_r,
+           CAST(SUM((v * 2) % 256) AS DOUBLE) / (width * height) AS mean_g,
+           CAST(SUM((v + 73) % 256) AS DOUBLE) / (width * height) AS mean_b,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INT) AS tl_r,
+           CAST(MAX(CASE WHEN k = 0 THEN (v * 2) % 256 END) AS INT) AS tl_g,
+           CAST(MAX(CASE WHEN k = 0 THEN (v + 73) % 256 END) AS INT) AS tl_b
+    FROM vals
+    GROUP BY doc_id, fmt, width, height
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "codec"),
+    doc="REAL image decode, no fake path: each doc is rendered to an actual "
+    "24-bit BMP (even ids: bottom-up rows, BGR order, 4-byte stride "
+    "padding) or binary PPM P6 (odd ids: top-down, RGB, unpadded) by the "
+    "pure-Python codec in functions/imagecodec.py, then parsed back by the "
+    "layout-only decoder. The oracle recomputes width/height/channel sums/"
+    "means/top-left pixel from first principles on the text bytes, so any "
+    "encode- or decode-side layout bug (row flip, BGR/RGB swap, stride) "
+    "breaks the hash match. Integer-exact sums; means are the same int/int "
+    "IEEE division in both engines. Executor-side mapInPandas throughout.",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        decode_real_features,
+        encode_doc_images,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.length("text") >= 1)
+    return decode_real_features(encode_doc_images(docs)).orderBy("doc_id")
+
+
 RESIZE_BYTES = 64
 
 

@@ -124,7 +124,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "nullops_fill_drop",
     "query_recursive_cte",
     "dedup_simhash",
-    "dedup_exact_text",
+    "multimodal_decode_bmp",
     "similarity_topk_bruteforce",
     "similarity_ivf_recall_curve",
     "text_quality_scores",
