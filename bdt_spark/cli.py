@@ -164,6 +164,8 @@ def cmd_dedup(args) -> None:
             id_col=args.id_col,
             text_col=args.text_col,
             threshold=args.threshold,
+            k_hash=args.minhash_k,
+            n_bands=args.minhash_bands,
         )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
@@ -323,6 +325,15 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--columns", help="comma list for exact dedup key")
     dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument(
+        "--minhash-k", type=int, default=8,
+        help="minhash signature length (multiple of 4; 64-128 for "
+        "production-tight Jaccard estimates)",
+    )
+    dd.add_argument(
+        "--minhash-bands", type=int, default=4,
+        help="LSH bands (must divide --minhash-k; rows per band = k/bands)",
+    )
     dd.add_argument("--output")
     dd.set_defaults(fn=cmd_dedup)
 

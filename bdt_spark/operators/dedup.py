@@ -16,9 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Default minhash geometry. 8 hashes / 4 bands (2 rows per band) gives an
+# S-curve centered near t=0.5 and is what the DuckDB oracle models;
+# production near-dup at corpus scale typically runs 64-128 hashes — pass
+# k_hash/n_bands to minhash_pairs (or --minhash-k/--minhash-bands on the
+# CLI) to tighten the Jaccard estimate (see
+# tests/test_dedup_ops.py::test_higher_k_tightens_jaccard_estimate).
 K_HASH = 8          # minhash signature length
 N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS)
-N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
 
 # Per-band-bucket membership cap. A band bucket with n docs emits
 # n*(n-1)/2 candidate pairs, so ONE boilerplate-heavy bucket (a shared
@@ -46,10 +51,41 @@ def shingle_expr(text_col: str = "text") -> str:
     )
 
 
-def band_keys_expr() -> str:
-    rows = K_HASH // N_BANDS
+def _validate_geometry(k_hash: int, n_bands: int) -> None:
+    if k_hash < 4 or k_hash % 4 != 0:
+        raise ValueError(
+            f"k_hash must be a positive multiple of 4 (md5 yields four "
+            f"8-hex-char lanes per digest), got {k_hash}"
+        )
+    if n_bands < 1 or k_hash % n_bands != 0:
+        raise ValueError(
+            f"n_bands must divide k_hash evenly, got k_hash={k_hash} "
+            f"n_bands={n_bands}"
+        )
+
+
+def minhash_lane_exprs(k_hash: int = K_HASH) -> tuple[list[str], list[str]]:
+    """(digest_exprs, lane_exprs) computing a k_hash-lane minhash signature
+    over a `shingles` array column. Each seeded md5 digest is evaluated once
+    per (shingle, seed) and sliced into four 8-hex-char lanes; lane mins via
+    array_min — map-only, no explode."""
+    digest_exprs = [
+        f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
+        for i in range(k_hash // 4)
+    ]
+    lane_exprs = [
+        f"array_min(transform(d{j // 4}, x -> substring(x,"
+        f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
+        for j in range(k_hash)
+    ]
+    return digest_exprs, lane_exprs
+
+
+def band_keys_expr(k_hash: int = K_HASH, n_bands: int = N_BANDS) -> str:
+    _validate_geometry(k_hash, n_bands)
+    rows = k_hash // n_bands
     parts = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         sig = ", ".join(f"h{b * rows + r}" for r in range(rows))
         parts.append(f"concat('b{b}:', md5(concat({sig})))")
     return f"array({', '.join(parts)})"
@@ -89,6 +125,8 @@ def minhash_pairs(
     n_partitions: int = 32,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
     stats: dict | None = None,
+    k_hash: int = K_HASH,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -110,9 +148,17 @@ def minhash_pairs(
     by construction (at most n_rows / cap keys, in practice a handful of
     boilerplate clusters). Pass a `stats` dict to receive
     {"hot_buckets_dropped": n, "hot_bucket_cap": cap}.
+
+    `k_hash`/`n_bands` set the signature geometry (rows per band =
+    k_hash / n_bands). More hashes tighten the per-pair Jaccard estimate
+    (stderr ~ sqrt(j(1-j)/k)); more rows per band sharpen the S-curve so
+    fewer below-threshold candidates reach verification. The oracled
+    defaults (8/4) are far below the 64-128 production near-dup uses;
+    non-default geometry diverges from the DuckDB oracle by construction.
     """
     from pyspark import StorageLevel
 
+    _validate_geometry(k_hash, n_bands)
     sh = (
         df.repartition(n_partitions, id_col)
         .selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
@@ -126,19 +172,13 @@ def minhash_pairs(
     # per (shingle, seed), exactly like the exploded form), then lane mins
     # via array_min — no explode, no doc_id shuffle; the band-bucket
     # exchange below is the pipeline's ONLY pre-join shuffle
-    digest_exprs = [
-        f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
-        for i in range(N_MD5_SEEDS)
-    ]
-    lane_exprs = [
-        f"array_min(transform(d{j // 4}, x -> substring(x,"
-        f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
-        for j in range(K_HASH)
-    ]
+    digest_exprs, lane_exprs = minhash_lane_exprs(k_hash)
     sig = sh.selectExpr(id_col, *digest_exprs).selectExpr(
         id_col, *lane_exprs
     )
-    buckets = sig.selectExpr(id_col, f"explode({band_keys_expr()}) AS bkey")
+    buckets = sig.selectExpr(
+        id_col, f"explode({band_keys_expr(k_hash, n_bands)}) AS bkey"
+    )
     # Persist the (id, bkey) table: it is tiny (N_BANDS rows per doc, two
     # narrow columns) but its lineage contains ALL the md5 signature
     # transforms — and it has three consumers (the hot-bucket count and
