@@ -78,18 +78,34 @@ sql_query(
 )
 
 # --- q5: local supplier volume (6-table join) -------------------------------
+# Scale note: the textbook join order builds on the FULL customer table,
+# which exceeds the broadcast threshold past sf~5 (1.5M rows at sf10) and
+# forced a sort-merge join — the slowest query of the sf10 bench (35.3s).
+# The asia_customer CTE semi-join-reduces customer through the tiny
+# region->nation filter FIRST (the c_nationkey = s_nationkey equi-condition
+# makes the reduction exact): the build side shrinks ~5x and column-prunes
+# to two ints, so AQE restores a broadcast join at sf10 while the identical
+# ANSI text remains the DuckDB oracle. Reduction shape pinned by
+# tests/test_plans.py::test_q5_customer_semi_reduced_before_facts.
 sql_query(
     "tpch_q5_local_supplier_volume",
     f"""
+    WITH asia_nation AS (
+      SELECT n_nationkey, n_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    asia_customer AS (
+      SELECT c_custkey, c_nationkey
+      FROM customer JOIN asia_nation ON c_nationkey = n_nationkey
+    )
     SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
-    FROM customer
+    FROM asia_customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    JOIN asia_nation ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
     GROUP BY n_name
     ORDER BY revenue DESC

@@ -175,3 +175,23 @@ def test_similarity_selfjoins_are_repartitioned(spark, sf_dir):
         assert "REPARTITION_BY_NUM" in text or "RoundRobinPartitioning" in text, (
             f"{name}: no repartition of the one-file corpus\n{text[:1500]}"
         )
+
+
+def test_q5_customer_semi_reduced_before_facts(spark, sf_dir):
+    """The scale-critical q5 shape: customer is reduced by the tiny
+    region->nation filter BEFORE the fact joins (a direct customer-nation
+    broadcast join on c_nationkey exists in the plan — the textbook order
+    only ever joins customer's nationkey transitively via supplier), and
+    the customer scan is pruned to the two join columns."""
+    import re
+
+    text = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume", mode="simple")
+    assert re.search(
+        r"BroadcastHashJoin \[c_nationkey#\d+L?\], \[n_nationkey#\d+L?\]", text
+    ), text
+    fmt = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    cust_schema = [
+        l for l in fmt.splitlines() if "ReadSchema" in l and "c_custkey" in l
+    ][0]
+    assert "c_nationkey" in cust_schema
+    assert "c_acctbal" not in cust_schema and "c_mktsegment" not in cust_schema
