@@ -210,6 +210,9 @@ def cmd_upsert(args) -> None:
         )
 
         if current_version(spark, args.table) is None:
+            from bdt_spark.operators.upsert import validate_unique_keys
+
+            validate_unique_keys(delta, keys)
             v = write_versioned(spark, args.table, delta)
             print(f"initialized versioned table {args.table} at v{v}")
         else:
@@ -218,11 +221,13 @@ def cmd_upsert(args) -> None:
     else:
         import os as _os
 
-        from bdt_spark.operators.upsert import merge_upsert
+        from bdt_spark.operators.upsert import merge_upsert, validate_unique_keys
 
         if not _os.path.exists(args.table):
             # first use: initialize, like the versioned branch above and
-            # the streaming writeback do
+            # the streaming writeback do — but still enforce the
+            # one-row-per-key invariant the merges assume
+            validate_unique_keys(delta, keys)
             delta.write.parquet(args.table)
             n = spark.read.parquet(args.table).count()
             print(f"initialized table {args.table} with {n} rows")

@@ -41,6 +41,8 @@ def connected_components(
     reachable from `node`. Input pairs are undirected (each row connects
     both ways); self-loops and duplicates are tolerated.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

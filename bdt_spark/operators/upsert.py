@@ -23,6 +23,22 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+
+def _as_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively rewrite a DataType with every nested nullability flag
+    set True, so type comparison ignores containsNull/valueContainsNull/
+    struct-field nullability (parquet round-trips erase them anyway)."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    return dt
 
 
 def validate_merge_inputs(
@@ -42,15 +58,29 @@ def validate_merge_inputs(
             f"schema mismatch: base {sorted(base.columns)} "
             f"vs delta {sorted(delta.columns)}"
         )
-    base_types = {f.name: f.dataType for f in base.schema.fields}
+    # Compare fully-nullable forms: DataType equality is strict about
+    # nested containsNull/valueContainsNull/struct-field nullability, and a
+    # base read back from parquet (everything nullable) vs an in-memory
+    # delta with non-nullable array elements or struct fields is the SAME
+    # logical type — only genuine type drift should be rejected.
+    base_types = {f.name: _as_nullable(f.dataType) for f in base.schema.fields}
     drift = [
         f"{f.name}: base {base_types[f.name].simpleString()} vs delta "
         f"{f.dataType.simpleString()}"
         for f in delta.schema.fields
-        if f.dataType != base_types[f.name]
+        if _as_nullable(f.dataType) != base_types[f.name]
     ]
     if drift:
         raise ValueError(f"schema type mismatch: {'; '.join(drift)}")
+    validate_unique_keys(delta, key_cols)
+
+
+def validate_unique_keys(delta: DataFrame, key_cols: list[str]) -> None:
+    """Reject a frame with more than one row per key. Runs on every merge
+    AND on table initialization (CLI/streaming init paths write the first
+    delta verbatim — an init with duplicate keys would create the table
+    already violating the one-row-per-key invariant, and later merges only
+    validate their own delta, so the corruption would persist)."""
     # count_distinct over a STRUCT of the keys: unlike COUNT(DISTINCT a,b)
     # it does not skip rows with NULL key components, so a NULL-keyed
     # delta reports as duplicates of the NULL key rather than passing

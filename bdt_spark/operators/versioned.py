@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -134,12 +135,18 @@ def _commit_manifest(
     The exclusive create is atomic on local FS and HDFS, and maps to a
     conditional PUT on object stores that support it (S3 If-None-Match
     needs Hadoop 3.4.1+ with fs.s3a.create.conditional.enabled; GCS
-    preconditions are native). On an S3A stack WITHOUT conditional
-    create, create(overwrite=False) degrades to HEAD-then-PUT and two
-    racing writers can both "succeed" with the last PUT winning — so
-    after writing, each writer reads the manifest back and checks its
-    own attempt token: exactly one writer (the surviving PUT) sees its
-    token; the other gets ConcurrentCommitError instead of silent loss.
+    preconditions are native) — on those stores the commit IS exclusive.
+    On an S3A stack WITHOUT conditional create, create(overwrite=False)
+    degrades to HEAD-then-PUT and two racing writers can both "succeed"
+    with the last PUT winning. The attempt-token read-backs below are a
+    NARROWED-WINDOW MITIGATION for that stack, not a guarantee: each
+    writer re-reads the manifest (twice, the second after a short delay)
+    and fails with ConcurrentCommitError unless it still sees its own
+    token — this catches any rival PUT that lands before the final
+    read-back, but a rival landing after it is undetectable by reading.
+    Stores without conditional PUT that need hard exclusivity should
+    front the manifest write with an external lock (e.g. DynamoDB, the
+    standard S3 answer before If-None-Match).
     """
     fs = _fs(spark, root)
     fs.mkdirs(_jpath(spark, f"{root}/_manifests"))
@@ -157,12 +164,15 @@ def _commit_manifest(
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
     finally:
         out.close()
-    committed = read_manifest(spark, root, version)
-    if committed.get("attempt") != meta["attempt"]:
-        raise ConcurrentCommitError(
-            f"lost non-atomic commit race on version {version} under "
-            f"{root!r} (store lacks conditional PUT)"
-        )
+    for delay_s in (0.0, 0.2):  # second, delayed read-back narrows the
+        if delay_s:             # both-writers-verify-early race window
+            time.sleep(delay_s)
+        committed = read_manifest(spark, root, version)
+        if committed.get("attempt") != meta["attempt"]:
+            raise ConcurrentCommitError(
+                f"lost non-atomic commit race on version {version} under "
+                f"{root!r} (store lacks conditional PUT)"
+            )
 
 
 def write_versioned(

@@ -304,6 +304,7 @@ def upsert_stream_to_parquet(
                     key_cols,
                 )
             return
+        import glob
         import os
 
         # The _SUCCESS marker, not the directory, decides "table exists":
@@ -311,7 +312,24 @@ def upsert_stream_to_parquet(
         # with no marker, and a bare exists-check would route the replayed
         # batch into the merge path, which then fails forever reading the
         # truncated table. mode("overwrite") makes the init retryable.
-        if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        # When the Hadoop conf disables markers
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), an
+        # existing committed table never shows one — relying on the marker
+        # alone would take the overwrite-init path EVERY batch and silently
+        # discard all previously merged state. Fall back to part-file
+        # existence in that case (weaker: a partial initial write is then
+        # indistinguishable from a committed one, the documented trade-off
+        # of running without markers).
+        markers_on = (
+            spark.sparkContext._jsc.hadoopConfiguration()
+            .get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+            .lower()
+            != "false"
+        )
+        exists = os.path.exists(os.path.join(base_path, "_SUCCESS")) or (
+            not markers_on and bool(glob.glob(os.path.join(base_path, "part-*")))
+        )
+        if not exists:
             latest.write.mode("overwrite").parquet(base_path)
         else:
             resolved = resolve_against(spark.read.parquet(base_path))

@@ -188,3 +188,23 @@ def test_cli_cluster_write_bloom(tmp_path, capsys):
         "--bloom", "o_orderkey", "--bloom-ndv", "10000",
     ])
     assert rc == 0
+
+
+def test_cli_upsert_init_rejects_duplicate_keys(tmp_path, spark):
+    """The first-use init path must enforce the one-row-per-key invariant
+    just like every later merge — otherwise the table is born corrupted
+    and no subsequent merge ever notices."""
+    from bdt_spark.cli import main
+
+    dup_delta = str(tmp_path / "dup.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, v string"
+    ).write.parquet(dup_delta)
+    fresh = str(tmp_path / "fresh_tbl")
+    rc = main(["upsert", fresh, dup_delta, "--keys", "k"])
+    assert rc != 0
+    import os
+
+    assert not os.path.exists(fresh)  # nothing written
+    vroot = str(tmp_path / "vtbl")
+    assert main(["upsert", vroot, dup_delta, "--keys", "k", "--versioned"]) != 0

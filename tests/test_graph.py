@@ -54,3 +54,13 @@ def test_lineage_is_truncated(spark):
     # the 2 post-checkpoint iterations survive in the plan)
     assert plan_ck.count("Join") < plan_no.count("Join")
     assert plan_ck.count("Join") <= 10
+
+
+def test_nonpositive_max_iters_rejected(spark):
+    import pytest
+
+    from bdt_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(pairs, "a", "b", max_iters=0)

@@ -116,3 +116,41 @@ def test_upsert_rejects_duplicate_delta_keys(spark, base):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_upsert(spark, base, delta, ["k"])
+
+
+def test_nested_nullability_is_not_type_drift(spark, tmp_path):
+    """A base read back from parquet (fully nullable nested types) vs an
+    in-memory delta with non-nullable array elements is the SAME logical
+    type — must merge, not raise 'schema type mismatch'."""
+    import pyspark.sql.types as T
+
+    base_path = str(tmp_path / "nested")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType(), containsNull=False)),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("v", T.IntegerType(), False)]),
+                False,
+            ),
+        ]
+    )
+    rows = [(1, ["a"], (7,)), (2, ["b"], (8,))]
+    spark.createDataFrame(rows, schema).write.parquet(base_path)
+    delta = spark.createDataFrame([(2, ["c"], (9,))], schema)  # non-null nested
+    n = merge_upsert(spark, base_path, delta, ["id"])
+    assert n == 2
+    got = {r.id: r.meta.v for r in spark.read.parquet(base_path).collect()}
+    assert got == {1: 7, 2: 9}
+
+
+def test_validate_unique_keys_direct(spark):
+    from bdt_spark.operators.upsert import validate_unique_keys
+
+    import pytest
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "id int, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        validate_unique_keys(df, ["id"])
+    validate_unique_keys(df, ["id", "v"])  # composite key unique -> ok
