@@ -3,8 +3,11 @@
 streaming extension over the `events` fixture)."""
 
 from bdt_spark.streaming.windows import (
+    merge_running_state,
     purchases_after_errors_stream,
     read_events_stream,
+    read_running_state,
+    running_max_stream_to_parquet,
     sessionized_stream,
     stateful_running_max,
     tumbling_counts_stream,
@@ -15,5 +18,8 @@ __all__ = [
     "tumbling_counts_stream",
     "sessionized_stream",
     "stateful_running_max",
+    "running_max_stream_to_parquet",
+    "merge_running_state",
+    "read_running_state",
     "purchases_after_errors_stream",
 ]

@@ -15,6 +15,11 @@ batch results can be cross-checked — the Kappa-architecture property):
 - `stateful_running_max`: custom stateful operator via
   applyInPandasWithState (per-user running max + event count) — the
   arbitrary-state surface the built-in windows can't express.
+- `running_max_stream_to_parquet`: the same operator as a foreachBatch
+  parquet state table (batch-id-versioned snapshots, replay-idempotent) —
+  the production shape on this build, where the GroupState timeout API
+  needed for idle-key eviction is broken; parquet state rows can simply
+  be deleted/aged instead.
 
 At cluster scale the same code runs against a Kafka/Kinesis source by
 swapping `read_events_stream` for `spark.readStream.format("kafka")...` —
@@ -171,6 +176,128 @@ def stateful_running_max(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- foreachBatch stateful operator (timeout-API-free) ----------------------
+#
+# applyInPandasWithState works on this build only with NoTimeout (see
+# stateful_running_max); the timeout path needed for idle-key eviction is
+# broken (armed processing-time timeouts INTERNAL_ERROR in no-data
+# batches). This is the production-shape alternative: keyed running state
+# in a parquet table maintained by foreachBatch — arbitrary state logic,
+# no GroupState API, and state the operator fully owns (evict by deleting
+# rows; inspect with a plain read; survive a Spark upgrade).
+
+
+def merge_running_state(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    keep_snapshots: int = 3,
+) -> None:
+    """Merge one micro-batch into the running max+count state table.
+
+    State is a parquet snapshot per batch: `v{batch_id}` is computed from
+    the newest snapshot with id < batch_id plus THIS batch's partial
+    aggregate, then written with overwrite. A replayed batch therefore
+    rebuilds its own snapshot from the same predecessor — sums and counts
+    never double-apply (idempotent => exactly-once given the checkpoint),
+    which a single mutable state table cannot promise for non-idempotent
+    aggregates like counts. Snapshots older than `keep_snapshots` are
+    reclaimed; the predecessor always survives long enough for the
+    replay window (Spark replays only the last uncommitted batch).
+
+    Scale: the batch side reduces map-side to one row per touched key
+    before the merge join; the state side is one parquet scan. For huge
+    key domains the join benefits from clustering the state table by key
+    (operators/layout.py) so touched-key row groups prune.
+    """
+    import glob
+    import os
+    import shutil
+
+    part = batch_df.groupBy(key_col).agg(
+        F.max(value_col).alias("running_max"),
+        F.count("*").alias("n_seen"),
+    )
+    prev_ids = sorted(
+        int(os.path.basename(d)[1:])
+        for d in glob.glob(os.path.join(state_dir, "v*"))
+        if os.path.basename(d)[1:].isdigit()
+    )
+    prev_before = [i for i in prev_ids if i < batch_id]
+    if prev_before:
+        prev = spark.read.parquet(os.path.join(state_dir, f"v{prev_before[-1]}"))
+        merged = (
+            prev.alias("p")
+            .join(part.alias("b"), key_col, "full_outer")
+            .select(
+                F.col(key_col),
+                F.greatest(
+                    F.coalesce(F.col("p.running_max"), F.lit(float("-inf"))),
+                    F.coalesce(F.col("b.running_max"), F.lit(float("-inf"))),
+                ).alias("running_max"),
+                (
+                    F.coalesce(F.col("p.n_seen"), F.lit(0))
+                    + F.coalesce(F.col("b.n_seen"), F.lit(0))
+                ).alias("n_seen"),
+            )
+        )
+    else:
+        merged = part
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    # reclaim all but the newest keep_snapshots (ids > batch_id — stale
+    # snapshots of a superseded run — are also removed)
+    survivors = ([i for i in prev_before] + [batch_id])[-keep_snapshots:]
+    for i in prev_ids + [batch_id]:
+        if i not in survivors:
+            shutil.rmtree(os.path.join(state_dir, f"v{i}"), ignore_errors=True)
+
+
+def read_running_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current state = the newest snapshot."""
+    import glob
+    import os
+
+    ids = sorted(
+        int(os.path.basename(d)[1:])
+        for d in glob.glob(os.path.join(state_dir, "v*"))
+        if os.path.basename(d)[1:].isdigit()
+    )
+    if not ids:
+        raise ValueError(f"no state snapshots under {state_dir!r}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{ids[-1]}"))
+
+
+def running_max_stream_to_parquet(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> "StreamingQuery":  # noqa: F821
+    """Per-key running max + count as a foreachBatch state table (see
+    merge_running_state for the snapshot/replay contract)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        merge_running_state(
+            batch_df.sparkSession, state_dir, batch_df, batch_id,
+            key_col=key_col, value_col=value_col,
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

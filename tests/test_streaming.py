@@ -354,3 +354,62 @@ def test_streaming_upsert_versioned_manifest_table(spark, tmp_path):
     assert got == {"u1": "e2", "u2": "e4"}
     # the v1 snapshot is still intact for in-flight readers
     assert read_versioned(spark, root, version=1).count() == 1
+
+
+def test_running_max_foreachbatch_matches_batch(spark, sf_dir, events_stream, tmp_path):
+    """Stream-vs-batch equality for the foreachBatch state-table operator
+    (the timeout-API-free stateful path): the final snapshot must equal
+    the batch groupBy max/count exactly."""
+    from bdt_spark.streaming import (
+        read_running_state,
+        running_max_stream_to_parquet,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = running_max_stream_to_parquet(events_stream, state, ckpt)
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.running_max, r.n_seen)
+        for r in read_running_state(spark, state).collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        assert got[r.user_id] == (r.mx, r.n)
+
+
+def test_merge_running_state_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch rebuilds its own snapshot from the same
+    predecessor: counts must NOT double-apply (the failure mode of a
+    single mutable state table under foreachBatch's at-least-once)."""
+    from bdt_spark.streaming import merge_running_state, read_running_state
+
+    state = str(tmp_path / "state")
+    ev = _batch_events(spark, sf_dir).select("user_id", "value")
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    merge_running_state(spark, state, b0, 0)
+    merge_running_state(spark, state, b1, 1)
+    once = {
+        r.user_id: (r.running_max, r.n_seen)
+        for r in read_running_state(spark, state).collect()
+    }
+    merge_running_state(spark, state, b1, 1)  # replay of batch 1
+    twice = {
+        r.user_id: (r.running_max, r.n_seen)
+        for r in read_running_state(spark, state).collect()
+    }
+    assert once == twice
+    expect = {
+        r.user_id: (r.mx, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert twice == expect
