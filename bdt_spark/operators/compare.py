@@ -276,7 +276,12 @@ def _compare_epsilon_sorted(
     float values can sort in different relative orders on the two sides;
     pairwise epsilon matching without a shared row order is a bipartite
     matching problem — this mode pins the order by the exact columns
-    first, which resolves every practical case."""
+    first, which resolves every practical case. The residual (rows
+    identical on ALL non-float columns with anti-correlated eps-close
+    floats) fails CONSERVATIVELY: a false reject is possible, a false
+    accept is not. Both behaviors are pinned by
+    tests/test_compare.py::test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip
+    and ::test_hash_mode_epsilon_float_tied_rows_conservative_reject."""
     i1, c1, n1 = _zip_global_index(spark, df1)
     i2, c2, n2 = _zip_global_index(spark, df2.toDF(*df1.columns))
     if n1 != n2:

@@ -269,3 +269,37 @@ def test_hash_mode_map_entry_order_equal(spark, tmp_path):
         F.create_map(F.lit("a"), F.lit(9), F.lit("b"), F.lit(2)).alias("m")
     ).write.parquet(c)
     assert not compare_files(spark, a, c, method="hash").ok
+
+
+def test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip(spark, files):
+    """The adversarial bipartite construction from the in-code caveat:
+    eps-close float values whose order REVERSES across rows with
+    different non-float keys. A float-first canonical sort would zip
+    k='a' against k='b' (false reject); sorting the exact columns first
+    pins the pairing, so only genuinely float-tied rows can ever
+    cross-zip."""
+    a = files("cz_a.parquet", {"k": ["a", "b"], "y": [1.0000, 1.0001]})
+    b = files("cz_b.parquet", {"k": ["a", "b"], "y": [1.0001, 1.0000]})
+    # true match: per-key |diff| = 1e-4 < eps
+    assert compare_files(spark, a, b, epsilon=0.01, method="hash").ok
+    # negative control: same shape, per-key diff beyond eps must fail
+    c = files("cz_c.parquet", {"k": ["a", "b"], "y": [1.5, 1.0000]})
+    assert not compare_files(spark, a, c, epsilon=0.01, method="hash").ok
+
+
+def test_hash_mode_epsilon_float_tied_rows_conservative_reject(spark, files):
+    """Residual (documented) ambiguity: rows IDENTICAL on all non-float
+    columns with two anti-correlated float columns. A perfect bipartite
+    matching exists (r1<->s1, r2<->s2), but any sort-based zip pairs
+    r1 with s2 and rejects. Pin the conservative-reject semantics: the
+    mode may false-reject float-only-tied rows, never false-accept."""
+    a = files(
+        "ft_a.parquet",
+        {"k": [1, 1], "x": [0.00, 0.05], "y": [0.0, 1.0]},
+    )
+    b = files(
+        "ft_b.parquet",
+        {"k": [1, 1], "x": [0.05, 0.00], "y": [0.0, 1.0]},
+    )
+    res = compare_files(spark, a, b, epsilon=0.08, method="hash")
+    assert not res.ok  # conservative reject, per the documented caveat

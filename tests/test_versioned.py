@@ -160,3 +160,82 @@ def test_upsert_rejects_empty_file_uri(spark):
     delta = spark.createDataFrame([(1, "x")], "k int, v string")
     with pytest.raises(ValueError, match="malformed file URI"):
         merge_upsert(spark, "file://", delta, ["k"])
+
+
+def test_two_simultaneous_committers_one_wins_loser_retries(spark, root):
+    """TRUE concurrency (threads, not sequential simulation): two writers
+    race the exclusive manifest create for the same version from a
+    barrier. Exactly one v2 PUT wins; the loser sees
+    ConcurrentCommitError and retries against the new current version;
+    meanwhile a reader polling throughout must never observe a torn
+    snapshot (count drift, missing data dir, or non-monotonic version)."""
+    import threading
+    import time as _time
+
+    results: dict = {}
+    reader_errors: list = []
+    barrier = threading.Barrier(2)
+    done = threading.Event()
+
+    def writer(name: str):
+        delta = spark.createDataFrame(
+            [(5, name, 42)], "k int, v string, gen int"
+        )
+        base = read_versioned(spark, root, version=1)
+        merged = base.filter("k != 5").unionByName(delta)
+        barrier.wait(timeout=60)
+        attempts = 1
+        try:
+            v = write_versioned(spark, root, merged, version=2)
+        except ConcurrentCommitError:
+            # retry path: re-resolve the current version, re-merge
+            while True:
+                attempts += 1
+                try:
+                    v = merge_upsert_versioned(spark, root, delta, ["k"])
+                    break
+                except ConcurrentCommitError:
+                    continue
+        results[name] = (v, attempts)
+
+    def reader():
+        last_v = 0
+        while not done.is_set():
+            try:
+                v = current_version(spark, root)
+                if v is None or v < last_v:
+                    reader_errors.append(f"version went backwards: {v}")
+                    return
+                last_v = v
+                if read_versioned(spark, root, version=v).count() != 10:
+                    reader_errors.append(f"torn snapshot at v{v}")
+                    return
+            except Exception as e:  # noqa: BLE001
+                reader_errors.append(f"reader crashed: {e}")
+                return
+            _time.sleep(0.02)
+
+    threads = [
+        threading.Thread(target=writer, args=("alpha",)),
+        threading.Thread(target=writer, args=("beta",)),
+    ]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    done.set()
+    rt.join(timeout=60)
+
+    assert not reader_errors, reader_errors
+    assert len(results) == 2, results
+    versions = sorted(v for v, _ in results.values())
+    assert versions == [2, 3], results  # exactly one won v2; loser landed v3
+    [(_, loser_attempts)] = [r for r in results.values() if r[0] == 3]
+    assert loser_attempts >= 2  # the loser genuinely retried
+    # final state: v3's writer owns key 5; the table is intact
+    final = read_versioned(spark, root)
+    assert final.count() == 10
+    winner_v3 = [n for n, (v, _) in results.items() if v == 3][0]
+    assert final.filter("k = 5").first().v == winner_v3
