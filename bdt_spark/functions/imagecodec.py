@@ -93,7 +93,9 @@ def _decode_bmp(payload: bytes) -> tuple[str, np.ndarray]:
     rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if not top_down:
         rows = rows[::-1]  # stored bottom-up -> image order
-    return "bmp", rows[:, :, ::-1]  # BGR -> RGB
+    # contiguous writable copy (the flips above are views over the
+    # read-only payload buffer) — same mutability contract as the PPM path
+    return "bmp", np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
 
 
 def _decode_ppm(payload: bytes) -> tuple[str, np.ndarray]:

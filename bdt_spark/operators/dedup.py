@@ -51,12 +51,16 @@ def shingle_expr(text_col: str = "text") -> str:
     )
 
 
-def _validate_geometry(k_hash: int, n_bands: int) -> None:
+def _validate_k(k_hash: int) -> None:
     if k_hash < 4 or k_hash % 4 != 0:
         raise ValueError(
             f"k_hash must be a positive multiple of 4 (md5 yields four "
             f"8-hex-char lanes per digest), got {k_hash}"
         )
+
+
+def _validate_geometry(k_hash: int, n_bands: int) -> None:
+    _validate_k(k_hash)
     if n_bands < 1 or k_hash % n_bands != 0:
         raise ValueError(
             f"n_bands must divide k_hash evenly, got k_hash={k_hash} "
@@ -69,6 +73,7 @@ def minhash_lane_exprs(k_hash: int = K_HASH) -> tuple[list[str], list[str]]:
     over a `shingles` array column. Each seeded md5 digest is evaluated once
     per (shingle, seed) and sliced into four 8-hex-char lanes; lane mins via
     array_min — map-only, no explode."""
+    _validate_k(k_hash)
     digest_exprs = [
         f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
         for i in range(k_hash // 4)

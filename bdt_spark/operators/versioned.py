@@ -106,6 +106,16 @@ def read_versioned(
     return spark.read.parquet(f"{root}/{meta['data_dir']}")
 
 
+def _scheme_create_is_atomic(root: str) -> bool:
+    """Whether create(overwrite=False) is a true atomic exclusive create
+    for this path's scheme. Local FS and HDFS: yes (O_EXCL / namenode).
+    Object-store schemes (s3/s3a/gs/...): assume HEAD-then-PUT unless the
+    stack has conditional PUT — the commit then runs the extra delayed
+    read-back."""
+    scheme = root.split("://", 1)[0].lower() if "://" in root else "file"
+    return scheme in ("file", "hdfs", "viewfs", "local")
+
+
 def _is_already_exists(e: Exception) -> bool:
     """True only for the exclusive-create collision, not other IO errors."""
     je = getattr(e, "java_exception", None)
@@ -164,8 +174,14 @@ def _commit_manifest(
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
     finally:
         out.close()
-    for delay_s in (0.0, 0.2):  # second, delayed read-back narrows the
-        if delay_s:             # both-writers-verify-early race window
+    # Second, delayed read-back narrows the both-writers-verify-early race
+    # window — only worth the fixed sleep on stores whose exclusive create
+    # may be non-atomic (object-store schemes); local FS/HDFS creates are
+    # atomic, so one immediate read-back is already just a sanity check
+    # and a per-commit sleep would tax every micro-batch for nothing.
+    delays = (0.0,) if _scheme_create_is_atomic(root) else (0.0, 0.2)
+    for delay_s in delays:
+        if delay_s:
             time.sleep(delay_s)
         committed = read_manifest(spark, root, version)
         if committed.get("attempt") != meta["attempt"]:

@@ -136,7 +136,8 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 13 + 4 AS INT) AS width,
              CAST(doc_id % 7 + 3 AS INT) AS height,
              CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
-      FROM documents WHERE length(text) >= 1
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
     ),
     px AS (
       SELECT doc_id, fmt, width, height, n, text,
@@ -181,7 +182,14 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_fixture_tables(spark, sf_dir)
-    docs = t["documents"].filter(F.length("text") >= 1)
+    # ASCII-only gate, explicit on BOTH sides: the encoder indexes the
+    # UTF-8 BYTES of the text while the SQL oracle indexes CHARACTERS
+    # via ascii(substr(...)) — the two agree exactly when every char is
+    # one byte (char_length == octet_length). Non-ASCII docs are excluded
+    # identically rather than silently relied on to not exist.
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
     return decode_real_features(encode_doc_images(docs)).orderBy("doc_id")
 
 

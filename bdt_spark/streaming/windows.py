@@ -190,6 +190,25 @@ def stateful_running_max(events: DataFrame) -> DataFrame:
 # rows; inspect with a plain read; survive a Spark upgrade).
 
 
+def _snapshot_ids(state_dir: str, committed_only: bool = False) -> list[int]:
+    """Sorted snapshot ids under `state_dir` (v{N} directories).
+    `committed_only` restricts to snapshots carrying a _SUCCESS marker —
+    a crash mid-write (or an in-flight replay rewrite) leaves none, so
+    committed readers skip to the newest complete predecessor."""
+    import glob
+    import os
+
+    ids = []
+    for d in glob.glob(os.path.join(state_dir, "v*")):
+        tail = os.path.basename(d)[1:]
+        if not tail.isdigit():
+            continue
+        if committed_only and not os.path.exists(os.path.join(d, "_SUCCESS")):
+            continue
+        ids.append(int(tail))
+    return sorted(ids)
+
+
 def merge_running_state(
     spark: SparkSession,
     state_dir: str,
@@ -215,20 +234,28 @@ def merge_running_state(
     before the merge join; the state side is one parquet scan. For huge
     key domains the join benefits from clustering the state table by key
     (operators/layout.py) so touched-key row groups prune.
+
+    Single-writer assumption (foreachBatch provides it): concurrent
+    readers use read_running_state, which only sees _SUCCESS-committed
+    snapshots; a crash mid-write or an in-flight replay rewrite is
+    invisible to them (they read the newest complete predecessor).
     """
-    import glob
     import os
     import shutil
 
+    if keep_snapshots < 2:
+        # keeping fewer than 2 snapshots deletes the predecessor the
+        # replay contract depends on: a replayed batch would rebuild its
+        # snapshot from NOTHING and silently reset every key's state
+        raise ValueError(
+            f"keep_snapshots must be >= 2 (the replay of a batch needs "
+            f"its predecessor snapshot), got {keep_snapshots}"
+        )
     part = batch_df.groupBy(key_col).agg(
         F.max(value_col).alias("running_max"),
         F.count("*").alias("n_seen"),
     )
-    prev_ids = sorted(
-        int(os.path.basename(d)[1:])
-        for d in glob.glob(os.path.join(state_dir, "v*"))
-        if os.path.basename(d)[1:].isdigit()
-    )
+    prev_ids = _snapshot_ids(state_dir)
     prev_before = [i for i in prev_ids if i < batch_id]
     if prev_before:
         prev = spark.read.parquet(os.path.join(state_dir, f"v{prev_before[-1]}"))
@@ -237,9 +264,12 @@ def merge_running_state(
             .join(part.alias("b"), key_col, "full_outer")
             .select(
                 F.col(key_col),
+                # greatest() skips NULLs in Spark: the absent side stays
+                # out of the max without a -inf sentinel (which would
+                # flip an integer value_col's state schema to double and
+                # turn an all-NULL key's state into -Infinity)
                 F.greatest(
-                    F.coalesce(F.col("p.running_max"), F.lit(float("-inf"))),
-                    F.coalesce(F.col("b.running_max"), F.lit(float("-inf"))),
+                    F.col("p.running_max"), F.col("b.running_max")
                 ).alias("running_max"),
                 (
                     F.coalesce(F.col("p.n_seen"), F.lit(0))
@@ -254,24 +284,22 @@ def merge_running_state(
     )
     # reclaim all but the newest keep_snapshots (ids > batch_id — stale
     # snapshots of a superseded run — are also removed)
-    survivors = ([i for i in prev_before] + [batch_id])[-keep_snapshots:]
+    survivors = (prev_before + [batch_id])[-keep_snapshots:]
     for i in prev_ids + [batch_id]:
         if i not in survivors:
             shutil.rmtree(os.path.join(state_dir, f"v{i}"), ignore_errors=True)
 
 
 def read_running_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current state = the newest snapshot."""
-    import glob
+    """Current state = the newest COMMITTED (_SUCCESS-marked) snapshot.
+    A half-written snapshot from a crash, or one being rewritten by a
+    replayed batch, carries no marker and is skipped in favor of its
+    complete predecessor."""
     import os
 
-    ids = sorted(
-        int(os.path.basename(d)[1:])
-        for d in glob.glob(os.path.join(state_dir, "v*"))
-        if os.path.basename(d)[1:].isdigit()
-    )
+    ids = _snapshot_ids(state_dir, committed_only=True)
     if not ids:
-        raise ValueError(f"no state snapshots under {state_dir!r}")
+        raise ValueError(f"no committed state snapshots under {state_dir!r}")
     return spark.read.parquet(os.path.join(state_dir, f"v{ids[-1]}"))
 
 

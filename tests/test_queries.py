@@ -57,3 +57,21 @@ def test_multimodal_null_payload_and_empty_batch(spark):
     # empty input -> empty typed result, no crash
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert decode_features(with_binary_payload(empty)).count() == 0
+
+
+def test_priority_prefix_resolves_and_samples_every_family():
+    """Every _PRIORITY_ORDER name must exist in the registry (a rename
+    would otherwise silently drop a flagship from the driver's first-50
+    CORRECTNESS window — the exact under-sampling the list fixes), be
+    duplicate-free, lead the iteration order, and cover every primary-tag
+    family."""
+    from bdt_spark.plans.registry import _PRIORITY_ORDER
+
+    qs = plans.all_queries()
+    missing = [n for n in _PRIORITY_ORDER if n not in qs]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert len(set(_PRIORITY_ORDER)) == len(_PRIORITY_ORDER) == 50
+    assert list(qs)[:50] == list(_PRIORITY_ORDER)
+    first50_fams = {qs[n].tags[0] for n in _PRIORITY_ORDER if qs[n].tags}
+    all_fams = {s.tags[0] for s in qs.values() if s.tags}
+    assert first50_fams == all_fams
