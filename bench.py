@@ -60,6 +60,8 @@ PIPELINE = [
     "query_recursive_cte",
     # round-5 additions
     "tokens_packing_efficiency",
+    # round-6 additions
+    "multimodal_decode_bmp",
 ]
 
 
