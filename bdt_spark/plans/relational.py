@@ -116,24 +116,32 @@ sql_query(
 sql_query(
     "join_non_equi_range",
     """
-    SELECT o1.o_orderkey AS o_orderkey, COUNT(*) AS n_bigger_same_day
-    FROM (SELECT * FROM orders WHERE o_orderkey < 500) o1
-    JOIN orders o2
-      ON o1.o_orderdate = o2.o_orderdate AND o2.o_totalprice > o1.o_totalprice
-    GROUP BY o1.o_orderkey
-    ORDER BY o1.o_orderkey
+    SELECT o_orderkey, n_bigger_same_day
+    FROM (
+      SELECT o_orderkey,
+             CAST(RANK() OVER (PARTITION BY o_orderdate
+                               ORDER BY o_totalprice DESC) - 1 AS BIGINT)
+               AS n_bigger_same_day
+      FROM orders) t
+    WHERE n_bigger_same_day > 0
+    ORDER BY o_orderkey
     LIMIT 50
     """,
-    tags=("join", "non-equi"),
-    doc="Equi+theta hybrid: hash join on date, residual range predicate. "
-    "The LIMIT-driving key bound is pushed into the probe side (o1) "
-    "instead of counting bigger-same-day rows for EVERY order and then "
-    "discarding all but 50: the unbounded form is quadratic per date "
-    "group (~94e9 residual evaluations at sf10) and never finishes, "
-    "while this form scans o1 with a pushed o_orderkey filter and stays "
-    "linear in the o2 scan at any scale. Result verified identical to "
-    "the unbounded form at sf0.001/0.01/0.1 (enough matching keys < 500 "
-    "exist to cover the LIMIT at every fixture sf).",
+    tags=("join", "non-equi", "window"),
+    doc="Non-equi range-join semantics ('count of same-day orders with a "
+    "strictly greater totalprice'), computed JOINLESSLY via the rank "
+    "identity: RANK() OVER (PARTITION BY o_orderdate ORDER BY o_totalprice "
+    "DESC) - 1 equals the count of strictly-greater rows in the partition "
+    "(RANK skips ties, so equal prices are excluded exactly as the > "
+    "predicate would). The naive equi+theta join form (hash join on date, "
+    "residual price predicate) is quadratic per date group — ~94e9 residual "
+    "evaluations at sf10 — while this form is one window exchange on "
+    "o_orderdate + an O(n log n) in-partition sort at any scale, and "
+    "UNBOUNDED: no probe-side key cut is needed to make the plan survive "
+    "100x (earlier rounds carried an o_orderkey < 500 bound; result "
+    "verified identical). Rows with zero bigger-same-day orders are "
+    "filtered (the inner join emitted no row for them) to preserve the "
+    "original join-form semantics.",
 )
 
 

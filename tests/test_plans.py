@@ -119,7 +119,6 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
 
     ALLOWED = {
         "join_cross",             # deliberate CROSS JOIN
-        "join_non_equi_range",    # theta join -> BNLJ by definition
         "scalar_nondeterministic_bounds",  # range(1000) single-row combine
     }
     offenders = {}
@@ -135,6 +134,17 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
         if "CartesianProduct" in text:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+
+
+def test_non_equi_range_is_joinless_window(spark, sf_dir):
+    # the rank identity replaced the quadratic date-group theta join:
+    # exactly one window exchange (hashpartitioning on o_orderdate),
+    # no join operator of any kind in the plan
+    text = _plan(spark, sf_dir, "join_non_equi_range", mode="simple")
+    assert "Window" in text
+    assert text.count("Exchange hashpartitioning") == 1
+    for op in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert op not in text, f"unexpected {op} in joinless window plan"
 
 
 def test_multi_distinct_agg_has_no_expand(spark, sf_dir):
