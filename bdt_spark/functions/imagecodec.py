@@ -1,9 +1,10 @@
-"""Pure-Python image codecs: 24-bit uncompressed BMP and binary PPM (P6).
+"""Pure-Python image codecs: 24-bit BMP, binary PPM (P6), and PNG (8-bit
+truecolor).
 
 The build contract stubs codec *libraries* (PIL/librosa are not in the
 container), but nothing stops a from-scratch implementation of a public
-uncompressed format — the same approach `sources/avro.py` took for the Avro
-container spec. This module implements, from the published format specs:
+format — the same approach `sources/avro.py` took for the Avro container
+spec. This module implements, from the published format specs:
 
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes), 24 bpp,
   BI_RGB (no compression), little-endian fields, pixel rows stored
@@ -12,10 +13,18 @@ container spec. This module implements, from the published format specs:
 - PPM: 'P6' magma/whitespace header with '#' comments (width, height,
   maxval <= 255), then height rows of width R,G,B byte triples, top-down,
   no row padding.
+- PNG (RFC 2083 / W3C PNG spec): 8-byte signature; big-endian length-
+  prefixed chunks (IHDR/IDAT/IEND) each with a CRC-32 over type+data;
+  pixel data = per-scanline filter byte + filtered bytes, concatenated
+  across IDAT chunks and DEFLATE-compressed (stdlib zlib — the one
+  compressed container the environment CAN decode from scratch). All five
+  scanline filters (None/Sub/Up/Average/Paeth) are implemented on both
+  sides; 8-bit truecolor (color type 2), non-interlaced.
 
-The two formats differ in every layout decision (row order, channel order,
-row padding, header encoding), so a decoder bug in any of them breaks the
-feature parity the multimodal_decode_bmp oracle checks.
+The formats differ in every layout decision (row order, channel order,
+row padding, header encoding, compression), so a decoder bug in any of
+them breaks the feature parity the multimodal_decode_bmp /
+multimodal_decode_png oracles check.
 
 Used executor-side inside Arrow-batched mapInPandas (plans/multimodal.py);
 nothing here touches Spark.
@@ -67,6 +76,180 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
         raise ValueError("encode_ppm expects (h, w, 3) RGB")
     header = f"P6\n# bdt_spark codec\n{w} {h}\n255\n".encode("ascii")
     return header + pixels.tobytes()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): pick the neighbor (left a, up b,
+    up-left c) closest to the linear estimate a + b - c, ties broken
+    a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray) -> bytes:
+    """Apply PNG filter `ftype` to one raw scanline (uint8, len = w*3),
+    given the PRIOR raw scanline (zeros for the first row). bpp=3."""
+    n = len(raw)
+    raw_i = raw.astype(np.int32)
+    left = np.zeros(n, dtype=np.int32)
+    left[3:] = raw_i[:-3]
+    up = prior.astype(np.int32)
+    upleft = np.zeros(n, dtype=np.int32)
+    upleft[3:] = up[:-3]
+    if ftype == 0:
+        out = raw_i
+    elif ftype == 1:  # Sub
+        out = raw_i - left
+    elif ftype == 2:  # Up
+        out = raw_i - up
+    elif ftype == 3:  # Average
+        out = raw_i - (left + up) // 2
+    elif ftype == 4:  # Paeth
+        pred = np.fromiter(
+            (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, upleft)),
+            dtype=np.int32,
+            count=n,
+        )
+        out = raw_i - pred
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def _unfilter_scanline(
+    ftype: int, filt: np.ndarray, prior: np.ndarray
+) -> np.ndarray:
+    """Invert PNG filter `ftype` on one filtered scanline. Sub/Average/
+    Paeth reference the RECONSTRUCTED left neighbor, so those run
+    sequentially per pixel; Up/None stay vectorized."""
+    n = len(filt)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:  # Up
+        return ((filt.astype(np.int32) + prior) % 256).astype(np.uint8)
+    out = np.zeros(n, dtype=np.int32)
+    f = filt.astype(np.int32)
+    up = prior.astype(np.int32)
+    if ftype == 1:  # Sub
+        for i in range(n):
+            left = out[i - 3] if i >= 3 else 0
+            out[i] = (f[i] + left) % 256
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = out[i - 3] if i >= 3 else 0
+            out[i] = (f[i] + (left + up[i]) // 2) % 256
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            left = out[i - 3] if i >= 3 else 0
+            ul = up[i - 3] if i >= 3 else 0
+            out[i] = (f[i] + _paeth(int(left), int(up[i]), int(ul))) % 256
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    `filter_type` pins one scanline filter for every row (0..4); None
+    cycles row_index % 5 so a multi-row image exercises ALL five filters
+    — any filter/unfilter asymmetry breaks the round-trip immediately.
+    """
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = pixels.reshape(h, w * 3)
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        ft = (y % 5) if filter_type is None else filter_type
+        lines.append(ft)
+        lines += _filter_scanline(ft, raw[y], prior)
+        prior = raw[y]
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[str, np.ndarray]:
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    n = len(payload)
+    w = h = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > n:  # header + data + CRC must all fit
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2:
+                raise ValueError(
+                    f"only 8-bit truecolor PNG supported (depth={depth}, "
+                    f"color type {color})"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("bad PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, gAMA, ...) are skipped per spec
+        pos += 12 + length
+    if w is None or not seen_iend:
+        raise ValueError("missing PNG IHDR/IEND chunk")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    lines = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    if len(lines) != stride * h:
+        raise ValueError("PNG pixel data size mismatch")
+    lines = lines.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        out[y] = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prior)
+        prior = out[y]
+    return "png", out.reshape(h, w, 3)
 
 
 def _decode_bmp(payload: bytes) -> tuple[str, np.ndarray]:
@@ -132,14 +315,20 @@ def _decode_ppm(payload: bytes) -> tuple[str, np.ndarray]:
 
 
 def decode_image_bytes(payload: bytes) -> tuple[str, np.ndarray]:
-    """Decode a BMP or PPM payload to ('bmp'|'ppm', (h, w, 3) uint8 RGB).
+    """Decode a BMP, PPM, or PNG payload to ('bmp'|'ppm'|'png',
+    (h, w, 3) uint8 RGB).
 
-    Raises ValueError for unsupported/corrupt formats (compressed formats
-    like PNG/JPEG need codec libraries this environment does not ship).
+    Raises ValueError for unsupported/corrupt formats (JPEG needs codec
+    libraries this environment does not ship; PNG's DEFLATE stream is
+    stdlib zlib, so it is decodable from scratch).
     """
     payload = bytes(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
-    raise ValueError("unsupported image format (supported: BMP 24bpp, PPM P6)")
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    raise ValueError(
+        "unsupported image format (supported: BMP 24bpp, PPM P6, PNG rgb8)"
+    )

@@ -62,17 +62,17 @@ FRAME_SCHEMA = StructType(
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode one image payload to features.
 
-    Compressed-codec decode (PNG/JPEG/...) requires libraries this
+    Library-backed codec decode (JPEG/...) requires libraries this
     container does not ship — that path stays stubbed. `fake=True`
     produces a deterministic content-derived result so the distributed
     plumbing can be tested end-to-end and oracled in SQL. For REAL decode
-    of uncompressed formats see decode_real_features / imagecodec.py
-    (pure-Python BMP + PPM parsers, used by multimodal_decode_bmp).
+    see decode_real_features / imagecodec.py (pure-Python BMP + PPM + PNG
+    codecs, used by multimodal_decode_bmp / multimodal_decode_png).
     """
     if not fake:
         raise NotImplementedError(
-            "compressed-image codecs unavailable in this environment; "
-            "use fake=True, or decode_real_features for BMP/PPM payloads"
+            "library-backed image codecs unavailable in this environment; "
+            "use fake=True, or decode_real_features for BMP/PPM/PNG payloads"
         )
     n = len(payload)
     return {
@@ -149,6 +149,25 @@ def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
                 px = _doc_pixels(int(doc_id), text)
                 enc = encode_bmp if doc_id % 2 == 0 else encode_ppm
                 rows.append((int(doc_id), enc(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)
+
+
+def encode_doc_pngs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL 8-bit truecolor PNG (deflate-
+    compressed IDAT, per-row filter cycling 0..4 so every image taller
+    than 4 rows exercises all five scanline filters). Executor-side via
+    mapInPandas."""
+    from bdt_spark.functions.imagecodec import encode_png
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                rows.append((int(doc_id), encode_png(_doc_pixels(int(doc_id), text))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)

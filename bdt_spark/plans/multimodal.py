@@ -193,6 +193,68 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real_features(encode_doc_images(docs)).orderBy("doc_id")
 
 
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 7 + 3 AS INT) AS height
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
+    ),
+    px AS (
+      SELECT doc_id, width, height, n, text,
+             CAST(unnest(range(0, width * height)) AS BIGINT) AS k
+      FROM dims
+    ),
+    vals AS (
+      SELECT doc_id, width, height, k,
+             ascii(substr(text, CAST(k % n AS INT) + 1, 1)) AS v
+      FROM px
+    )
+    SELECT doc_id, 'png' AS fmt, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM((v * 2) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((v + 73) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_r,
+           CAST(SUM((v * 2) % 256) AS DOUBLE) / (width * height) AS mean_g,
+           CAST(SUM((v + 73) % 256) AS DOUBLE) / (width * height) AS mean_b,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INT) AS tl_r,
+           CAST(MAX(CASE WHEN k = 0 THEN (v * 2) % 256 END) AS INT) AS tl_g,
+           CAST(MAX(CASE WHEN k = 0 THEN (v + 73) % 256 END) AS INT) AS tl_b
+    FROM vals
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "codec", "png"),
+    doc="REAL compressed-image decode: each doc is rendered to an actual "
+    "8-bit truecolor PNG — IHDR/IDAT/IEND chunks with CRC-32, DEFLATE via "
+    "stdlib zlib, per-scanline filters cycling None/Sub/Up/Average/Paeth "
+    "so every image taller than 4 rows exercises ALL five filters — by the "
+    "pure-Python codec in functions/imagecodec.py, then parsed back by the "
+    "chunk/unfilter decoder. The oracle recomputes width/height/channel "
+    "sums/means/top-left pixel from first principles on the text bytes, so "
+    "any filter, CRC, chunking, or row-order bug breaks the hash match. "
+    "Removes the 'compressed formats stubbed' caveat for PNG; JPEG stays "
+    "honestly stubbed (no DCT codec libs in the environment). Executor-"
+    "side mapInPandas throughout.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        decode_real_features,
+        encode_doc_pngs,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    # ASCII-only gate, same rationale as multimodal_decode_bmp
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
+    return decode_real_features(encode_doc_pngs(docs)).orderBy("doc_id")
+
+
 RESIZE_BYTES = 64
 
 

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from bdt_spark.functions.imagecodec import (
+    encode_png,
     decode_image_bytes,
     encode_bmp,
     encode_ppm,
@@ -95,4 +96,115 @@ def test_bmp_compressed_rejected():
     payload = bytearray(encode_bmp(px))
     struct.pack_into("<I", payload, 30, 1)  # biCompression = BI_RLE8
     with pytest.raises(ValueError):
+        decode_image_bytes(bytes(payload))
+
+
+# --- PNG (round 7: real compressed-format codec via stdlib zlib) ------------
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_each_filter(ft):
+    """Every scanline filter round-trips on its own — an asymmetric
+    filter/unfilter pair fails here before it can hide in the cycle."""
+    px = _gradient(6, 5)
+    fmt, out = decode_image_bytes(encode_png(px, filter_type=ft))
+    assert fmt == "png"
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize("w", range(1, 9))
+@pytest.mark.parametrize("h", [1, 4, 7])
+def test_png_roundtrip_filter_cycle(w, h):
+    """Default encoding cycles filters 0..4 by row; images with h >= 5
+    exercise all five in one payload."""
+    px = _gradient(h, w)
+    fmt, out = decode_image_bytes(encode_png(px))
+    assert fmt == "png"
+    np.testing.assert_array_equal(out, px)
+
+
+def test_png_filter_bytes_pinned_on_disk():
+    """Pin the wire format, not just the round-trip: row y's filter byte
+    is y % 5, and a Sub-filtered row stores horizontal deltas."""
+    import zlib
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[1] = [(10, 20, 30), (13, 25, 37), (16, 30, 44)]
+    payload = encode_png(px)  # row 0 -> filter 0, row 1 -> filter 1 (Sub)
+    # IDAT starts after signature(8) + IHDR chunk(12+13)
+    idat_data_off = 8 + 25 + 8
+    length = struct.unpack_from(">I", payload, 8 + 25)[0]
+    lines = zlib.decompress(payload[idat_data_off : idat_data_off + length])
+    stride = 1 + 3 * 3
+    assert lines[0] == 0 and lines[stride] == 1
+    # Sub row: first pixel verbatim, then per-channel deltas (+3, +5, +7)
+    assert list(lines[stride + 1 : stride + 10]) == [10, 20, 30, 3, 5, 7, 3, 5, 7]
+
+
+def test_png_paeth_predictor_spec_cases():
+    from bdt_spark.functions.imagecodec import _paeth
+
+    # ties break a, then b, then c (PNG spec §6.6) — sweep against an
+    # inline transliteration of the spec's pseudocode
+    def spec_paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    for a in range(0, 256, 17):
+        for b in range(0, 256, 23):
+            for c in range(0, 256, 29):
+                assert _paeth(a, b, c) == spec_paeth(a, b, c)
+    assert _paeth(0, 255, 128) == 128  # p=127: pc=1 < pa=127,pb=128 -> c
+    assert _paeth(100, 101, 0) == 101  # p=201: pb=100 < pa=101 -> b
+
+
+def test_png_ancillary_chunks_skipped():
+    """tEXt and other ancillary chunks between IHDR and IDAT must be
+    skipped per spec, with their CRCs still validated."""
+    import zlib
+
+    px = _gradient(3, 3)
+    payload = encode_png(px)
+    ihdr_end = 8 + 25
+    text = b"comment\x00bdt_spark"
+    chunk = (
+        struct.pack(">I", len(text))
+        + b"tEXt"
+        + text
+        + struct.pack(">I", zlib.crc32(b"tEXt" + text) & 0xFFFFFFFF)
+    )
+    spliced = payload[:ihdr_end] + chunk + payload[ihdr_end:]
+    fmt, out = decode_image_bytes(spliced)
+    assert fmt == "png"
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: p[:30] + bytes([p[30] ^ 0xFF]) + p[31:],  # IHDR corrupted -> CRC
+        lambda p: p[:-16],  # IEND (and IDAT tail) missing
+        lambda p: p[:8],  # signature only
+    ],
+)
+def test_png_corrupt_payloads_raise(mutate):
+    px = _gradient(4, 4)
+    with pytest.raises(ValueError):
+        decode_image_bytes(mutate(encode_png(px)))
+
+
+def test_png_interlace_rejected():
+    """Adam7 interlacing is out of scope and must be rejected loudly, not
+    mis-decoded: flip the IHDR interlace byte and re-seal the CRC."""
+    import zlib
+
+    px = _gradient(3, 3)
+    payload = bytearray(encode_png(px))
+    payload[8 + 8 + 12] = 1  # IHDR data byte 12 = interlace method
+    ctype_and_data = bytes(payload[8 + 4 : 8 + 8 + 13])
+    struct.pack_into(">I", payload, 8 + 8 + 13, zlib.crc32(ctype_and_data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="interlaced"):
         decode_image_bytes(bytes(payload))
