@@ -112,11 +112,14 @@ def _filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray) -> bytes:
         out = raw_i - up
     elif ftype == 3:  # Average
         out = raw_i - (left + up) // 2
-    elif ftype == 4:  # Paeth
-        pred = np.fromiter(
-            (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, upleft)),
-            dtype=np.int32,
-            count=n,
+    elif ftype == 4:  # Paeth — vectorized: the ENCODER predicts from RAW
+        # neighbors (left/up/up-left of the unfiltered scanlines), so no
+        # sequential dependency exists on this side (unlike unfiltering,
+        # where Sub/Average/Paeth reference reconstructed bytes)
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
         )
         out = raw_i - pred
     else:
@@ -138,10 +141,10 @@ def _unfilter_scanline(
     out = np.zeros(n, dtype=np.int32)
     f = filt.astype(np.int32)
     up = prior.astype(np.int32)
-    if ftype == 1:  # Sub
-        for i in range(n):
-            left = out[i - 3] if i >= 3 else 0
-            out[i] = (f[i] + left) % 256
+    if ftype == 1:  # Sub: out[i] = f[i] + out[i-3] is a per-channel
+        # prefix sum — vectorized as cumsum mod 256 on each byte lane
+        for c in range(3):
+            out[c::3] = np.cumsum(f[c::3], dtype=np.int64) % 256
     elif ftype == 3:  # Average
         for i in range(n):
             left = out[i - 3] if i >= 3 else 0

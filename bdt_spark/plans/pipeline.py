@@ -74,32 +74,33 @@ def _duck_shingles(src: str = "text") -> str:
 N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
 
 
-def _md5_cols(dialect: str) -> str:
+def _md5_cols(dialect: str, k_hash: int = K_HASH) -> str:
     """One md5 digest per (shingle row, seed) — computed once per row, in
     relational (exploded) form so no engine re-evaluates the hash per lane."""
+    n_seeds = k_hash // 4
     if dialect == "spark":
         return ", ".join(
-            f"md5(concat('{i}#', s)) AS m{i}" for i in range(N_MD5_SEEDS)
+            f"md5(concat('{i}#', s)) AS m{i}" for i in range(n_seeds)
         )
-    return ", ".join(f"md5('{i}#' || s) AS m{i}" for i in range(N_MD5_SEEDS))
+    return ", ".join(f"md5('{i}#' || s) AS m{i}" for i in range(n_seeds))
 
 
-def _lane_mins(dialect: str) -> str:
-    """MIN per 8-hex digest lane -> K_HASH minhash values. As a grouped
+def _lane_mins(dialect: str, k_hash: int = K_HASH) -> str:
+    """MIN per 8-hex digest lane -> k_hash minhash values. As a grouped
     aggregate this gets map-side partial MINs in Spark — the shuffle
-    carries K_HASH small strings per doc per partition, not the shingles."""
+    carries k_hash small strings per doc per partition, not the shingles."""
     fn = "substring" if dialect == "spark" else "substr"
     out = []
-    for j in range(K_HASH):
+    for j in range(k_hash):
         seed, lane = divmod(j, 4)
         out.append(f"MIN({fn}(m{seed}, {lane * 8 + 1}, 8)) AS h{j}")
     return ",\n         ".join(out)
 
 
-def _band_keys(dialect: str) -> str:
-    rows = K_HASH // N_BANDS
+def _band_keys(dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS) -> str:
+    rows = k_hash // n_bands
     parts = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         sig = ", ".join(f"h{b * rows + r}" for r in range(rows))
         if dialect == "spark":
             parts.append(f"concat('b{b}:', md5(concat({sig})))")
@@ -110,13 +111,15 @@ def _band_keys(dialect: str) -> str:
     return f"array({arr})" if dialect == "spark" else f"[{arr}]"
 
 
-def _minhash_lsh_sql(dialect: str) -> str:
-    """Full MinHash-LSH near-dup pair detection, one SQL text per dialect."""
+def _minhash_lsh_sql(
+    dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS
+) -> str:
+    """Full MinHash-LSH near-dup pair detection, one SQL text per dialect,
+    generated for any (k_hash, n_bands) geometry from the same template."""
     spark = dialect == "spark"
     shingles = _spark_shingles() if spark else _duck_shingles()
-    explode = (
-        f"explode({_band_keys('spark')})" if spark else f"unnest({_band_keys('duck')})"
-    )
+    bkeys = _band_keys(dialect, k_hash, n_bands)
+    explode = f"explode({bkeys})" if spark else f"unnest({bkeys})"
     if spark:
         jac = (
             "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
@@ -134,12 +137,12 @@ def _minhash_lsh_sql(dialect: str) -> str:
         # shuffle for the same result; min over identical values)
         digests = ", ".join(
             f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
-            for i in range(N_MD5_SEEDS)
+            for i in range(k_hash // 4)
         )
         lanes = ",\n         ".join(
             f"array_min(transform(d{j // 4}, x -> substring(x,"
             f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
-            for j in range(K_HASH)
+            for j in range(k_hash)
         )
         sig_ctes = f"""
     digests AS (
@@ -157,11 +160,11 @@ def _minhash_lsh_sql(dialect: str) -> str:
       FROM sh
     ),
     hashed AS (
-      SELECT doc_id, {_md5_cols(dialect)} FROM exploded
+      SELECT doc_id, {_md5_cols(dialect, k_hash)} FROM exploded
     ),
     sig AS (
       SELECT doc_id,
-         {_lane_mins(dialect)}
+         {_lane_mins(dialect, k_hash)}
       FROM hashed GROUP BY doc_id
     ),"""
     from bdt_spark.operators.dedup import HOT_BUCKET_CAP
@@ -232,6 +235,38 @@ def dedup_minhash_lsh(spark, sf_dir):
         threshold=JACCARD_T,
         n_partitions=n_part,
     )
+
+@query(
+    "dedup_minhash_lsh_k64",
+    oracle=_minhash_lsh_sql("duck", 64, 16),
+    tags=("dedup", "lsh", "minhash"),
+    doc=(
+        "dedup_minhash_lsh at the PRODUCTION geometry: 64-hash signatures "
+        "in 16 bands of 4 rows (S-curve threshold (1/16)^(1/4) ~ 0.5, "
+        "matching the verify threshold; per-pair collision estimator sd "
+        "~ sqrt(J(1-J)/64) ~ 0.06 vs the toy 8-hash geometry's 0.18). "
+        "The toy geometry stays as the fast default query; this one pins "
+        "the parameterized operator (operators/dedup.py minhash_pairs "
+        "k_hash/n_bands) against an oracle GENERATED FROM THE SAME "
+        "TEMPLATE at 64/16 — closing the gap where production geometry "
+        "was property-tested but never hash-oracled."
+    ),
+)
+def dedup_minhash_lsh_k64(spark, sf_dir):
+    from bdt_spark.operators.dedup import minhash_pairs
+
+    t = load_fixture_tables(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return minhash_pairs(
+        t["documents"],
+        id_col="doc_id",
+        text_col="text",
+        threshold=JACCARD_T,
+        n_partitions=n_part,
+        k_hash=64,
+        n_bands=16,
+    )
+
 
 # --- exact dedup ------------------------------------------------------------
 

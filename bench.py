@@ -62,6 +62,26 @@ PIPELINE = [
     "tokens_packing_efficiency",
     # round-6 additions
     "multimodal_decode_bmp",
+    # round-7 additions
+    "dedup_minhash_lsh_k64",
+    "multimodal_decode_png",
+    "dedup_embedding_cosine",
+]
+
+# Measurable-regression subset re-run at sf1 when the scaled dir exists
+# (VERDICT r6 #8: at sf0.1 most queries are sub-second and host noise
+# dominates round-over-round deltas; the sf1 numbers are the trackable
+# ones). Kept small so the per-round bench stays a few minutes.
+SF1_SUBSET = [
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_topk_ivf",
+    "text_quality_scores",
+    "events_asof_join",
 ]
 
 
@@ -134,13 +154,34 @@ def main() -> None:
         print(f"bench error compare: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # sf1 regression block: only when a scaled dir is present (generated
+    # once via tools/gen_scale.py; not shipped with the fixtures)
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1_timings: dict[str, float] = {}
+        load_fixture_tables(spark, sf1_dir, force=True)
+        for name in SF1_SUBSET:
+            if name not in all_names:
+                continue
+            try:
+                sf1_timings[name] = round(run_query(spark, name, sf1_dir), 3)
+            except Exception as e:
+                print(f"bench error sf1 {name}: {e}", file=sys.stderr)
+                sf1_timings[name] = -1.0
+        out["sf1_queries"] = sf1_timings
+        out["sf1_total"] = round(
+            sum(v for v in sf1_timings.values() if v > 0), 3
+        )
+
+    print(json.dumps(out))
     spark.stop()
 
 
