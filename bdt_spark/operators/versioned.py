@@ -191,8 +191,94 @@ def _commit_manifest(
             )
 
 
+_CAND_RE = re.compile(r"^cand-(\d{20})-([0-9a-f]{32})\.json$")
+
+
+def acquire_commit_lease(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    settle_s: float = 1.0,
+    ttl_s: float = 600.0,
+    _clock_skew_ms: int = 0,
+) -> str:
+    """Candidate-election lease: HARD one-winner exclusivity for version
+    `version` on stores whose exclusive create degrades to HEAD-then-PUT
+    (no conditional PUT). Returns the winning token; losers raise
+    ConcurrentCommitError before any manifest write happens.
+
+    Protocol (write-new-objects + list only — no locks server):
+      1. PUT a candidate object `_locks/v{N}/cand-<ts>-<token>.json`
+         stamped with this writer's clock (ms);
+      2. sleep `settle_s`;
+      3. list the candidate dir; the winner is the smallest (ts, token)
+         among non-expired candidates — a deterministic total order.
+
+    Guarantee: if every racing writer follows the protocol, clocks agree
+    within skew D, and a PUT object is visible to listings within V, then
+    `settle_s >= 2*D + V` implies AT MOST ONE writer elects itself.
+    (Sketch: suppose A and B both win. WLOG ts_B < ts_A. B's PUT happened
+    by ts_B + D wall time < ts_A + D <= put_A + 2D <= (list_A - settle_s)
+    + 2D <= list_A - V, so A's listing saw B's lower candidate and A
+    conceded — contradiction.) Ties on ts are broken by the random token,
+    still a total order. This is a DECLARED-ASSUMPTION guarantee (clock
+    skew + listing visibility bound), the standard object-store tradeoff;
+    stores with conditional PUT should skip the lease and rely on the
+    manifest create itself.
+
+    `ttl_s`: candidates older than this are crashed writers and are
+    ignored (and reaped best-effort), so an abandoned lease cannot block
+    the version forever. `ttl_s` must comfortably exceed settle_s plus
+    the worst-case manifest-write time. `_clock_skew_ms` exists for
+    tests to simulate skewed writers.
+    """
+    fs = _fs(spark, root)
+    lock_dir = f"{root}/_locks/v{version:08d}"
+    fs.mkdirs(_jpath(spark, lock_dir))
+    token = uuid.uuid4().hex
+    now_ms = int(time.time() * 1000) + _clock_skew_ms
+    mine = _jpath(spark, f"{lock_dir}/cand-{now_ms:020d}-{token}.json")
+    out = fs.create(mine, False)
+    try:
+        out.write(bytearray(json.dumps({"ts_ms": now_ms, "token": token}).encode()))
+    finally:
+        out.close()
+    time.sleep(settle_s)
+    cutoff_ms = int(time.time() * 1000) - int(ttl_s * 1000)
+    best: tuple[int, str] | None = None
+    for st in fs.listStatus(_jpath(spark, lock_dir)):
+        m = _CAND_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        ts, tok = int(m.group(1)), m.group(2)
+        if ts < cutoff_ms:
+            fs.delete(st.getPath(), False)  # expired: crashed writer
+            continue
+        if best is None or (ts, tok) < best:
+            best = (ts, tok)
+    if best != (now_ms, token):
+        fs.delete(mine, False)  # concede immediately, don't wait for TTL
+        raise ConcurrentCommitError(
+            f"lost commit lease election for version {version} under "
+            f"{root!r} (winner ts/token {best})"
+        )
+    return token
+
+
+def release_commit_lease(spark: SparkSession, root: str, version: int) -> None:
+    """Drop the candidate dir once the manifest is durably committed (the
+    manifest itself is the source of truth; the lease dir is only scaffolding
+    for the election)."""
+    fs = _fs(spark, root)
+    fs.delete(_jpath(spark, f"{root}/_locks/v{version:08d}"), True)
+
+
 def write_versioned(
-    spark: SparkSession, root: str, df: DataFrame, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    version: int | None = None,
+    lease_settle_s: float | None = None,
 ) -> int:
     """Commit `df` as the next full version (initial load or replace).
     Returns the committed version number.
@@ -201,19 +287,31 @@ def write_versioned(
     (optimistic concurrency): if a rival committed that version in the
     meantime, the manifest PUT loses and ConcurrentCommitError is raised —
     the caller re-reads the new current version and retries its merge
-    against it. Default: resolve the next version at write time."""
+    against it. Default: resolve the next version at write time.
+
+    `lease_settle_s`: when set, the commit is fronted by the candidate-
+    election lease (acquire_commit_lease) — the HARD-exclusivity option
+    for object stores without conditional PUT. The data dir is written
+    BEFORE the election so the lease is held only across the (small)
+    manifest commit, not the (large) data write; the election runs under
+    the declared clock-skew/visibility assumption documented on
+    acquire_commit_lease."""
     if version is None:
         version = (current_version(spark, root) or 0) + 1
     rel = f"data/v{version:08d}-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(f"{root}/{rel}")
     n = spark.read.parquet(f"{root}/{rel}").count()
     try:
+        if lease_settle_s is not None:
+            acquire_commit_lease(spark, root, version, settle_s=lease_settle_s)
         _commit_manifest(spark, root, version, {"rows": n, "data_dir": rel})
     except ConcurrentCommitError:
         # loser's attempt dir is orphaned and invisible to readers;
         # best-effort reclaim now, vacuum_versions handles the crash case
         _fs(spark, root).delete(_jpath(spark, f"{root}/{rel}"), True)
         raise
+    if lease_settle_s is not None:
+        release_commit_lease(spark, root, version)
     return version
 
 
@@ -223,6 +321,7 @@ def merge_upsert_versioned(
     delta: DataFrame,
     key_cols: list[str],
     broadcast_delta: bool = True,
+    lease_settle_s: float | None = None,
 ) -> int:
     """Upsert `delta` into the versioned table by `key_cols`; commit as a
     new version. Returns the committed version number.
@@ -246,7 +345,10 @@ def merge_upsert_versioned(
     if broadcast_delta:
         keys = F.broadcast(keys)
     merged = base.join(keys, key_cols, "left_anti").unionByName(delta)
-    return write_versioned(spark, root, merged, version=base_version + 1)
+    return write_versioned(
+        spark, root, merged, version=base_version + 1,
+        lease_settle_s=lease_settle_s,
+    )
 
 
 def vacuum_versions(

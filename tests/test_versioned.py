@@ -239,3 +239,110 @@ def test_two_simultaneous_committers_one_wins_loser_retries(spark, root):
     assert final.count() == 10
     winner_v3 = [n for n, (v, _) in results.items() if v == 3][0]
     assert final.filter("k = 5").first().v == winner_v3
+
+
+def test_lease_election_exactly_one_of_n_racing_writers_wins(spark, root):
+    """HARD-exclusivity lease (round 7): N concurrent candidates for the
+    same version, exactly ONE elects itself — deterministically (the
+    winner is the smallest (ts, token), a total order), every loser gets
+    ConcurrentCommitError BEFORE touching the manifest."""
+    import threading
+
+    from bdt_spark.operators.versioned import acquire_commit_lease
+
+    n = 8
+    results: dict[int, str | None] = {}
+    barrier = threading.Barrier(n)
+
+    def race(i: int) -> None:
+        barrier.wait()
+        try:
+            results[i] = acquire_commit_lease(
+                spark, root, version=2, settle_s=0.5
+            )
+        except ConcurrentCommitError:
+            results[i] = None
+
+    threads = [threading.Thread(target=race, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [tok for tok in results.values() if tok is not None]
+    assert len(winners) == 1, f"expected exactly one winner, got {results}"
+
+
+def test_lease_skewed_clock_still_single_winner(spark, root):
+    """Two writers whose clocks disagree by less than the settle window:
+    the back-dated candidate wins the election even though it PUT second
+    — and the other concedes, so there is still exactly one winner."""
+    import threading
+
+    from bdt_spark.operators.versioned import acquire_commit_lease
+
+    results: dict[str, str | None] = {}
+    start = threading.Barrier(2)
+
+    def writer(name: str, skew_ms: int, delay_s: float) -> None:
+        start.wait()
+        import time as _t
+
+        _t.sleep(delay_s)
+        try:
+            results[name] = acquire_commit_lease(
+                spark, root, version=2, settle_s=1.0, _clock_skew_ms=skew_ms
+            )
+        except ConcurrentCommitError:
+            results[name] = None
+
+    # "late" PUTs 0.3 s after "early" but with a clock 400 ms behind, so
+    # its candidate timestamp sorts FIRST; settle 1.0 s > 2*skew +
+    # visibility, so early's listing must still see it and concede.
+    a = threading.Thread(target=writer, args=("early", 0, 0.0))
+    b = threading.Thread(target=writer, args=("late", -400, 0.3))
+    a.start(); b.start(); a.join(); b.join()
+    assert (results["early"] is None) != (results["late"] is None)
+    assert results["late"] is not None, (
+        "back-dated candidate holds the smallest timestamp and must win"
+    )
+
+
+def test_lease_expired_candidate_does_not_block(spark, root):
+    """A crashed writer's stale candidate (older than ttl_s) is ignored
+    and reaped; the next writer acquires the lease normally."""
+    from bdt_spark.operators.versioned import (
+        acquire_commit_lease,
+        release_commit_lease,
+    )
+
+    # fake a crashed writer: candidate planted 10 s in the past
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    from bdt_spark.operators.versioned import _fs, _jpath
+
+    fs = _fs(spark, root)
+    lock_dir = f"{root}/_locks/v{2:08d}"
+    fs.mkdirs(_jpath(spark, lock_dir))
+    ts = int((_time.time() - 10) * 1000)
+    tok = _uuid.uuid4().hex
+    out = fs.create(_jpath(spark, f"{lock_dir}/cand-{ts:020d}-{tok}.json"), False)
+    out.write(bytearray(_json.dumps({"ts_ms": ts, "token": tok}).encode()))
+    out.close()
+
+    got = acquire_commit_lease(spark, root, version=2, settle_s=0.1, ttl_s=5.0)
+    assert got is not None and got != tok
+    release_commit_lease(spark, root, 2)
+
+
+def test_lease_guarded_write_commits_and_cleans_lock_dir(spark, root):
+    delta = spark.createDataFrame([(1, "v1-n", 2)], "k int, v string, gen int")
+    v = merge_upsert_versioned(spark, root, delta, ["k"], lease_settle_s=0.1)
+    assert v == 2
+    got = {r.k: r.v for r in read_versioned(spark, root).collect()}
+    assert got[1] == "v1-n" and len(got) == 10
+    from bdt_spark.operators.versioned import _fs, _jpath
+
+    fs = _fs(spark, root)
+    assert not fs.exists(_jpath(spark, f"{root}/_locks/v{2:08d}"))
