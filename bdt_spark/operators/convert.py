@@ -10,6 +10,9 @@ writes csv/json/parquet. Mirrors the reference's writer surface:
   (convert.rs:23-34; Spark exposes no codec level or per-column encoding —
   documented divergence; created_by is not settable in Spark, cosmetic).
 - Avro output rejected, matching convert.rs:37-39.
+- Arrow IPC output (EXTENSION): the reference panics on Arrow both ways
+  (utils.rs:59-61, convert.rs:52); the repo reads it (sources/io.py) and
+  writes it here — per-partition IPC files serialized executor-side.
 
 Scale: convert is a pure scan->sink plan — no shuffle at all unless
 `single_file` forces coalesce(1). At 100 TB you convert WITHOUT
@@ -31,6 +34,78 @@ class UnsupportedOutputError(ValueError):
     """Mirrors the reference's unsupported-output error (convert.rs:37-39)."""
 
 
+def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None:
+    """Distributed Arrow IPC (feather-v2-compatible random-access format)
+    writer: one `part-<pid>.arrow` file per partition, serialized
+    executor-side inside mapInPandas — the mirror of sources/io.py's
+    per-file distributed reader. Batches stream through the IPC writer as
+    they arrive, so a partition never has to fit in one Arrow table.
+    `zstd` rides IPC buffer compression (pyarrow IpcWriteOptions)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
+    target_dir = output_path if not single_file else output_path + "._spark_tmp"
+    if os.path.exists(target_dir):
+        shutil.rmtree(target_dir) if os.path.isdir(target_dir) else os.remove(
+            target_dir
+        )
+    os.makedirs(target_dir)
+    compression = "zstd" if zstd else None
+
+    def write_partition(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        n = 0
+        try:
+            for pdf in batches:
+                table = pa.Table.from_pandas(
+                    pdf, schema=arrow_schema, preserve_index=False
+                )
+                if writer is None:
+                    opts = ipc.IpcWriteOptions(compression=compression)
+                    writer = ipc.new_file(
+                        os.path.join(target_dir, f"part-{pid:05d}.arrow"),
+                        arrow_schema,
+                        options=opts,
+                    )
+                writer.write_table(table)
+                n += len(pdf)
+        finally:
+            if writer is not None:
+                writer.close()
+        import pandas as pd
+
+        yield pd.DataFrame({"pid": [pid], "rows": [n]})
+
+    # the count() action drives the side-effecting writer exactly once
+    df.mapInPandas(write_partition, "pid int, rows long").count()
+
+    if not glob.glob(os.path.join(target_dir, "part-*.arrow")):
+        # empty input: no task produced a file — write one schema-only
+        # IPC file (driver-side, zero rows) so the output stays readable
+        import pyarrow.ipc as ipc
+
+        with ipc.new_file(
+            os.path.join(target_dir, "part-00000.arrow"), arrow_schema
+        ):
+            pass
+
+    if single_file:
+        parts = sorted(glob.glob(os.path.join(target_dir, "part-*.arrow")))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected 1 part file, found {len(parts)}")
+        if os.path.exists(output_path):
+            os.remove(output_path) if os.path.isfile(output_path) else shutil.rmtree(
+                output_path
+            )
+        shutil.move(parts[0], output_path)
+        shutil.rmtree(target_dir, ignore_errors=True)
+
+
 def convert(
     spark: SparkSession,
     input_path: str,
@@ -49,7 +124,7 @@ def convert(
     Incompatible with `single_file`.
     """
     out_fmt = file_format(output_path)
-    if out_fmt not in ("csv", "json", "parquet"):
+    if out_fmt not in ("csv", "json", "parquet", "arrow"):
         raise UnsupportedOutputError(
             f"unsupported output format for path: {output_path!r}"
         )
@@ -58,6 +133,17 @@ def convert(
     df = read_file(spark, input_path, header=header)
     if single_file:
         df = df.coalesce(1)
+
+    if out_fmt == "arrow":
+        # Arrow IPC write — an EXTENSION: the reference panics on Arrow in
+        # both directions (utils.rs:59-61, convert.rs:52); the repo already
+        # reads it, this adds the write side (round-trip pinned via
+        # `compare` in tests). No Spark datasource exists for IPC, so each
+        # task serializes its own partition through pyarrow executor-side.
+        if partition_by:
+            raise ValueError("partition_by is not supported for arrow output")
+        _write_arrow(df, output_path, single_file=single_file, zstd=zstd)
+        return
 
     target_dir = output_path if not single_file else output_path + "._spark_tmp"
     writer = df.write.mode("overwrite")
