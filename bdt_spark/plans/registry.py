@@ -89,6 +89,13 @@ def sql_query(
 # events, sampling, tokens, embedding, graph, pipeline, multimodal,
 # grouped-map) into the first 50; everything else follows in registration
 # order. Pure ordering change — specs, oracles, and names are untouched.
+# Masking note (ADVICE r6): a curated window could in principle hide a weak
+# query by keeping it OUT of the sampled prefix. The counterweight is that
+# the prefix is only a breadth aid for the driver's fixed-size window; the
+# actual correctness gate is the FULL sweep (tools/check_oracle.py over
+# every declared query, plus the sf10 sweep in SCALE.md), where no ordering
+# exists to hide behind. The contract is stated for artifact consumers in
+# __spark_entry__'s module docstring and pinned by tests/test_queries.py.
 _PRIORITY_ORDER: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "dedup_minhash_lsh",

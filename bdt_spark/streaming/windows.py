@@ -190,11 +190,30 @@ def stateful_running_max(events: DataFrame) -> DataFrame:
 # rows; inspect with a plain read; survive a Spark upgrade).
 
 
-def _snapshot_ids(state_dir: str, committed_only: bool = False) -> list[int]:
+def _markers_enabled(spark: SparkSession) -> bool:
+    """Whether the Hadoop committer writes _SUCCESS markers
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs, default true)."""
+    return (
+        spark.sparkContext._jsc.hadoopConfiguration()
+        .get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .lower()
+        != "false"
+    )
+
+
+def _snapshot_ids(
+    state_dir: str, committed_only: bool = False, markers_on: bool = True
+) -> list[int]:
     """Sorted snapshot ids under `state_dir` (v{N} directories).
     `committed_only` restricts to snapshots carrying a _SUCCESS marker —
     a crash mid-write (or an in-flight replay rewrite) leaves none, so
-    committed readers skip to the newest complete predecessor."""
+    committed readers skip to the newest complete predecessor. When the
+    committer's markers are disabled (`markers_on=False`, from
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false) a committed
+    snapshot never shows a marker, so part-file existence stands in —
+    weaker (a partial write with some part files passes), the documented
+    trade-off of running without markers; same fallback as
+    upsert_stream_to_parquet's init-path existence check."""
     import glob
     import os
 
@@ -204,7 +223,8 @@ def _snapshot_ids(state_dir: str, committed_only: bool = False) -> list[int]:
         if not tail.isdigit():
             continue
         if committed_only and not os.path.exists(os.path.join(d, "_SUCCESS")):
-            continue
+            if markers_on or not glob.glob(os.path.join(d, "part-*")):
+                continue
         ids.append(int(tail))
     return sorted(ids)
 
@@ -255,8 +275,16 @@ def merge_running_state(
         F.max(value_col).alias("running_max"),
         F.count("*").alias("n_seen"),
     )
+    # merge base = newest COMMITTED snapshot below batch_id: a partial
+    # marker-less snapshot (crash mid-write of a lower batch) must not
+    # silently become the base — the truncated state would propagate into
+    # every later snapshot. Reclamation below still sweeps ALL ids,
+    # committed or not.
     prev_ids = _snapshot_ids(state_dir)
-    prev_before = [i for i in prev_ids if i < batch_id]
+    prev_committed = _snapshot_ids(
+        state_dir, committed_only=True, markers_on=_markers_enabled(spark)
+    )
+    prev_before = [i for i in prev_committed if i < batch_id]
     if prev_before:
         prev = spark.read.parquet(os.path.join(state_dir, f"v{prev_before[-1]}"))
         merged = (
@@ -297,7 +325,9 @@ def read_running_state(spark: SparkSession, state_dir: str) -> DataFrame:
     complete predecessor."""
     import os
 
-    ids = _snapshot_ids(state_dir, committed_only=True)
+    ids = _snapshot_ids(
+        state_dir, committed_only=True, markers_on=_markers_enabled(spark)
+    )
     if not ids:
         raise ValueError(f"no committed state snapshots under {state_dir!r}")
     return spark.read.parquet(os.path.join(state_dir, f"v{ids[-1]}"))

@@ -413,3 +413,69 @@ def test_merge_running_state_replay_idempotent(spark, sf_dir, tmp_path):
         .collect()
     }
     assert twice == expect
+
+
+def test_merge_running_state_skips_partial_snapshot_as_base(spark, sf_dir, tmp_path):
+    """ADVICE r6: a marker-less (partial, crashed-write) snapshot below
+    batch_id must NOT become the merge base — the merge must build on the
+    newest COMMITTED predecessor, and the partial dir gets reclaimed."""
+    import os
+    import shutil
+
+    from bdt_spark.streaming import merge_running_state, read_running_state
+
+    state = str(tmp_path / "state")
+    ev = _batch_events(spark, sf_dir).select("user_id", "value")
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    merge_running_state(spark, state, b0, 0)
+    # simulate a crash mid-write of batch 1: parquet data present but no
+    # _SUCCESS marker — and worse, only HALF the keys made it to disk
+    merge_running_state(spark, state, b1, 1)
+    os.remove(os.path.join(state, "v1", "_SUCCESS"))
+    # batch 2 must merge against v0 (committed), not the partial v1
+    merge_running_state(spark, state, b1, 2)
+    got = {
+        r.user_id: (r.running_max, r.n_seen)
+        for r in read_running_state(spark, state).collect()
+    }
+    expect = {
+        r.user_id: (r.mx, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+    shutil.rmtree(state)
+
+
+def test_state_table_markers_off_fallback(spark, sf_dir, tmp_path):
+    """ADVICE r6: with marksuccessfuljobs=false no snapshot ever shows a
+    _SUCCESS marker; merge-base selection and read_running_state fall
+    back to part-file existence instead of resetting/raising."""
+    from bdt_spark.streaming import merge_running_state, read_running_state
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key, "true")
+    hconf.set(key, "false")
+    try:
+        state = str(tmp_path / "state_nomark")
+        ev = _batch_events(spark, sf_dir).select("user_id", "value")
+        b0 = ev.filter(F.col("user_id") % 2 == 0)
+        b1 = ev.filter(F.col("user_id") % 2 == 1)
+        merge_running_state(spark, state, b0, 0)
+        merge_running_state(spark, state, b1, 1)
+        got = {
+            r.user_id: (r.running_max, r.n_seen)
+            for r in read_running_state(spark, state).collect()
+        }
+        expect = {
+            r.user_id: (r.mx, r.n)
+            for r in ev.groupBy("user_id")
+            .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        hconf.set(key, old)
