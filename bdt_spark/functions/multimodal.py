@@ -134,11 +134,11 @@ def _doc_pixels(doc_id: int, text: str) -> "object":
     return rgb.reshape(h, w, 3)
 
 
-def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Render each document as a REAL image payload: even doc_ids become
-    24-bit BMPs (bottom-up rows, BGR, stride padding), odd doc_ids binary
-    PPMs (top-down, RGB, no padding). Executor-side via mapInPandas."""
-    from bdt_spark.functions.imagecodec import encode_bmp, encode_ppm
+def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
+    """Shared mapInPandas batching loop for doc -> image-payload encoders:
+    `encoder(doc_id, pixels) -> bytes` supplies the per-row codec; the
+    None/empty-text skip, pixel derivation, and output schema live HERE
+    once so the BMP/PPM and PNG paths cannot drift apart."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,12 +146,24 @@ def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 if text is None or len(text) == 0:
                     continue
-                px = _doc_pixels(int(doc_id), text)
-                enc = encode_bmp if doc_id % 2 == 0 else encode_ppm
-                rows.append((int(doc_id), enc(px)))
+                did = int(doc_id)
+                rows.append((did, encoder(did, _doc_pixels(did, text))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)
+
+
+def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL image payload: even doc_ids become
+    24-bit BMPs (bottom-up rows, BGR, stride padding), odd doc_ids binary
+    PPMs (top-down, RGB, no padding). Executor-side via mapInPandas."""
+    from bdt_spark.functions.imagecodec import encode_bmp, encode_ppm
+
+    return _encode_docs(
+        df,
+        text_col,
+        lambda did, px: (encode_bmp if did % 2 == 0 else encode_ppm)(px),
+    )
 
 
 def encode_doc_pngs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -161,16 +173,7 @@ def encode_doc_pngs(df: DataFrame, text_col: str = "text") -> DataFrame:
     mapInPandas."""
     from bdt_spark.functions.imagecodec import encode_png
 
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                if text is None or len(text) == 0:
-                    continue
-                rows.append((int(doc_id), encode_png(_doc_pixels(int(doc_id), text))))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)
+    return _encode_docs(df, text_col, lambda did, px: encode_png(px))
 
 
 def decode_real_features(df: DataFrame) -> DataFrame:

@@ -246,6 +246,15 @@ def acquire_commit_lease(
     time.sleep(settle_s)
     cutoff_ms = int(time.time() * 1000) - int(ttl_s * 1000)
     best: tuple[int, str] | None = None
+    if not fs.exists(_jpath(spark, lock_dir)):
+        # the whole lock dir is gone: an earlier winner already committed
+        # this version and released its lease while we slept — we lost.
+        # (Without this check the listStatus below raises an opaque
+        # FileNotFoundException instead of the retryable protocol error.)
+        raise ConcurrentCommitError(
+            f"version {version} was committed and its lease released "
+            f"while settling under {root!r}"
+        )
     for st in fs.listStatus(_jpath(spark, lock_dir)):
         m = _CAND_RE.match(st.getPath().getName())
         if not m:
@@ -262,15 +271,43 @@ def acquire_commit_lease(
             f"lost commit lease election for version {version} under "
             f"{root!r} (winner ts/token {best})"
         )
+    if fs.exists(_jpath(spark, f"{root}/_manifests/v{version:08d}.json")):
+        # A writer that starts its election AFTER the version committed
+        # (and the committer released its lease) can win a fresh election
+        # over an empty lock dir — electing it would let a non-atomic
+        # store overwrite the committed manifest. The manifest, not the
+        # election, is the source of truth: concede.
+        fs.delete(mine, False)
+        raise ConcurrentCommitError(
+            f"version {version} is already committed under {root!r}"
+        )
     return token
 
 
-def release_commit_lease(spark: SparkSession, root: str, version: int) -> None:
-    """Drop the candidate dir once the manifest is durably committed (the
-    manifest itself is the source of truth; the lease dir is only scaffolding
-    for the election)."""
+def release_commit_lease(
+    spark: SparkSession, root: str, version: int, token: str | None = None
+) -> None:
+    """Drop lease scaffolding (the manifest itself is the source of truth).
+
+    `token=None` (post-commit): the whole candidate dir goes — the version
+    is durably committed, any still-settling rival hits the missing-dir
+    concede path in acquire_commit_lease. `token` given (commit FAILED
+    after winning the election): delete only THIS writer's candidate, so
+    the version stays retryable immediately — leaving the winning
+    candidate behind would block every retry (own and rivals') for ttl_s,
+    while deleting rivals' candidates mid-settle could hand two writers
+    the same election."""
     fs = _fs(spark, root)
-    fs.delete(_jpath(spark, f"{root}/_locks/v{version:08d}"), True)
+    lock_dir = f"{root}/_locks/v{version:08d}"
+    if token is None:
+        fs.delete(_jpath(spark, lock_dir), True)
+        return
+    if not fs.exists(_jpath(spark, lock_dir)):
+        return  # a rival committed and swept the dir — nothing to clean
+    for st in fs.listStatus(_jpath(spark, lock_dir)):
+        m = _CAND_RE.match(st.getPath().getName())
+        if m and m.group(2) == token:
+            fs.delete(st.getPath(), False)
 
 
 def write_versioned(
@@ -301,14 +338,26 @@ def write_versioned(
     rel = f"data/v{version:08d}-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(f"{root}/{rel}")
     n = spark.read.parquet(f"{root}/{rel}").count()
+    lease_token: str | None = None
     try:
         if lease_settle_s is not None:
-            acquire_commit_lease(spark, root, version, settle_s=lease_settle_s)
+            lease_token = acquire_commit_lease(
+                spark, root, version, settle_s=lease_settle_s
+            )
         _commit_manifest(spark, root, version, {"rows": n, "data_dir": rel})
     except ConcurrentCommitError:
         # loser's attempt dir is orphaned and invisible to readers;
         # best-effort reclaim now, vacuum_versions handles the crash case
         _fs(spark, root).delete(_jpath(spark, f"{root}/{rel}"), True)
+        if lease_token is not None:
+            release_commit_lease(spark, root, version, token=lease_token)
+        raise
+    except Exception:
+        # transient IO after winning the election: drop OUR candidate so
+        # the version stays immediately retryable instead of stalling
+        # every writer behind the abandoned winner for ttl_s
+        if lease_token is not None:
+            release_commit_lease(spark, root, version, token=lease_token)
         raise
     if lease_settle_s is not None:
         release_commit_lease(spark, root, version)

@@ -23,9 +23,11 @@ Scale design (100 TB):
   then an exact groupBy on the 16-bit fingerprint.
 - ANN: query side is tiny -> broadcast; corpus scan stays partitioned
   (brute force), or hyperplane-LSH buckets co-partition candidates.
-- Pairwise (n-gram Jaccard, cosine near-dup) queries are *blocked*
-  (lang / label) — the O(n^2) stays inside blocks; at 100 TB you would
-  first run the LSH variant to get candidates.
+- n-gram Jaccard stays *blocked* (lang) — the O(n^2) stays inside
+  blocks, with MinHash-LSH as the declared candidate source at scale.
+  Embedding cosine near-dup runs on sparse sign-LSH bucketed candidates
+  with an in-bucket spanning window (linear in corpus size, no label
+  skew sensitivity) — see _cosine_neardup_sql.
 """
 
 from __future__ import annotations
@@ -448,7 +450,12 @@ sql_query(
 
 
 EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md contract);
-# the flat unrolled expressions below are generated for this length
+# the flat unrolled expressions below are generated for this length.
+# CAUTION: out-of-range array indexing yields NULL identically in both
+# engines, so a regenerated fixture with a different dim would fail
+# SILENTLY AND SYMMETRICALLY (oracle still matches while both engines
+# compute truncated dots). tests/test_queries.py pins every fixture sf's
+# actual embedding length to EMB_DIM so that drift is caught loudly.
 
 
 def _dot(dialect: str, a: str, b: str) -> str:

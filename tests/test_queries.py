@@ -75,3 +75,25 @@ def test_priority_prefix_resolves_and_samples_every_family():
     first50_fams = {qs[n].tags[0] for n in _PRIORITY_ORDER if qs[n].tags}
     all_fams = {s.tags[0] for s in qs.values() if s.tags}
     assert first50_fams == all_fams
+
+
+def test_fixture_embedding_dim_matches_unrolled_expressions():
+    """The flat unrolled dot/norm/bucket SQL (plans/pipeline.py) is
+    generated for EMB_DIM elements. A fixture regenerated at another dim
+    would fail SILENTLY in both engines (out-of-range indexing -> NULL /
+    truncated dots, symmetrically — the oracle cannot catch it), so the
+    contract is pinned here for every shipped sf and the scaled dirs."""
+    import os
+
+    import duckdb
+
+    from bdt_spark.plans.pipeline import EMB_DIM
+
+    dirs = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+    dirs += [d for d in ("/tmp/sf1", "/tmp/sf10") if os.path.isdir(d)]
+    for d in dirs:
+        path = os.path.join(d, "embeddings.parquet")
+        lo, hi = duckdb.sql(
+            f"SELECT MIN(len(embedding)), MAX(len(embedding)) FROM '{path}'"
+        ).fetchone()
+        assert lo == hi == EMB_DIM, f"{path}: dims [{lo},{hi}] != {EMB_DIM}"

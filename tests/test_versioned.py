@@ -346,3 +346,72 @@ def test_lease_guarded_write_commits_and_cleans_lock_dir(spark, root):
 
     fs = _fs(spark, root)
     assert not fs.exists(_jpath(spark, f"{root}/_locks/v{2:08d}"))
+
+
+def test_lease_late_rival_after_release_gets_protocol_error(spark, root):
+    """Code-review r7: a rival that finishes settling AFTER the winner
+    committed and released (lock dir deleted) must get the retryable
+    ConcurrentCommitError, not an opaque FileNotFound Py4J error."""
+    import threading
+
+    from bdt_spark.operators.versioned import acquire_commit_lease
+
+    results: dict[str, object] = {}
+
+    def fast_winner():
+        from bdt_spark.operators.versioned import (
+            _commit_manifest,
+            release_commit_lease,
+        )
+
+        tok = acquire_commit_lease(spark, root, version=2, settle_s=0.2)
+        _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data/x"})
+        release_commit_lease(spark, root, 2)  # commit done, dir swept
+        results["winner"] = tok
+
+    def slow_rival():
+        import time as _t
+
+        _t.sleep(0.4)  # PUT after the winner already listed
+        try:
+            results["rival"] = acquire_commit_lease(
+                spark, root, version=2, settle_s=1.0
+            )
+        except ConcurrentCommitError:
+            results["rival"] = "conceded"
+        except Exception as e:  # pragma: no cover
+            results["rival"] = f"WRONG ERROR: {type(e).__name__}"
+
+    a = threading.Thread(target=fast_winner)
+    b = threading.Thread(target=slow_rival)
+    a.start(); b.start(); a.join(); b.join()
+    assert results["winner"] is not None
+    assert results["rival"] == "conceded", results
+
+
+def test_lease_released_on_commit_failure_version_stays_retryable(
+    spark, root, monkeypatch
+):
+    """Code-review r7: a transient manifest-commit fault after WINNING the
+    election must drop the winner's candidate — otherwise every retry of
+    that version loses the election against the abandoned candidate until
+    the TTL expires (a 10-minute liveness stall from one fault)."""
+    import bdt_spark.operators.versioned as vz
+
+    df = read_versioned(spark, root)
+    boom = RuntimeError("transient IO")
+    real_commit = vz._commit_manifest
+
+    calls = {"n": 0}
+
+    def flaky_commit(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise boom
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(vz, "_commit_manifest", flaky_commit)
+    with pytest.raises(RuntimeError, match="transient IO"):
+        write_versioned(spark, root, df, version=2, lease_settle_s=0.1)
+    # immediate retry (no TTL wait) must win the election and commit
+    assert write_versioned(spark, root, df, version=2, lease_settle_s=0.1) == 2
