@@ -657,12 +657,21 @@ def _cosine_neardup_sql(dialect: str) -> str:
       FROM capped
     ),
     cand AS (
-      -- spanning window: each member pairs with <= {NEARDUP_WINDOW}
-      -- in-bucket predecessors; candidates are LINEAR in corpus size
+      -- spanning window + log rungs: each member pairs with <=
+      -- {NEARDUP_WINDOW} contiguous in-bucket predecessors (keeps any
+      -- <= {NEARDUP_WINDOW}-way interleaved clique connected) PLUS the
+      -- predecessors at rank distances {{16,32,64,128}} (collapses the
+      -- component graph's diameter from O(clique/{NEARDUP_WINDOW}) to
+      -- O(log clique) hops in the common single-clique bucket, so the
+      -- min-label loop and the recursive-CTE oracle both converge in a
+      -- handful of iterations on 100-replica cliques). Still <= 12
+      -- candidates per member — LINEAR in corpus size
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM ranked a JOIN ranked b
         ON a.bkey = b.bkey
-       AND b.rk > a.rk AND b.rk <= a.rk + {NEARDUP_WINDOW}
+       AND b.rk > a.rk
+       AND (b.rk - a.rk <= {NEARDUP_WINDOW}
+            OR b.rk - a.rk IN (16, 32, 64, 128))
     ),
     pairs AS (
       SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cos_sim
@@ -1461,8 +1470,13 @@ def dedup_semantic_clusters(spark, sf_dir):
 
     load_fixture_tables(spark, sf_dir)
     pairs = spark.sql(_cosine_neardup_sql("spark")).select("vec_a", "vec_b")
+    # max_iters: convergence needs <= graph diameter rounds. The log-rung
+    # candidate edges keep single-clique buckets at O(log n) diameter;
+    # adversarially interleaved buckets fall back to the contiguous
+    # window's O(clique/window) — 64 covers a 500-member clique even at
+    # the window-1 worst case, and the loop still fails loudly past that.
     return (
-        connected_components(pairs, "vec_a", "vec_b")
+        connected_components(pairs, "vec_a", "vec_b", max_iters=64)
         .select("cluster_id", F.col("node").alias("vec_id"))
         .orderBy("cluster_id", "vec_id")
     )
