@@ -19,7 +19,9 @@ spec. This module implements, from the published format specs:
   across IDAT chunks and DEFLATE-compressed (stdlib zlib — the one
   compressed container the environment CAN decode from scratch). All five
   scanline filters (None/Sub/Up/Average/Paeth) are implemented on both
-  sides; 8-bit truecolor (color type 2), non-interlaced.
+  sides; the encoder emits 8-bit truecolor (color type 2), the decoder
+  also accepts 8-bit grayscale (0, replicated to RGB) and RGBA (6, alpha
+  dropped — the decode contract is (h, w, 3)); non-interlaced.
 
 The formats differ in every layout decision (row order, channel order,
 row padding, header encoding, compression), so a decoder bug in any of
@@ -94,16 +96,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray) -> bytes:
-    """Apply PNG filter `ftype` to one raw scanline (uint8, len = w*3),
-    given the PRIOR raw scanline (zeros for the first row). bpp=3."""
+def _filter_scanline(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int = 3
+) -> bytes:
+    """Apply PNG filter `ftype` to one raw scanline (uint8, len = w*bpp),
+    given the PRIOR raw scanline (zeros for the first row). `bpp` is the
+    byte distance to the "left" sample (channels for 8-bit depth)."""
     n = len(raw)
     raw_i = raw.astype(np.int32)
     left = np.zeros(n, dtype=np.int32)
-    left[3:] = raw_i[:-3]
+    left[bpp:] = raw_i[:-bpp]
     up = prior.astype(np.int32)
     upleft = np.zeros(n, dtype=np.int32)
-    upleft[3:] = up[:-3]
+    upleft[bpp:] = up[:-bpp]
     if ftype == 0:
         out = raw_i
     elif ftype == 1:  # Sub
@@ -128,7 +133,7 @@ def _filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray) -> bytes:
 
 
 def _unfilter_scanline(
-    ftype: int, filt: np.ndarray, prior: np.ndarray
+    ftype: int, filt: np.ndarray, prior: np.ndarray, bpp: int = 3
 ) -> np.ndarray:
     """Invert PNG filter `ftype` on one filtered scanline. Sub/Average/
     Paeth reference the RECONSTRUCTED left neighbor, so those run
@@ -141,18 +146,18 @@ def _unfilter_scanline(
     out = np.zeros(n, dtype=np.int32)
     f = filt.astype(np.int32)
     up = prior.astype(np.int32)
-    if ftype == 1:  # Sub: out[i] = f[i] + out[i-3] is a per-channel
+    if ftype == 1:  # Sub: out[i] = f[i] + out[i-bpp] is a per-channel
         # prefix sum — vectorized as cumsum mod 256 on each byte lane
-        for c in range(3):
-            out[c::3] = np.cumsum(f[c::3], dtype=np.int64) % 256
+        for c in range(bpp):
+            out[c::bpp] = np.cumsum(f[c::bpp], dtype=np.int64) % 256
     elif ftype == 3:  # Average
         for i in range(n):
-            left = out[i - 3] if i >= 3 else 0
+            left = out[i - bpp] if i >= bpp else 0
             out[i] = (f[i] + (left + up[i]) // 2) % 256
     elif ftype == 4:  # Paeth
         for i in range(n):
-            left = out[i - 3] if i >= 3 else 0
-            ul = up[i - 3] if i >= 3 else 0
+            left = out[i - bpp] if i >= bpp else 0
+            ul = up[i - bpp] if i >= bpp else 0
             out[i] = (f[i] + _paeth(int(left), int(up[i]), int(ul))) % 256
     else:
         raise ValueError(f"bad PNG filter type {ftype}")
@@ -222,10 +227,10 @@ def _decode_png(payload: bytes) -> tuple[str, np.ndarray]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color != 2:
+            if depth != 8 or color not in (0, 2, 6):
                 raise ValueError(
-                    f"only 8-bit truecolor PNG supported (depth={depth}, "
-                    f"color type {color})"
+                    f"only 8-bit grayscale/truecolor/RGBA PNG supported "
+                    f"(depth={depth}, color type {color})"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("bad PNG compression/filter method")
@@ -242,17 +247,25 @@ def _decode_png(payload: bytes) -> tuple[str, np.ndarray]:
         raise ValueError("missing PNG IHDR/IEND chunk")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
+    channels = {0: 1, 2: 3, 6: 4}[color]
     lines = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = 1 + w * 3
+    stride = 1 + w * channels
     if len(lines) != stride * h:
         raise ValueError("PNG pixel data size mismatch")
     lines = lines.reshape(h, stride)
-    out = np.zeros((h, w * 3), dtype=np.uint8)
-    prior = np.zeros(w * 3, dtype=np.uint8)
+    out = np.zeros((h, w * channels), dtype=np.uint8)
+    prior = np.zeros(w * channels, dtype=np.uint8)
     for y in range(h):
-        out[y] = _unfilter_scanline(int(lines[y, 0]), lines[y, 1:], prior)
+        out[y] = _unfilter_scanline(
+            int(lines[y, 0]), lines[y, 1:], prior, bpp=channels
+        )
         prior = out[y]
-    return "png", out.reshape(h, w, 3)
+    px = out.reshape(h, w, channels)
+    if color == 0:  # grayscale -> replicate into RGB
+        px = np.repeat(px, 3, axis=2)
+    elif color == 6:  # RGBA -> drop alpha (decoder contract is (h,w,3))
+        px = np.ascontiguousarray(px[:, :, :3])
+    return "png", px
 
 
 def _decode_bmp(payload: bytes) -> tuple[str, np.ndarray]:

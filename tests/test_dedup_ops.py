@@ -187,3 +187,108 @@ def test_minhash_pairs_k64_finds_same_near_dups(spark):
         minhash_pairs(docs, k_hash=10, n_bands=4)
     with pytest.raises(ValueError):
         minhash_pairs(docs, k_hash=8, n_bands=3)
+
+
+# --- sparse sign-LSH geometry (round 7: the embedding near-dup blocker) -----
+
+
+def _sparse_plane_matrix():
+    import numpy as np
+
+    from bdt_spark.plans.pipeline import (
+        EMB_DIM,
+        NEARDUP_BANDS,
+        NEARDUP_NNZ,
+        NEARDUP_PLANES,
+        _sparse_planes,
+    )
+
+    planes = _sparse_planes(NEARDUP_BANDS * NEARDUP_PLANES)
+    M = np.zeros((len(planes), EMB_DIM))
+    for i, p in enumerate(planes):
+        assert len(p) == NEARDUP_NNZ
+        assert len({d for d, _ in p}) == NEARDUP_NNZ  # distinct dims
+        for d, s in p:
+            assert s in (1, -1) and 0 <= d < EMB_DIM
+            M[i, d] = s
+    return M
+
+
+def test_sparse_planes_deterministic_and_distinct():
+    """The plane table is a pure function of the xorshift seed (both
+    dialects' SQL is generated from it — any nondeterminism desyncs the
+    oracle) and no two planes are identical (a duplicate plane wastes a
+    sign bit and halves the bucket space)."""
+    import numpy as np
+
+    a, b = _sparse_plane_matrix(), _sparse_plane_matrix()
+    np.testing.assert_array_equal(a, b)
+    assert len({tuple(r) for r in a.tolist()}) == len(a)
+
+
+def test_sparse_lsh_recall_on_injected_neardups_sf001():
+    """Geometry regression pin: on the real sf0.01 fixture with the
+    query's own injection rule (every 20th vector, even dims * 1.1),
+    at least 90% of injected (source, perturbed) pairs must share a
+    bucket in >= 1 band, and the per-plane sign-agreement must stay
+    >= 0.95 — an accidental edit to the plane constants or geometry
+    that degrades recall fails HERE, not silently in a smaller oracle
+    result."""
+    import duckdb
+    import numpy as np
+
+    from bdt_spark.plans.pipeline import NEARDUP_BANDS, NEARDUP_PLANES
+
+    M = _sparse_plane_matrix()
+    src = "/root/testdata/sf0.01/embeddings.parquet"
+    emb = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{src}' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    ids = duckdb.sql(
+        f"SELECT vec_id FROM '{src}' ORDER BY vec_id"
+    ).fetchnumpy()["vec_id"]
+    inj = ids % 20 == 0
+    pert = emb[inj].copy()
+    pert[:, ::2] *= 1.1
+    bits_src = (emb[inj] @ M.T) > 0
+    bits_prt = (pert @ M.T) > 0
+    agree = bits_src == bits_prt
+    assert agree.mean() >= 0.95
+    collide = np.zeros(inj.sum(), dtype=bool)
+    for band in range(NEARDUP_BANDS):
+        cols = slice(band * NEARDUP_PLANES, (band + 1) * NEARDUP_PLANES)
+        collide |= agree[:, cols].all(axis=1)
+    assert collide.mean() >= 0.90
+
+
+def test_spanning_window_rungs_connect_interleaved_cliques():
+    """The candidate edge rule (<= NEARDUP_WINDOW contiguous predecessors
+    + rank rungs 16/32/64/128) must keep every clique CONNECTED inside a
+    bucket even when k cliques interleave round-robin, for all k up to
+    the window size — the exact failure the sf10 sweep caught (window-
+    only edges left diameter > max_iters on interleaved cliques)."""
+    from bdt_spark.plans.pipeline import NEARDUP_WINDOW
+
+    rungs = (16, 32, 64, 128)
+    for k in range(1, NEARDUP_WINDOW + 1):  # k interleaved cliques
+        n = 120 * k  # bucket members, round-robin clique assignment
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in range(n):
+            for d in list(range(1, NEARDUP_WINDOW + 1)) + list(rungs):
+                b = a + d
+                if b < n and a % k == b % k:  # same clique -> verify passes
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+        comps = {find(x) for x in range(n)}
+        assert len(comps) == k, f"k={k}: {len(comps)} components, want {k}"

@@ -208,3 +208,63 @@ def test_png_interlace_rejected():
     struct.pack_into(">I", payload, 8 + 8 + 13, zlib.crc32(ctype_and_data) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="interlaced"):
         decode_image_bytes(bytes(payload))
+
+
+def _hand_png(color_type, channels, px_bytes, w, h, ftype=0):
+    """Hand-assemble a PNG the encoder never emits (decoder-only color
+    types), with real CRCs and a valid filtered raster."""
+    import zlib
+
+    from bdt_spark.functions.imagecodec import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * channels
+    lines = bytearray()
+    prior = np.zeros(stride, dtype=np.uint8)
+    raster = np.frombuffer(px_bytes, dtype=np.uint8).reshape(h, stride)
+    from bdt_spark.functions.imagecodec import _filter_scanline
+
+    for y in range(h):
+        lines.append(ftype)
+        lines += _filter_scanline(ftype, raster[y], prior, bpp=channels)
+        prior = raster[y]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_grayscale_decodes_replicated(ftype):
+    """Color type 0 (decoder-only): gray value replicated into RGB; the
+    left-neighbor distance for filters is 1 byte, not 3 — a decoder that
+    hardcodes bpp=3 corrupts every Sub/Average/Paeth grayscale row."""
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 7
+    payload = _hand_png(0, 1, g.tobytes(), 4, 3, ftype=ftype)
+    fmt, out = decode_image_bytes(payload)
+    assert fmt == "png"
+    np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_rgba_decodes_alpha_dropped(ftype):
+    """Color type 6 (decoder-only): 4-byte pixels, filters at bpp=4,
+    alpha dropped per the (h, w, 3) decode contract."""
+    rgba = _gradient(3, 4)
+    alpha = np.full((3, 4, 1), 200, dtype=np.uint8)
+    px = np.concatenate([rgba, alpha], axis=2)
+    payload = _hand_png(6, 4, px.tobytes(), 4, 3, ftype=ftype)
+    fmt, out = decode_image_bytes(payload)
+    assert fmt == "png"
+    np.testing.assert_array_equal(out, rgba)
+
+
+def test_png_palette_color_type_rejected():
+    """Color type 3 (palette) needs a PLTE chunk the decoder does not
+    implement — must reject loudly."""
+    g = np.zeros(4, dtype=np.uint8)
+    payload = _hand_png(3, 1, g.tobytes(), 4, 1)
+    with pytest.raises(ValueError, match="color type"):
+        decode_image_bytes(payload)
