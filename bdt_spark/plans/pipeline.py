@@ -519,56 +519,32 @@ def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:
 # candidate precision 0.998 at r=24, injected-near-dup recall 0.99+ with 2
 # bands at per-plane sign agreement 0.99.
 
-NEARDUP_BANDS = 2
-NEARDUP_PLANES = 24  # sign bits per band -> 2^24-bucket space per band
-NEARDUP_NNZ = 8  # nonzero +/-1 coefficients per sparse hyperplane
-NEARDUP_WINDOW = 8  # in-bucket spanning-window fan-out per member
+from bdt_spark.operators.dedup import (  # noqa: E402 — geometry lives
+    # with the operator; BOTH dialects' SQL below is generated from the
+    # same plane table the Spark operator uses, so they cannot drift
+    NEARDUP_BANDS,
+    NEARDUP_NNZ,
+    NEARDUP_PLANES,
+    NEARDUP_RUNGS,
+    NEARDUP_WINDOW,
+    sparse_band_bucket_sql,
+    sparse_planes,
+)
+
+# back-compat aliases (tests and older call sites)
+_sparse_planes = sparse_planes
 
 
-def _sparse_planes(
-    n_planes: int, dim: int = 64, nnz: int = NEARDUP_NNZ
-) -> list[list[tuple[int, int]]]:
-    """Deterministic sparse +/-1 hyperplanes: each plane is `nnz` distinct
-    (dim_index, sign) pairs drawn from the same xorshift64 stream both
-    dialects' SQL is generated from (engine-independent literals)."""
-    mask = 0xFFFFFFFFFFFFFFFF
-    state = 0x9E3779B97F4A7C15
+def _sparse_dot(dialect: str, plane) -> str:
+    from bdt_spark.operators.dedup import sparse_dot_sql
 
-    def nxt() -> int:
-        nonlocal state
-        state ^= (state << 13) & mask
-        state ^= state >> 7
-        state ^= (state << 17) & mask
-        return state
-
-    planes: list[list[tuple[int, int]]] = []
-    for _ in range(n_planes):
-        dims: list[int] = []
-        while len(dims) < nnz:
-            d = nxt() % dim
-            if d not in dims:
-                dims.append(d)
-        planes.append([(d, 1 if nxt() & 1 else -1) for d in dims])
-    return planes
-
-
-def _sparse_dot(dialect: str, plane: list[tuple[int, int]]) -> str:
-    """Flat +/- chain over directly-indexed embedding elements (Spark
-    arrays are 0-based, DuckDB lists 1-based). Left-to-right IEEE double
-    adds — bit-identical in both engines."""
-    terms = []
-    for d, s in plane:
-        idx = d if dialect == "spark" else d + 1
-        terms.append(f"{'+' if s > 0 else '-'} CAST(embedding[{idx}] AS DOUBLE)")
-    return "(" + " ".join(terms) + ")"
+    return sparse_dot_sql(plane, "embedding", one_based=dialect != "spark")
 
 
 def _sparse_band_bucket(dialect: str, band_planes) -> str:
-    bits = [
-        f"(CASE WHEN {_sparse_dot(dialect, p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(band_planes)
-    ]
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    return sparse_band_bucket_sql(
+        band_planes, "embedding", one_based=dialect != "spark"
+    )
 
 
 def _cosine_neardup_sql(dialect: str) -> str:
@@ -671,7 +647,7 @@ def _cosine_neardup_sql(dialect: str) -> str:
         ON a.bkey = b.bkey
        AND b.rk > a.rk
        AND (b.rk - a.rk <= {NEARDUP_WINDOW}
-            OR b.rk - a.rk IN (16, 32, 64, 128))
+            OR b.rk - a.rk IN ({", ".join(str(r) for r in NEARDUP_RUNGS)}))
     ),
     pairs AS (
       SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cos_sim
@@ -685,9 +661,18 @@ def _cosine_neardup_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+_NEARDUP_CORPUS_SPARK = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           transform(embedding, (x, i) -> CASE WHEN i % 2 = 0 THEN
+             CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END) AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+@query(
     "dedup_embedding_cosine",
-    _cosine_neardup_sql("spark"),
     oracle=_cosine_neardup_sql("duck"),
     tags=("dedup", "embedding", "cosine", "lsh"),
     doc="Embedding near-dup pairs >= 0.9 cosine via sparse sign-LSH "
@@ -698,8 +683,20 @@ sql_query(
     "the pair set spans each bucket-coherent near-dup group so downstream "
     "connected components (dedup_semantic_clusters) are preserved. "
     "Replaces the r6 label-blocked all-pairs form whose in-block O(n^2) "
-    "could not survive a skewed label at 100x.",
+    "could not survive a skewed label at 100x. Spark side = the canonical "
+    "operators/dedup.py embedding_neardup_pairs (persisted single "
+    "materialization of the bucketed projection — the SQL-CTE form "
+    "re-planned that subtree per consumer, ~45 exchanges at sf0.1); the "
+    "DuckDB oracle is generated from the SAME plane table and geometry "
+    "constants, so operator and oracle cannot drift.",
 )
+def dedup_embedding_cosine(spark, sf_dir):
+    from bdt_spark.operators.dedup import embedding_neardup_pairs
+
+    load_fixture_tables(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    corpus = spark.sql(_NEARDUP_CORPUS_SPARK)
+    return embedding_neardup_pairs(corpus, n_partitions=n_part)
 
 
 def _topk_bruteforce_sql(dialect: str) -> str:
@@ -1468,8 +1465,7 @@ def _semantic_cc_oracle_sql() -> str:
 def dedup_semantic_clusters(spark, sf_dir):
     from bdt_spark.operators.graph import connected_components
 
-    load_fixture_tables(spark, sf_dir)
-    pairs = spark.sql(_cosine_neardup_sql("spark")).select("vec_a", "vec_b")
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
     # max_iters: convergence needs <= graph diameter rounds. The log-rung
     # candidate edges keep single-clique buckets at O(log n) diameter;
     # adversarially interleaved buckets fall back to the contiguous
