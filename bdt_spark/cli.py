@@ -149,7 +149,11 @@ def cmd_compare(args) -> None:
 
 def cmd_dedup(args) -> None:
     # extension beyond the reference: dedup any table from the CLI
-    from bdt_spark.operators.dedup import exact_dup_groups, minhash_pairs
+    from bdt_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        exact_dup_groups,
+        minhash_pairs,
+    )
 
     spark = get_spark("bdt_dedup")
     df = read_file(spark, args.table)
@@ -158,12 +162,20 @@ def cmd_dedup(args) -> None:
             c for c in df.columns if c != args.id_col
         ]
         out = exact_dup_groups(df, cols, args.id_col)
+    elif args.method == "embedding":
+        out = embedding_neardup_pairs(
+            df,
+            id_col=args.id_col,
+            emb_col=args.embedding_col,
+            dim=args.embedding_dim,
+            threshold=0.9 if args.threshold is None else args.threshold,
+        )
     else:
         out = minhash_pairs(
             df,
             id_col=args.id_col,
             text_col=args.text_col,
-            threshold=args.threshold,
+            threshold=0.5 if args.threshold is None else args.threshold,
             k_hash=args.minhash_k,
             n_bands=args.minhash_bands,
         )
@@ -325,11 +337,26 @@ def build_parser() -> argparse.ArgumentParser:
     # --- extensions beyond the reference surface ---
     dd = sub.add_parser("dedup", help="find duplicate rows / near-dup text")
     dd.add_argument("--table", required=True)
-    dd.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    dd.add_argument(
+        "--method", choices=["exact", "minhash", "embedding"], default="exact"
+    )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument(
+        "--embedding-col", default="embedding",
+        help="array<float> column for --method embedding (sign-LSH near-dup)",
+    )
+    dd.add_argument(
+        "--embedding-dim", type=int, default=64,
+        help="embedding dimensionality (the sparse-plane/dot SQL is "
+        "unrolled for exactly this length)",
+    )
     dd.add_argument("--columns", help="comma list for exact dedup key")
-    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument(
+        "--threshold", type=float, default=None,
+        help="verification threshold: Jaccard for minhash (default 0.5), "
+        "cosine for embedding (default 0.9)",
+    )
     dd.add_argument(
         "--minhash-k", type=int, default=8,
         help="minhash signature length (multiple of 4; 64-128 for "

@@ -117,6 +117,23 @@ def test_cli_dedup_minhash(capsys):
     assert rc == 0
 
 
+def test_cli_dedup_embedding(tmp_path, capsys):
+    """--method embedding: sign-LSH near-dup over an array<float> column;
+    the fixture has no organic cosine>=0.9 pairs, so lower the threshold
+    to prove the path end-to-end with a non-empty result."""
+    from bdt_spark.cli import main
+
+    rc = main([
+        "dedup", "--table", f"{SF_DIR}/embeddings.parquet",
+        "--method", "embedding", "--id-col", "vec_id",
+        "--threshold", "0.3",
+        "--output", str(tmp_path / "pairs.parquet"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wrote" in out
+
+
 def test_cli_cluster_write_and_ann(tmp_path, capsys):
     from bdt_spark.cli import main
 
