@@ -1466,6 +1466,16 @@ def dedup_semantic_clusters(spark, sf_dir):
     from bdt_spark.operators.graph import connected_components
 
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    # Truncate lineage at the operator boundary: the pair output is
+    # already persisted AND materialized, but its logical plan still
+    # carries the 48 unrolled plane-bucket expression trees + the 64-term
+    # cosine chain. The iterative loop below re-embeds that subtree in
+    # every per-iteration plan; at sf10 (~15-30 iterations) the resulting
+    # EXPLAIN string grows to gigabytes and OOMs the driver inside
+    # QueryExecution.explainString (event-listener plan rendering).
+    # localCheckpoint replaces the whole subtree with an RDD-scan leaf —
+    # cheap here because the rows are already computed and cached.
+    pairs = pairs.localCheckpoint(eager=True)
     # max_iters: convergence needs <= graph diameter rounds. The log-rung
     # candidate edges keep single-clique buckets at O(log n) diameter;
     # adversarially interleaved buckets fall back to the contiguous

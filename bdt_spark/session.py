@@ -22,6 +22,14 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Cap plan EXPLAIN strings (default is effectively unbounded): deep
+    # iterative lineage over wide unrolled expression trees (the flat
+    # vector-math chains) can make QueryExecution.explainString build a
+    # multi-GB string for the UI/event listeners and OOM the DRIVER —
+    # observed at sf10 in the connected-components loop over the sign-LSH
+    # pair plan. 1 MiB of plan text is plenty for debugging; past the cap
+    # Spark truncates with a warning instead of dying.
+    "spark.sql.maxPlanStringLength": str(1024 * 1024),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
