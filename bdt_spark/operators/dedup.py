@@ -266,7 +266,15 @@ NEARDUP_BANDS = 2     # independent OR-construction bands
 NEARDUP_PLANES = 24   # sign bits per band -> 2^24-bucket space per band
 NEARDUP_NNZ = 8       # nonzero +/-1 coefficients per sparse hyperplane
 NEARDUP_WINDOW = 8    # contiguous in-bucket predecessors per member
-NEARDUP_RUNGS = (16, 32, 64, 128)  # log rungs: O(log n) clique diameter
+# Long-range rungs: rank distances 16*k for every interleave factor
+# k = 1..NEARDUP_WINDOW. When k cliques share a bucket round-robin,
+# same-clique rank distances are multiples of k — the rung 16*k is then
+# an in-clique 16-member jump, so the component diameter stays
+# ~members/16 for EVERY k the contiguous window can connect (k <= 8).
+# Plain powers of two (the first attempt) are never divisible by
+# k in {3,5,6,7}: those interleaves degraded to a window-step chain and
+# blew past the CC loop's max_iters at sf10.
+NEARDUP_RUNGS = tuple(16 * k for k in range(1, NEARDUP_WINDOW + 1))
 
 
 def sparse_planes(
@@ -396,12 +404,23 @@ def embedding_neardup_pairs(
         ).alias(f"bucket{b}")
         for b in range(n_bands)
     ]
+    # dim guard: the unrolled dot/norm SQL is generated for EXACTLY `dim`
+    # elements; a longer array would silently contribute only its prefix
+    # and a shorter one would NULL out every cosine (out-of-range indexing
+    # yields NULL) — both wrong-but-quiet. raise_error() makes the
+    # mismatch loud at the first materialization, for ~nothing (one size()
+    # per row next to a 64-term chain).
+    nrm_guarded = (
+        f"CASE WHEN size({emb_col}) = {dim} THEN {flat_norm_sql(emb_col, dim)}"
+        f" ELSE raise_error(concat('embedding dim ',"
+        f" CAST(size({emb_col}) AS STRING), ' != expected {dim}')) END"
+    )
     v = (
         df.repartition(n_partitions)
         .select(
             F.col(id_col).alias("vec_id"),
             F.col(emb_col).alias("embedding"),
-            F.expr(flat_norm_sql(emb_col, dim)).alias("nrm"),
+            F.expr(nrm_guarded).alias("nrm"),
             *band_cols,
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -415,13 +434,16 @@ def embedding_neardup_pairs(
             (F.lit(b * (1 << n_planes)) + F.col(f"bucket{b}")).alias("bkey"),
         )
         buckets = part if buckets is None else buckets.unionByName(part)
-    hot = (
-        buckets.groupBy("bkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > hot_bucket_cap)
-        .select("bkey")
-    )
-    capped = buckets.join(F.broadcast(hot), "bkey", "left_anti")
+    if hot_bucket_cap:  # falsy cap disables capping, like minhash_pairs
+        hot = (
+            buckets.groupBy("bkey")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > hot_bucket_cap)
+            .select("bkey")
+        )
+        capped = buckets.join(F.broadcast(hot), "bkey", "left_anti")
+    else:
+        capped = buckets
     ranked = capped.withColumn(
         "rk", F.row_number().over(Window.partitionBy("bkey").orderBy("vec_id"))
     )

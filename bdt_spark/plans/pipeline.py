@@ -459,41 +459,23 @@ EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md contract);
 
 
 def _dot(dialect: str, a: str, b: str) -> str:
-    """Deterministic double-precision dot product, UNROLLED to a flat
-    left-to-right multiply/add chain over the fixed fixture dim.
+    """Deterministic double-precision dot product — delegates to the ONE
+    unrolled-chain generator in operators/dedup.py (flat_dot_sql) so the
+    oracle's cosine and the Spark operator's cosine cannot drift in IEEE
+    accumulation order (see flat_dot_sql for the codegen rationale)."""
+    from bdt_spark.operators.dedup import flat_dot_sql
 
-    Bit-identical to the sequential HOF fold it replaced (same IEEE
-    accumulation order: ((x0*y0 + x1*y1) + x2*y2) + ...), but it stays
-    inside Spark's whole-stage codegen and DuckDB's vectorized expression
-    engine instead of interpreting a lambda per element — the per-element
-    lambda cost was the dominant term of every similarity query at sf10.
-    Spark arrays index 0-based, DuckDB lists 1-based."""
-    off = 0 if dialect == "spark" else 1
-    return (
-        "("
-        + " + ".join(
-            f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
-            for i in range(EMB_DIM)
-        )
-        + ")"
-    )
+    return flat_dot_sql(a, b, EMB_DIM, one_based=dialect != "spark")
 
 
 def _norm(dialect: str, e: str) -> str:
-    """Euclidean norm of a vector column — same flat unrolled chain as
-    _dot (see there for the IEEE-order and codegen rationale).
+    """Euclidean norm — same shared generator (see _dot).
 
     The similarity queries project this ONCE per vector row before any
     pair-building join, so it runs O(n) times instead of O(pairs)."""
-    off = 0 if dialect == "spark" else 1
-    return (
-        "SQRT("
-        + " + ".join(
-            f"CAST({e}[{i + off}] AS DOUBLE) * CAST({e}[{i + off}] AS DOUBLE)"
-            for i in range(EMB_DIM)
-        )
-        + ")"
-    )
+    from bdt_spark.operators.dedup import flat_norm_sql
+
+    return flat_norm_sql(e, EMB_DIM, one_based=dialect != "spark")
 
 
 def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:
@@ -547,9 +529,15 @@ def _sparse_band_bucket(dialect: str, band_planes) -> str:
     )
 
 
-def _cosine_neardup_sql(dialect: str) -> str:
-    """Corpus-wide embedding near-dup via sparse sign-LSH buckets + an
-    in-bucket spanning window — the plan that survives 100x.
+def _cosine_neardup_sql(dialect: str = "duck") -> str:
+    """DuckDB ORACLE for corpus-wide embedding near-dup via sparse
+    sign-LSH buckets + an in-bucket spanning window — the plan that
+    survives 100x. The SPARK side is operators/dedup.py
+    embedding_neardup_pairs (plus the _NEARDUP_CORPUS_SPARK injection);
+    this text is generated from the SAME plane table and geometry
+    constants, so the two cannot drift. `dialect` is retained for the
+    callers' clarity but only "duck" is supported now that the Spark
+    side is the operator.
 
     Earlier rounds blocked on `label` and ran all-pairs inside each block:
     O(n^2) on a skewed label, and the sf10 corpus (100 near-identical
@@ -566,28 +554,26 @@ def _cosine_neardup_sql(dialect: str) -> str:
     (shared with MinHash-LSH) still bounds any adversarial bucket.
     Verified geometry on the sf10 corpus: candidate precision 0.998,
     injected-pair recall 0.99+."""
+    if dialect != "duck":
+        raise ValueError(
+            "spark dialect removed: the Spark side is "
+            "operators/dedup.py embedding_neardup_pairs"
+        )
     cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
-    # REPARTITION: the embeddings fixture is one small file = ONE input
-    # partition; the hint spreads bucket + verify work across the cluster.
-    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     # The fixture's max organic pair cosine is ~0.475 at sf0.01, so a 0.9
     # near-dup threshold was vacuously empty at the driver's sf. The
     # injected rows re-insert every 20th vector with even-index dims
     # scaled by 1.1 — cosine vs the source lands at ~0.9989 (non-trivial:
     # direction changes, so the query must actually normalize), while
     # injected-vs-other pairs stay far below threshold. Deterministic
-    # double arithmetic, identical in both engines.
-    if dialect == "spark":
-        perturbed = (
-            "transform(embedding, (x, i) -> CASE WHEN i % 2 = 0 THEN"
-            " CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END)"
-        )
-    else:
-        perturbed = (
-            "list_transform(range(1, len(embedding) + 1), i ->"
-            " CASE WHEN (i - 1) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE)"
-            " * 1.1 ELSE CAST(embedding[i] AS DOUBLE) END)"
-        )
+    # double arithmetic; _NEARDUP_CORPUS_SPARK is the Spark-dialect twin
+    # of this injection (kept textually adjacent via the registration
+    # below so an edit to one is visibly an edit to both).
+    perturbed = (
+        "list_transform(range(1, len(embedding) + 1), i ->"
+        " CASE WHEN (i - 1) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE)"
+        " * 1.1 ELSE CAST(embedding[i] AS DOUBLE) END)"
+    )
     planes = _sparse_planes(NEARDUP_BANDS * NEARDUP_PLANES)
     band_cols = ", ".join(
         f"{_sparse_band_bucket(dialect, planes[b * NEARDUP_PLANES:(b + 1) * NEARDUP_PLANES])}"
@@ -610,7 +596,7 @@ def _cosine_neardup_sql(dialect: str) -> str:
       FROM embeddings WHERE vec_id % 20 = 0
     ),
     v AS (
-      SELECT {hint}vec_id, embedding,
+      SELECT vec_id, embedding,
              {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM corpus
@@ -636,11 +622,12 @@ def _cosine_neardup_sql(dialect: str) -> str:
       -- spanning window + log rungs: each member pairs with <=
       -- {NEARDUP_WINDOW} contiguous in-bucket predecessors (keeps any
       -- <= {NEARDUP_WINDOW}-way interleaved clique connected) PLUS the
-      -- predecessors at rank distances {{16,32,64,128}} (collapses the
-      -- component graph's diameter from O(clique/{NEARDUP_WINDOW}) to
-      -- O(log clique) hops in the common single-clique bucket, so the
-      -- min-label loop and the recursive-CTE oracle both converge in a
-      -- handful of iterations on 100-replica cliques). Still <= 12
+      -- rungs at rank distances 16*k, k=1..{NEARDUP_WINDOW}: under any
+      -- k-way round-robin interleave (k <= {NEARDUP_WINDOW}) the 16*k
+      -- rung is an in-clique 16-member jump, so the component diameter
+      -- stays ~members/16 and the min-label loop and recursive-CTE
+      -- oracle converge in a handful of iterations on 100-replica
+      -- cliques. Still <= {NEARDUP_WINDOW} + {len(NEARDUP_RUNGS)}
       -- candidates per member — LINEAR in corpus size
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM ranked a JOIN ranked b
@@ -1465,7 +1452,8 @@ def _semantic_cc_oracle_sql() -> str:
 def dedup_semantic_clusters(spark, sf_dir):
     from bdt_spark.operators.graph import connected_components
 
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    src_pairs = dedup_embedding_cosine(spark, sf_dir)
+    pairs = src_pairs.select("vec_a", "vec_b")
     # Truncate lineage at the operator boundary: the pair output is
     # already persisted AND materialized, but its logical plan still
     # carries the 48 unrolled plane-bucket expression trees + the 64-term
@@ -1476,11 +1464,15 @@ def dedup_semantic_clusters(spark, sf_dir):
     # localCheckpoint replaces the whole subtree with an RDD-scan leaf —
     # cheap here because the rows are already computed and cached.
     pairs = pairs.localCheckpoint(eager=True)
-    # max_iters: convergence needs <= graph diameter rounds. The log-rung
-    # candidate edges keep single-clique buckets at O(log n) diameter;
-    # adversarially interleaved buckets fall back to the contiguous
-    # window's O(clique/window) — 64 covers a 500-member clique even at
-    # the window-1 worst case, and the loop still fails loudly past that.
+    # the checkpoint holds its own copy of the rows: drop the operator's
+    # persisted cache so the session doesn't carry both (2M rows at sf10)
+    src_pairs.unpersist()
+    # max_iters: convergence needs <= graph diameter rounds. The 16*k
+    # rungs give a 16-member in-clique jump under ANY k-way interleave up
+    # to the window size, so diameter ~ members/16 (+ a window tail):
+    # 64 covers cliques to ~900 members at <= 8-way interleave. Beyond
+    # that (>8 cliques per bucket, or a >900 clique) the loop still
+    # fails loudly rather than returning split components.
     return (
         connected_components(pairs, "vec_a", "vec_b", max_iters=64)
         .select("cluster_id", F.col("node").alias("vec_id"))

@@ -270,9 +270,9 @@ def test_spanning_window_rungs_connect_interleaved_cliques():
     bucket even when k cliques interleave round-robin, for all k up to
     the window size — the exact failure the sf10 sweep caught (window-
     only edges left diameter > max_iters on interleaved cliques)."""
-    from bdt_spark.plans.pipeline import NEARDUP_WINDOW
+    from bdt_spark.plans.pipeline import NEARDUP_RUNGS, NEARDUP_WINDOW
 
-    rungs = (16, 32, 64, 128)
+    rungs = NEARDUP_RUNGS
     for k in range(1, NEARDUP_WINDOW + 1):  # k interleaved cliques
         n = 120 * k  # bucket members, round-robin clique assignment
         parent = list(range(n))
@@ -292,3 +292,16 @@ def test_spanning_window_rungs_connect_interleaved_cliques():
                         parent[ra] = rb
         comps = {find(x) for x in range(n)}
         assert len(comps) == k, f"k={k}: {len(comps)} components, want {k}"
+
+
+def test_rungs_cover_every_interleave_factor():
+    """Each k <= window must have a rung divisible by k (the 16-member
+    in-clique jump that keeps the CC diameter ~members/16): plain powers
+    of two failed this for k in {3,5,6,7} and blew max_iters at sf10."""
+    from bdt_spark.plans.pipeline import NEARDUP_RUNGS, NEARDUP_WINDOW
+
+    for k in range(1, NEARDUP_WINDOW + 1):
+        jumps = [r // k for r in NEARDUP_RUNGS if r % k == 0]
+        assert jumps and max(jumps) >= 8, (
+            f"no useful rung for {k}-way interleave: {NEARDUP_RUNGS}"
+        )
