@@ -27,9 +27,13 @@ _DEFAULTS = {
     # vector-math chains) can make QueryExecution.explainString build a
     # multi-GB string for the UI/event listeners and OOM the DRIVER —
     # observed at sf10 in the connected-components loop over the sign-LSH
-    # pair plan. 1 MiB of plan text is plenty for debugging; past the cap
-    # Spark truncates with a warning instead of dying.
-    "spark.sql.maxPlanStringLength": str(1024 * 1024),
+    # pair plan. 16 MiB: the largest legitimate single-query plan text in
+    # the suite is ~0.6 MiB (dedup_embedding_cosine), so 25x headroom for
+    # honest plans while the pathological multi-GB case truncates with a
+    # warning instead of dying. The plan-hygiene tests assert their plan
+    # text is NOT truncated, so the cap can never silently hide an
+    # operator from them.
+    "spark.sql.maxPlanStringLength": str(16 * 1024 * 1024),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

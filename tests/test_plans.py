@@ -131,6 +131,10 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
             offenders[name] = f"build error: {e}"
             continue
         text = df._jdf.queryExecution().executedPlan().toString()
+        # a plan string truncated by spark.sql.maxPlanStringLength could
+        # hide a cartesian from this grep — fail loudly instead
+        if "more characters" in text.rsplit("\n", 2)[-1]:
+            offenders[name] = "plan string truncated (raise maxPlanStringLength)"
         if "CartesianProduct" in text:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
