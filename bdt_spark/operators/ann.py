@@ -5,8 +5,8 @@ so they can be oracled; a production pipeline builds the index ONCE and
 amortizes it over every probe. This operator persists:
 
     {path}/centroids/    cluster_id, centroid array<double>
-    {path}/assignments/  vec_id, cluster_id, embedding  (written clustered
-                         by cluster_id -> per-cluster row-group locality)
+    {path}/assignments/  vec_id, embedding, nrm — hive-partitioned by
+                         cluster_id (cluster_id=N/ dirs, one file each)
 
 Build = Lloyd's k-means, fully distributed and deterministic:
 - init: the k vectors with the lexicographically smallest md5(vec_id) —
@@ -20,8 +20,10 @@ Probe = nearest `nprobe` centroids per query (broadcast again), then
 exact cosine only against those clusters' rows — the candidate set is
 corpus_size * nprobe / k instead of the full corpus.
 
-At 100 TB: assignments are range/bucket-laid-out by cluster_id, so a
-probe reads only its clusters' files; centroids stay driver-size.
+At 100 TB: assignments are hive-partitioned by cluster_id and the probe
+pushes its (<= k) probed cluster ids as a partition filter, so a probe
+OPENS only its clusters' files — dynamic file-level pruning proved by
+executed-scan metrics in tests/test_ann.py; centroids stay driver-size.
 """
 
 from __future__ import annotations
@@ -167,15 +169,19 @@ def build_ivf_index(
     centroids = centroids.localCheckpoint(eager=True)
     final = _assign(emb, centroids)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    # cluster-local layout: each probe reads only its clusters' row groups.
+    # cluster-local layout: assignments are HIVE-PARTITIONED by cluster_id
+    # (k directories — k is small by construction), so a probe's isin
+    # filter on cluster_id becomes a partition filter at planning time and
+    # non-probed clusters' files are never opened. repartition first so
+    # each cluster is written by one task -> one file per directory.
     # The vector norm is materialized INTO the index (one fold per vector
     # at build time) so every probe skips the per-candidate-row norm fold
     # — the index is built once, probed many times.
     (
         final.withColumn("nrm", F.expr(_norm("embedding")))
         .repartition("cluster_id")
-        .sortWithinPartitions("cluster_id")
         .write.mode("overwrite")
+        .partitionBy("cluster_id")
         .parquet(f"{path}/assignments")
     )
 
@@ -206,11 +212,30 @@ def ivf_probe(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "q_vec", "cluster_id")
+        # materialized once: consumed by BOTH the probed-cluster-id
+        # collect below and the candidate join — without this the
+        # queries x centroids assignment would run twice
+        .localCheckpoint(eager=True)
     )
-    if "nrm" in assignments.columns:  # norms precomputed at build time
-        indexed = assignments.withColumnRenamed("nrm", "v_nrm")
+    # the distinct probed clusters are <= min(k, queries*nprobe) rows —
+    # driver-safe at any corpus size. Pushing them as an isin filter turns
+    # into a PARTITION filter on the hive layout build_ivf_index writes,
+    # so the scan opens only the probed clusters' files (proved by
+    # executed-scan metrics in tests/test_ann.py); on a legacy
+    # non-partitioned layout the same filter still prunes row groups via
+    # the sorted min/max stats.
+    probe_ids = [
+        r.cluster_id for r in probes.select("cluster_id").distinct().collect()
+    ]
+    pruned = (
+        assignments.filter(F.col("cluster_id").isin(probe_ids))
+        if probe_ids
+        else assignments.filter(F.lit(False))
+    )
+    if "nrm" in pruned.columns:  # norms precomputed at build time
+        indexed = pruned.withColumnRenamed("nrm", "v_nrm")
     else:  # pre-norm index layout: fall back to computing per probe
-        indexed = assignments.withColumn("v_nrm", F.expr(_norm("embedding")))
+        indexed = pruned.withColumn("v_nrm", F.expr(_norm("embedding")))
     cand = probes.withColumn("q_nrm", F.expr(_norm("q_vec"))).join(
         indexed, "cluster_id"
     ).filter(F.col("vec_id") != F.col("q_id"))

@@ -114,3 +114,88 @@ def test_probe_zero_norm_vectors_dropped(spark, tmp_path):
         spark, path, emb.filter(F.col("vec_id") == 2), topk=3, nprobe=2
     ).collect()
     assert qz == []
+
+
+def _scan_metrics(q, *metric_names):
+    """Executed-plan leaf scan metrics for the (single) parquet scan in q."""
+    q.collect()
+    leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+    got = {}
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        it = metrics.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in metric_names:
+                got[kv._1()] = kv._2().value()
+    missing = set(metric_names) - set(got)
+    assert not missing, f"scan metrics absent: {missing}"
+    return got
+
+
+def test_assignments_layout_is_hive_partitioned(index_path):
+    import os
+
+    dirs = [
+        d
+        for d in os.listdir(f"{index_path}/assignments")
+        if d.startswith("cluster_id=")
+    ]
+    assert len(dirs) >= 2, f"expected cluster_id=N dirs, got {dirs}"
+
+
+def test_probe_isin_prunes_files(spark, index_path):
+    """The probe's cluster_id isin pushdown must prune at FILE level on
+    the hive layout: scanning one probed cluster opens only that
+    cluster's file(s) and produces only its rows (executed-scan metrics,
+    same proof style as tests/test_layout.py bloom skipping)."""
+    import os
+
+    asg = f"{index_path}/assignments"
+    dirs = sorted(
+        d for d in os.listdir(asg) if d.startswith("cluster_id=")
+    )
+    total_files = sum(
+        len([f for f in os.listdir(f"{asg}/{d}") if f.endswith(".parquet")])
+        for d in dirs
+    )
+    c0 = int(dirs[0].split("=")[1])
+    c0_files = len(
+        [f for f in os.listdir(f"{asg}/{dirs[0]}") if f.endswith(".parquet")]
+    )
+    c0_rows = spark.read.parquet(asg).filter(
+        F.col("cluster_id") == c0
+    ).count()
+    all_rows = spark.read.parquet(asg).count()
+    assert 0 < c0_rows < all_rows
+
+    pruned = _scan_metrics(
+        spark.read.parquet(asg).filter(F.col("cluster_id").isin([c0])),
+        "numFiles",
+        "numOutputRows",
+    )
+    control = _scan_metrics(
+        spark.read.parquet(asg), "numFiles", "numOutputRows"
+    )
+    assert pruned["numFiles"] == c0_files, pruned
+    assert pruned["numOutputRows"] == c0_rows, pruned
+    assert control["numFiles"] == total_files
+    assert control["numOutputRows"] == all_rows
+
+
+def test_probe_plan_carries_partition_filter(spark, sf_dir, index_path):
+    """End-to-end: the ivf_probe plan's assignments scan carries a
+    PartitionFilters entry on cluster_id (dynamic file pruning), and a
+    probe of a single cluster returns the same rows as before the
+    layout change (exactness is pinned by the nprobe=k test above)."""
+    emb = read_file(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = ivf_probe(spark, index_path, queries, topk=3, nprobe=1)
+    rows = out.collect()
+    assert len(rows) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), m.group(0) if m else plan
