@@ -36,6 +36,29 @@ N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS)
 # unaffected; scale callers tune it down (~300-1000 is typical).
 HOT_BUCKET_CAP = 5000
 
+# Input size (Catalyst plan-stats estimate) below which the eager
+# persist+count materializations are SKIPPED: for a small corpus the
+# three materializing actions are most of the wall time (~12 s at
+# sf0.1 for work whose recompute costs well under a second), while at
+# scale they are a measured ~2x saving (the multi-consumer DAG
+# re-shingles/re-hashes per branch without them). The plan is
+# otherwise identical either way — only the caching changes, never
+# semantics. 10 MB sits between the sf1 fixture (2.3 MB, recompute
+# trivially cheap) and the sf10 corpus (16 MB, persists already
+# measured worthwhile).
+EAGER_PERSIST_MIN_BYTES = 10 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (file bytes for scans) —
+    driver-side, no job. Unknown/huge estimates return large so the
+    default is the scale-safe path (persists kept)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return 1 << 62
+
 
 def shingle_expr(text_col: str = "text") -> str:
     """Distinct word-3-shingle array (Spark SQL expression).
@@ -132,6 +155,7 @@ def minhash_pairs(
     stats: dict | None = None,
     k_hash: int = K_HASH,
     n_bands: int = N_BANDS,
+    eager_persist_min_bytes: int = EAGER_PERSIST_MIN_BYTES,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -160,18 +184,33 @@ def minhash_pairs(
     fewer below-threshold candidates reach verification. The oracled
     defaults (8/4) are far below the 64-128 production near-dup uses;
     non-default geometry diverges from the DuckDB oracle by construction.
+
+    `eager_persist_min_bytes` gates the persist+count materializations
+    on the Catalyst input-size estimate (see EAGER_PERSIST_MIN_BYTES):
+    identical results either way, only the caching differs. Pass 0 to
+    force the scale path.
     """
     from pyspark import StorageLevel
 
     _validate_geometry(k_hash, n_bands)
-    sh = (
+    # eager materialization (gated on input size, see
+    # EAGER_PERSIST_MIN_BYTES): four downstream branches consume the
+    # shingle subtree; a lazy cache lets concurrent branches of one job
+    # recompute it. Below the gate the recompute is cheaper than the
+    # three count() actions.
+    eager = _plan_size_bytes(df) >= eager_persist_min_bytes
+
+    def _mat(d: DataFrame) -> DataFrame:
+        if not eager:
+            return d
+        p = d.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        return p
+
+    sh = _mat(
         df.repartition(n_partitions, id_col)
         .selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # eager materialization: four downstream branches consume this subtree;
-    # a lazy cache lets concurrent branches of one job recompute it
-    sh.count()
 
     # map-only signatures: one digest array per seed (md5 evaluated once
     # per (shingle, seed), exactly like the exploded form), then lane mins
@@ -189,10 +228,9 @@ def minhash_pairs(
     # transforms — and it has three consumers (the hot-bucket count and
     # both sides of the band self-join). Without the cache each consumer
     # re-hashes every shingle from the persisted `sh` (measured ~2x the
-    # query's whole cost at sf0.1). At 100 TB this is the same call:
+    # query's whole cost). At 100 TB this is the same call:
     # MEMORY_AND_DISK spills per-executor, no shuffle is added.
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets.count()
+    buckets = _mat(buckets)
     hot = None
     if hot_bucket_cap:
         hot = (
@@ -243,10 +281,10 @@ def minhash_pairs(
     # through the plan, re-deriving shingles as needed) and — unlike the
     # localCheckpoint this replaces — does not convert to an RDD, so AQE
     # still plans the bucket self-join (measured 5s/call cheaper at sf0.1).
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    sh.unpersist()
-    buckets.unpersist()
+    out = _mat(out)
+    if eager:
+        sh.unpersist()
+        buckets.unpersist()
     if hot is not None and stats is not None:
         hot.unpersist()
     return out
@@ -374,6 +412,7 @@ def embedding_neardup_pairs(
     rungs: tuple[int, ...] = NEARDUP_RUNGS,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
     n_partitions: int = 32,
+    eager_persist_min_bytes: int = EAGER_PERSIST_MIN_BYTES,
 ) -> DataFrame:
     """Verified cosine>=threshold near-dup pairs via sparse sign-LSH
     buckets and an in-bucket spanning window + log rungs.
@@ -415,17 +454,27 @@ def embedding_neardup_pairs(
         f" ELSE raise_error(concat('embedding dim ',"
         f" CAST(size({emb_col}) AS STRING), ' != expected {dim}')) END"
     )
-    v = (
-        df.repartition(n_partitions)
-        .select(
+    # materialize once when the input clears the size gate (see
+    # EAGER_PERSIST_MIN_BYTES): every branch below reuses these blocks;
+    # under the gate, recomputing the projection is cheaper than the
+    # count() actions
+    eager = _plan_size_bytes(df) >= eager_persist_min_bytes
+
+    def _mat(d: DataFrame) -> DataFrame:
+        if not eager:
+            return d
+        p = d.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        return p
+
+    v = _mat(
+        df.repartition(n_partitions).select(
             F.col(id_col).alias("vec_id"),
             F.col(emb_col).alias("embedding"),
             F.expr(nrm_guarded).alias("nrm"),
             *band_cols,
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    v.count()  # materialize once: every branch below reuses these blocks
 
     buckets = None
     for b in range(n_bands):
@@ -473,7 +522,7 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
-    out = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    v.unpersist()
+    out = _mat(pairs)
+    if eager:
+        v.unpersist()
     return out

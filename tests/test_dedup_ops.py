@@ -305,3 +305,46 @@ def test_rungs_cover_every_interleave_factor():
         assert jumps and max(jumps) >= 8, (
             f"no useful rung for {k}-way interleave: {NEARDUP_RUNGS}"
         )
+
+
+def test_eager_persist_gate_same_results_and_no_cache_residue(spark):
+    """The input-size gate (EAGER_PERSIST_MIN_BYTES) changes caching only:
+    a small corpus run (gate skips persists) and a forced-eager run
+    (eager_persist_min_bytes=0) must produce identical pairs, and
+    NEITHER may leave persisted RDDs behind (the small path never
+    persists; the eager path unpersists everything but the result,
+    which it also releases via garbage collection of the handle)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text with no shared shingles here"),
+            (4, "the quick brown fox jumps over the lazy dog tomorrow"),
+        ],
+        "doc_id int, text string",
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    small = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in minhash_pairs(docs, threshold=0.3).collect()}
+    mid = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert mid - before == set(), "small path must not persist anything"
+
+    eager_out = minhash_pairs(docs, threshold=0.3, eager_persist_min_bytes=0)
+    eager = {(r.doc_a, r.doc_b, r.jaccard) for r in eager_out.collect()}
+    assert eager == small and len(small) >= 1
+    eager_out.unpersist()
+
+    from bdt_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0)] + [0.5] * 63) for i in range(12)],
+        "vec_id int, embedding array<double>",
+    )
+    s2 = {(r.vec_a, r.vec_b)
+          for r in embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    e2_out = embedding_neardup_pairs(
+        emb, threshold=0.9, eager_persist_min_bytes=0
+    )
+    e2 = {(r.vec_a, r.vec_b) for r in e2_out.collect()}
+    assert e2 == s2 and len(s2) >= 1
+    e2_out.unpersist()
