@@ -51,11 +51,39 @@ EAGER_PERSIST_MIN_BYTES = 10 << 20
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate (file bytes for scans) —
-    driver-side, no job. Unknown/huge estimates return large so the
-    default is the scale-safe path (persists kept)."""
+    driver-side, no job.
+
+    Catalyst reports `spark.sql.defaultSizeInBytes` (Long.MaxValue by
+    default) for plans whose leaves carry no statistics, so a naive read
+    cannot tell "huge" from "unknown". When the root estimate hits that
+    sentinel, resolve per-leaf: leaves with real stats contribute their
+    size; RDD-backed leaves (`LogicalRDD` from createDataFrame,
+    `LocalRelation`) are driver-local by construction — bounded by driver
+    memory, never the at-scale case — and count as zero. Any OTHER
+    stats-less leaf (an exotic source) keeps the scale-safe large answer
+    (persists kept). The gate is therefore calibrated for file-scan and
+    in-memory inputs; callers piping a transformed view whose size
+    estimate no longer reflects the derived shingle/signature work should
+    pass eager_persist_min_bytes=0 to force the scale path."""
     try:
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        return int(size if isinstance(size, int) else size.toString())
+        jconf = df.sparkSession._jsparkSession.sessionState().conf()
+        unknown = int(jconf.defaultSizeInBytes())
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(plan.stats().sizeInBytes())
+        if size < unknown:
+            return size
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if int(leaf.stats().sizeInBytes()) < unknown:
+                total += int(leaf.stats().sizeInBytes())
+            elif leaf.getClass().getSimpleName() not in (
+                "LogicalRDD",
+                "LocalRelation",
+            ):
+                return 1 << 62
+        return total
     except Exception:
         return 1 << 62
 
@@ -274,13 +302,16 @@ def minhash_pairs(
     out = pairs.filter(F.col("jaccard") >= threshold).orderBy(
         "doc_a", "doc_b"
     )
-    # Release the shingle cache once the result is computed: persist the
-    # (small) pair output, force it eagerly, then drop the shingle blocks so
-    # repeated library/CLI calls in one session don't accumulate cached
-    # blocks. persist() keeps the lineage intact (executor loss recomputes
-    # through the plan, re-deriving shingles as needed) and — unlike the
-    # localCheckpoint this replaces — does not convert to an RDD, so AQE
-    # still plans the bucket self-join (measured 5s/call cheaper at sf0.1).
+    # When the size gate selects the eager path: persist the (small) pair
+    # output, force it eagerly, then drop the shingle blocks so repeated
+    # library/CLI calls in one session don't accumulate cached blocks —
+    # the returned DataFrame stays persisted and is CALLER-OWNED (call
+    # .unpersist() when done). persist() keeps the lineage intact
+    # (executor loss recomputes through the plan, re-deriving shingles as
+    # needed) and — unlike the localCheckpoint this replaces — does not
+    # convert to an RDD, so AQE still plans the bucket self-join (measured
+    # 5s/call cheaper at sf0.1). On the small-input path nothing is
+    # persisted or forced; the plan returns fully lazy.
     out = _mat(out)
     if eager:
         sh.unpersist()
