@@ -271,6 +271,7 @@ def cmd_ann_build(args) -> None:
 
 def cmd_ann_probe(args) -> None:
     from bdt_spark.operators.ann import ivf_probe
+    from bdt_spark.operators.cacheutil import release
 
     spark = get_spark("bdt_ann")
     queries = read_file(spark, args.queries)
@@ -286,6 +287,7 @@ def cmd_ann_probe(args) -> None:
         print(f"wrote {n_rows} rows to {args.output}")
     else:
         out.show(50, truncate=False)
+    release(out)  # drop the probe table ivf_probe persisted internally
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -21,9 +21,12 @@ exact cosine only against those clusters' rows — the candidate set is
 corpus_size * nprobe / k instead of the full corpus.
 
 At 100 TB: assignments are hive-partitioned by cluster_id and the probe
-pushes its (<= k) probed cluster ids as a partition filter, so a probe
-OPENS only its clusters' files — dynamic file-level pruning proved by
-executed-scan metrics in tests/test_ann.py; centroids stay driver-size.
+pushes its (<= k) probed cluster ids as a DRIVER-COLLECTED partition
+filter — the ids are collected on the driver and baked into the plan as
+an `isin` literal before planning (this is static pruning, not Spark's
+dynamic partition pruning mechanism), so a probe OPENS only its
+clusters' files — proved by executed-scan metrics in tests/test_ann.py;
+centroids stay driver-size.
 """
 
 from __future__ import annotations
@@ -86,6 +89,17 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         .filter(F.col("__rk") == 1)
         .select("vec_id", "cluster_id", "embedding")
     )
+
+
+def _driver_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a driver-size DataFrame and re-create it as a fresh local
+    relation: truncates lineage (bounded plans across Lloyd iterations)
+    with zero cache residue. IEEE-754 doubles roundtrip bit-exactly
+    through collect/createDataFrame, so both index writes see identical
+    centroid values. ONLY for frames that are driver-size by
+    construction (k centroid rows)."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, schema=df.schema)
 
 
 def build_ivf_index(
@@ -160,13 +174,16 @@ def build_ivf_index(
             # k rows only, but the lineage doubles per Lloyd iteration:
             # truncate every 5 so long trainings keep bounded plans and a
             # straggler retry re-runs one iteration, not the whole chain
-            centroids = centroids.localCheckpoint(eager=True)
+            centroids = _driver_roundtrip(spark, centroids)
     # materialize the trained centroids ONCE: the centroids write and the
     # assignments write are two separate actions, and without this each
     # re-runs the entire Lloyd chain (double build cost, and two
     # recomputations that must agree bit-for-bit to keep the index
-    # internally consistent)
-    centroids = centroids.localCheckpoint(eager=True)
+    # internally consistent). A driver roundtrip (k rows of doubles —
+    # driver-size by construction) instead of localCheckpoint: truncates
+    # the lineage just the same, but leaves NO cached blocks behind and
+    # cannot hit a missing-unreplicated-block failure on executor loss.
+    centroids = _driver_roundtrip(spark, centroids)
     final = _assign(emb, centroids)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     # cluster-local layout: assignments are HIVE-PARTITIONED by cluster_id
@@ -196,7 +213,20 @@ def ivf_probe(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k cosine neighbors for each query row, scanning only the
-    `nprobe` nearest clusters per query."""
+    `nprobe` nearest clusters per query.
+
+    NOT fully lazy: computing the partition-pruning filter requires the
+    probed cluster ids on the driver, so this call runs one Spark job
+    (the queries x centroids assignment) before returning. The probe
+    table it materializes stays persisted (MEMORY_AND_DISK, lineage
+    intact — an executor loss recomputes it rather than failing) and is
+    annotated on the result: call `cacheutil.release(result)` once the
+    result is consumed; any later action then just recomputes through
+    the lineage."""
+    from pyspark import StorageLevel
+
+    from bdt_spark.operators.cacheutil import transfer_ownership
+
     centroids = spark.read.parquet(f"{path}/centroids")
     assignments = spark.read.parquet(f"{path}/assignments")
     q = queries.select(
@@ -212,10 +242,13 @@ def ivf_probe(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "q_vec", "cluster_id")
-        # materialized once: consumed by BOTH the probed-cluster-id
-        # collect below and the candidate join — without this the
-        # queries x centroids assignment would run twice
-        .localCheckpoint(eager=True)
+        # computed once: consumed by BOTH the probed-cluster-id collect
+        # below and the candidate join — without the cache the queries x
+        # centroids assignment would run twice. persist (not
+        # localCheckpoint): lineage stays intact, so a lost block
+        # recomputes instead of failing the probe; the collect below is
+        # the action that populates the cache.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the distinct probed clusters are <= min(k, queries*nprobe) rows —
     # driver-safe at any corpus size. Pushing them as an isin filter turns
@@ -245,7 +278,7 @@ def ivf_probe(
     w2 = Window.partitionBy("q_id").orderBy(
         F.round(F.col("cos_raw"), 9).desc(), F.col("vec_id").asc()
     )
-    return (
+    result = (
         scored
         # zero-norm vectors (index or query side) have NULL cos_raw: drop
         # them explicitly rather than let NULL ordering misrank them
@@ -257,3 +290,4 @@ def ivf_probe(
         )
         .orderBy("q_id", "rk")
     )
+    return transfer_ownership(result, probes)

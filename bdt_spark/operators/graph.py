@@ -41,6 +41,11 @@ def connected_components(
     reachable from `node`. Input pairs are undirected (each row connects
     both ways); self-loops and duplicates are tolerated.
     """
+    from bdt_spark.operators.cacheutil import (
+        drop_checkpoint_blocks,
+        transfer_ownership,
+    )
+
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (
@@ -55,6 +60,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
+    live_ckpt = None  # the newest checkpoint still reachable from lineage
     for i in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -68,6 +74,13 @@ def connected_components(
             # truncate lineage: the plan above this point is discarded, so
             # planning cost and failure-recompute depth stay bounded
             new_labels = new_labels.localCheckpoint(eager=True)
+            # the new checkpoint's lineage is truncated, so the PREVIOUS
+            # checkpoint's blocks are now unreachable from any live
+            # frame — free them instead of leaving residue to the
+            # ContextCleaner's GC timing
+            if live_ckpt is not None:
+                drop_checkpoint_blocks(live_ckpt)
+            live_ckpt = new_labels
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
@@ -88,12 +101,23 @@ def connected_components(
         # this means the diameter exceeds max_iters — fail loudly.
         edges.unpersist()
         labels.unpersist()
+        if live_ckpt is not None:
+            drop_checkpoint_blocks(live_ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             f"iterations ({changed} labels still changing); the graph "
             f"diameter exceeds max_iters — raise max_iters"
         )
     edges.unpersist()
-    return labels.select(
+    out = labels.select(
         F.col("label").alias("cluster_id"), F.col("node").alias("node")
     )
+    # caller-owned resources: the final label cache, plus the last live
+    # checkpoint (still in the final labels' recompute lineage, so it
+    # must outlive the result). cacheutil.release(result) frees both —
+    # END OF LIFE for the result, see cacheutil's module docstring.
+    resources = [labels]
+    if live_ckpt is not None:
+        ckpt = live_ckpt  # bind now: the loop variable is long gone later
+        resources.append(lambda: drop_checkpoint_blocks(ckpt))
+    return transfer_ownership(out, *resources)

@@ -1233,25 +1233,28 @@ def similarity_ivf_recall_curve(spark, sf_dir):
     import tempfile
 
     from bdt_spark.operators.ann import build_ivf_index, ivf_probe
+    from bdt_spark.operators.cacheutil import release
 
     emb = load_fixture_tables(spark, sf_dir)["embeddings"]
     path = tempfile.mkdtemp(prefix="bdt_ivf_recall_")
     try:
         build_ivf_index(spark, emb, path, k=8, n_iters=3)
         qs = emb.orderBy("vec_id").limit(20)  # deterministic query subset
-        truth = (
-            ivf_probe(spark, path, qs, topk=10, nprobe=8)
-            .select("q_id", "vec_id")
-            .cache()
-        )
+        truth_raw = ivf_probe(spark, path, qs, topk=10, nprobe=8)
+        truth = truth_raw.select("q_id", "vec_id").cache()
         denom = truth.count()
+        release(truth_raw)  # truth rows are cached; drop the probe table
         floors = {1: 0.15, 2: 0.35, 4: 0.60}
         rows = []
         for nprobe, floor in floors.items():
-            got = ivf_probe(spark, path, qs, topk=10, nprobe=nprobe).select(
-                "q_id", "vec_id"
+            got = ivf_probe(spark, path, qs, topk=10, nprobe=nprobe)
+            recall = (
+                got.select("q_id", "vec_id")
+                .join(truth, ["q_id", "vec_id"])
+                .count()
+                / denom
             )
-            recall = got.join(truth, ["q_id", "vec_id"]).count() / denom
+            release(got)
             rows.append((nprobe, recall >= floor))
         truth.unpersist()
     finally:
@@ -1450,6 +1453,11 @@ def _semantic_cc_oracle_sql() -> str:
     "a fraction of the edges. Oracle = DuckDB recursive CTE.",
 )
 def dedup_semantic_clusters(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import (
+        drop_checkpoint_blocks,
+        release,
+        transfer_ownership,
+    )
     from bdt_spark.operators.graph import connected_components
 
     src_pairs = dedup_embedding_cosine(spark, sf_dir)
@@ -1466,17 +1474,31 @@ def dedup_semantic_clusters(spark, sf_dir):
     pairs = pairs.localCheckpoint(eager=True)
     # the checkpoint holds its own copy of the rows: drop the operator's
     # persisted cache so the session doesn't carry both (2M rows at sf10)
-    src_pairs.unpersist()
+    release(src_pairs)
     # max_iters: convergence needs <= graph diameter rounds. The 16*k
     # rungs give a 16-member in-clique jump under ANY k-way interleave up
     # to the window size, so diameter ~ members/16 (+ a window tail):
-    # 64 covers cliques to ~900 members at <= 8-way interleave. Beyond
-    # that (>8 cliques per bucket, or a >900 clique) the loop still
-    # fails loudly rather than returning split components.
-    return (
-        connected_components(pairs, "vec_a", "vec_b", max_iters=64)
-        .select("cluster_id", F.col("node").alias("vec_id"))
-        .orderBy("cluster_id", "vec_id")
+    # 64 covers cliques to ~900 members at <= 8-way interleave. The two
+    # overrun modes differ: a >900-member clique exceeds the diameter
+    # budget and the CC loop FAILS LOUDLY (max_iters); a >8-way
+    # round-robin interleave yields rank distances sharing no rung, so
+    # those cliques get ZERO in-bucket candidate edges and recall
+    # degrades SILENTLY (the docs appear as singletons — undetectable at
+    # runtime without ground truth, and the DuckDB oracle shares the
+    # geometry so the hash-compare cannot catch it either). The recall
+    # floor against >8-way interleaves is pinned instead by
+    # tests/test_dedup_ops.py::test_rungs_cover_every_interleave_factor
+    # geometry checks; corpora expected to pack more than 8 near-dup
+    # cliques per LSH bucket should raise NEARDUP_WINDOW.
+    cc = connected_components(pairs, "vec_a", "vec_b", max_iters=64)
+    out = cc.select("cluster_id", F.col("node").alias("vec_id")).orderBy(
+        "cluster_id", "vec_id"
+    )
+    # caller-owned: the CC label cache/checkpoints (annotated on cc) plus
+    # the pair checkpoint above, which stays in the result's recompute
+    # lineage — cacheutil.release(result) frees everything at end of life
+    return transfer_ownership(
+        out, cc, lambda: drop_checkpoint_blocks(pairs)
     )
 
 
@@ -1520,14 +1542,19 @@ sql_query(
 def dedup_connected_components(spark, sf_dir):
     # loop lives in operators/graph.py (periodic lineage checkpointing,
     # reusable on any pair list); this query pins it to the oracle
+    from bdt_spark.operators.cacheutil import transfer_ownership
     from bdt_spark.operators.graph import connected_components
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    return (
-        connected_components(pairs, "doc_a", "doc_b")
-        .select("cluster_id", F.col("node").alias("doc_id"))
-        .orderBy("cluster_id", "doc_id")
+    src = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(
+        src.select("doc_a", "doc_b"), "doc_a", "doc_b"
     )
+    out = cc.select("cluster_id", F.col("node").alias("doc_id")).orderBy(
+        "cluster_id", "doc_id"
+    )
+    # caller-owned: the CC label cache (annotated on cc) plus the pair
+    # source, which may itself be persisted on minhash's eager path
+    return transfer_ownership(out, cc, src)
 
 
 # ---------------------------------------------------------------------------
@@ -2384,18 +2411,21 @@ def _survivors_oracle_sql() -> str:
     "This is the table a training run actually reads.",
 )
 def dedup_survivors_corpus(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+
     clusters = dedup_connected_components(spark, sf_dir)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
     t = load_fixture_tables(spark, sf_dir)
-    return (
+    out = (
         t["documents"]
         .join(F.broadcast(losers), "doc_id", "left_anti")
         .filter(F.col("doc_id") < 120)
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+    return transfer_ownership(out, clusters)
 
 
 def _curation_v2_sql(dialect: str) -> str:

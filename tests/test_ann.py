@@ -184,18 +184,42 @@ def test_probe_isin_prunes_files(spark, index_path):
 
 
 def test_probe_plan_carries_partition_filter(spark, sf_dir, index_path):
-    """End-to-end: the ivf_probe plan's assignments scan carries a
-    PartitionFilters entry on cluster_id (dynamic file pruning), and a
-    probe of a single cluster returns the same rows as before the
-    layout change (exactness is pinned by the nprobe=k test above)."""
+    """End-to-end: the ivf_probe plan's ASSIGNMENTS scan carries a
+    PartitionFilters entry on cluster_id (driver-collected partition
+    filter), and a probe of a single cluster returns the same rows as
+    before the layout change (exactness is pinned by the nprobe=k test
+    above). The probes subtree keeps its own (unpartitioned) centroid
+    scan in the plan, so match every scan's filter list, not the first."""
+    from bdt_spark.operators.cacheutil import release
+
     emb = read_file(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") == 0)
     out = ivf_probe(spark, index_path, queries, topk=3, nprobe=1)
     rows = out.collect()
     assert len(rows) == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    release(out)
     import re
 
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "cluster_id" in m.group(1), m.group(0) if m else plan
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters, plan
+    assert any("cluster_id" in f for f in filters), filters
+
+
+def test_ivf_probe_release_leaves_no_residue(spark, sf_dir, index_path):
+    """ivf_probe persists its probe table internally (lineage-intact
+    MEMORY_AND_DISK, annotated caller-owned); cacheutil.release must
+    drop it — and because the cache is a plain persist, an action AFTER
+    release still works by recomputing through the lineage."""
+    from bdt_spark.operators.cacheutil import release
+
+    emb = read_file(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    out = ivf_probe(spark, index_path, queries, topk=3, nprobe=2)
+    first = [(r.q_id, r.vec_id) for r in out.collect()]
+    release(out)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set(), sorted(after - before)
+    # recompute-after-release: same answer, no missing-block failure
+    assert [(r.q_id, r.vec_id) for r in out.collect()] == first

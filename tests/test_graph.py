@@ -64,3 +64,59 @@ def test_nonpositive_max_iters_rejected(spark):
     pairs = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="max_iters"):
         connected_components(pairs, "a", "b", max_iters=0)
+
+
+def _persistent_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def test_release_drops_label_cache_and_checkpoints(spark):
+    """cacheutil ownership contract on the CC loop: after release() the
+    final label cache AND every localCheckpoint block are gone — a long
+    chain with checkpoint_every=2 exercises the superseded-checkpoint
+    drop (iteration k's checkpoint is freed when iteration k+2's lands)
+    as well as the end-of-life drop of the last live checkpoint."""
+    from bdt_spark.operators.cacheutil import release
+
+    before = _persistent_ids(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a int, b int"
+    )
+    out = connected_components(
+        pairs, "a", "b", max_iters=20, checkpoint_every=2
+    )
+    got = {(r.cluster_id, r.node) for r in out.collect()}
+    assert got == {(0, i) for i in range(13)}
+    release(out)
+    leaked = _persistent_ids(spark) - before
+    assert leaked == set(), f"CC left persisted RDDs: {sorted(leaked)}"
+
+
+def test_release_without_checkpoints_leaves_no_residue(spark):
+    """Short graphs converge before the first checkpoint boundary: the
+    only owned resource is the persisted label table."""
+    from bdt_spark.operators.cacheutil import release
+
+    before = _persistent_ids(spark)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+    out = connected_components(pairs, "a", "b")
+    assert out.count() == 4
+    release(out)
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_nonconvergence_cleanup_leaves_no_residue(spark):
+    """The loud non-convergence raise must not leak edges/labels/
+    checkpoint blocks either."""
+    import pytest
+
+    from bdt_spark.operators.cacheutil import release  # noqa: F401
+
+    before = _persistent_ids(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a int, b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "a", "b", max_iters=3, checkpoint_every=2)
+    leaked = _persistent_ids(spark) - before
+    assert leaked == set(), f"non-convergence leaked: {sorted(leaked)}"

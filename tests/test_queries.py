@@ -15,10 +15,22 @@ def test_inventory_size():
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_runs(spark, sf_dir, name):
+    """Every query runs AND cleans up after itself: once the result is
+    consumed and released (the standardized cacheutil ownership
+    contract), no persisted RDDs may remain — operator-internal caches,
+    checkpoint blocks, and eager-path results are all accounted for."""
+    from bdt_spark.operators.cacheutil import release
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     spec = plans.get_query(name)
     df = spec.fn(spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0
+    release(df)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set(), (
+        f"{name} left persisted RDDs behind: {sorted(after - before)}"
+    )
 
 
 def test_oracle_coverage():
