@@ -40,9 +40,32 @@ def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None
     executor-side inside mapInPandas — the mirror of sources/io.py's
     per-file distributed reader. Batches stream through the IPC writer as
     they arrive, so a partition never has to fit in one Arrow table.
-    `zstd` rides IPC buffer compression (pyarrow IpcWriteOptions)."""
+    `zstd` rides IPC buffer compression (pyarrow IpcWriteOptions).
+
+    Commit protocol (the same guarantees a FileOutputCommitter gives):
+    each task ATTEMPT streams into its own
+    `part-<pid>.arrow.<taskAttemptId>.tmp` and atomically renames it to
+    the final name only after a clean close — a retried or speculative
+    attempt can never interleave bytes with another attempt, and the
+    last completed rename wins with a whole file. Directory outputs get
+    a `_SUCCESS` marker only after the job (and the rename sweep)
+    completed, so a mid-job failure leaves `.tmp` partials and NO
+    marker — never partial output indistinguishable from complete."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if zstd:
+        # validate on the DRIVER, before any job runs: an executor-side
+        # pyarrow without zstd would otherwise fail the job task-by-task
+        # with a stack trace instead of one clear error. (Compat caveat:
+        # IPC buffer compression needs an Arrow >= 1.0 reader built with
+        # zstd — older/minimal readers see UNSUPPORTED_COMPRESSION.)
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            raise RuntimeError(
+                "zstd requested for Arrow IPC output but this pyarrow "
+                "build has no zstd codec"
+            )
     arrow_schema = to_arrow_schema(df.schema)
     target_dir = output_path if not single_file else output_path + "._spark_tmp"
     if os.path.exists(target_dir):
@@ -57,9 +80,16 @@ def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None
         import pyarrow.ipc as ipc
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(target_dir, f"part-{pid:05d}.arrow")
+        # taskAttemptId is unique across ALL attempts of all tasks in the
+        # SparkContext, so concurrent attempts of one partition write
+        # disjoint temp files
+        tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
         writer = None
         n = 0
+        ok = False
         try:
             for pdf in batches:
                 table = pa.Table.from_pandas(
@@ -67,22 +97,29 @@ def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None
                 )
                 if writer is None:
                     opts = ipc.IpcWriteOptions(compression=compression)
-                    writer = ipc.new_file(
-                        os.path.join(target_dir, f"part-{pid:05d}.arrow"),
-                        arrow_schema,
-                        options=opts,
-                    )
+                    writer = ipc.new_file(tmp, arrow_schema, options=opts)
                 writer.write_table(table)
                 n += len(pdf)
+            ok = True
         finally:
             if writer is not None:
                 writer.close()
+                if ok:
+                    # atomic commit: complete file or nothing
+                    os.replace(tmp, final)
+                else:
+                    os.remove(tmp)
         import pandas as pd
 
         yield pd.DataFrame({"pid": [pid], "rows": [n]})
 
     # the count() action drives the side-effecting writer exactly once
     df.mapInPandas(write_partition, "pid int, rows long").count()
+
+    # a killed attempt can skip its finally block (e.g. SIGKILL on the
+    # python worker): sweep stragglers so only committed files remain
+    for stray in glob.glob(os.path.join(target_dir, "part-*.tmp")):
+        os.remove(stray)
 
     if not glob.glob(os.path.join(target_dir, "part-*.arrow")):
         # empty input: no task produced a file — write one schema-only
@@ -104,6 +141,12 @@ def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None
             )
         shutil.move(parts[0], output_path)
         shutil.rmtree(target_dir, ignore_errors=True)
+    else:
+        # job + rename sweep complete: mark the directory committed (same
+        # contract as Spark's parquet/csv sinks; single-file output is one
+        # bare file, so there is no directory to mark)
+        with open(os.path.join(target_dir, "_SUCCESS"), "w"):
+            pass
 
 
 def convert(

@@ -171,3 +171,74 @@ def test_arrow_write_empty_input_schema_only(spark, tmp_path):
     back = read_file(spark, out)
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["id", "s"]
+
+
+def test_arrow_dir_write_commits_with_success_marker(spark, sf_dir, tmp_path):
+    """Directory Arrow output carries a _SUCCESS marker and no attempt
+    temp files — the commit contract Spark's built-in sinks give."""
+    import glob as _glob
+    import os
+
+    from bdt_spark.operators.convert import convert
+
+    out = str(tmp_path / "nation_dir.arrow")
+    convert(spark, f"{sf_dir}/nation.parquet", out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert _glob.glob(os.path.join(out, "*.tmp")) == []
+    assert _glob.glob(os.path.join(out, "part-*.arrow"))
+
+
+def test_arrow_write_failed_job_leaves_no_marker_or_partials(spark, tmp_path):
+    """A task that dies mid-stream must not commit its part file, and the
+    failed job must leave NO _SUCCESS marker — partial output stays
+    distinguishable from complete output. (Each attempt streams into its
+    own .tmp and only a clean close renames it into place.)"""
+    import glob as _glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bdt_spark.operators.convert import _write_arrow
+
+    # one partition poisoned: assert_true raises mid-batch executor-side
+    df = (
+        spark.range(0, 100, 1, 4)
+        .withColumn("ok", F.expr("assert_true(id != 57, 'boom')"))
+    )
+    out = str(tmp_path / "poisoned.arrow")
+    with pytest.raises(Exception, match="boom"):
+        _write_arrow(df, out, single_file=False, zstd=False)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    # the poisoned partition committed nothing (its temp was discarded);
+    # at most the healthy partitions' complete files exist
+    assert _glob.glob(os.path.join(out, "*.tmp")) == []
+    assert len(_glob.glob(os.path.join(out, "part-*.arrow"))) < 4
+
+
+def test_arrow_zstd_unavailable_fails_driver_side(spark, sf_dir, tmp_path, monkeypatch):
+    """zstd support is validated on the driver BEFORE any job launches:
+    simulate a pyarrow build without zstd and expect one clear error,
+    not per-task executor stack traces."""
+    import pyarrow as pa
+    import pytest
+
+    from bdt_spark.operators.convert import convert
+
+    real = pa.Codec
+
+    class FakeCodec:
+        @staticmethod
+        def is_available(name):
+            return False if name == "zstd" else real.is_available(name)
+
+    # pyarrow.lib.Codec is an immutable C type: swap the module attribute
+    # instead (the writer resolves it via `pa.Codec` at call time)
+    monkeypatch.setattr(pa, "Codec", FakeCodec)
+    with pytest.raises(RuntimeError, match="zstd"):
+        convert(
+            spark,
+            f"{sf_dir}/nation.parquet",
+            str(tmp_path / "z.arrow"),
+            zstd=True,
+        )
