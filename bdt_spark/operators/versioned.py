@@ -243,45 +243,71 @@ def acquire_commit_lease(
         out.write(bytearray(json.dumps({"ts_ms": now_ms, "token": token}).encode()))
     finally:
         out.close()
-    time.sleep(settle_s)
-    cutoff_ms = int(time.time() * 1000) - int(ttl_s * 1000)
-    best: tuple[int, str] | None = None
-    if not fs.exists(_jpath(spark, lock_dir)):
-        # the whole lock dir is gone: an earlier winner already committed
-        # this version and released its lease while we slept — we lost.
-        # (Without this check the listStatus below raises an opaque
-        # FileNotFoundException instead of the retryable protocol error.)
-        raise ConcurrentCommitError(
-            f"version {version} was committed and its lease released "
-            f"while settling under {root!r}"
-        )
-    for st in fs.listStatus(_jpath(spark, lock_dir)):
-        m = _CAND_RE.match(st.getPath().getName())
-        if not m:
-            continue
-        ts, tok = int(m.group(1)), m.group(2)
-        if ts < cutoff_ms:
-            fs.delete(st.getPath(), False)  # expired: crashed writer
-            continue
-        if best is None or (ts, tok) < best:
-            best = (ts, tok)
-    if best != (now_ms, token):
-        fs.delete(mine, False)  # concede immediately, don't wait for TTL
-        raise ConcurrentCommitError(
-            f"lost commit lease election for version {version} under "
-            f"{root!r} (winner ts/token {best})"
-        )
-    if fs.exists(_jpath(spark, f"{root}/_manifests/v{version:08d}.json")):
-        # A writer that starts its election AFTER the version committed
-        # (and the committer released its lease) can win a fresh election
-        # over an empty lock dir — electing it would let a non-atomic
-        # store overwrite the committed manifest. The manifest, not the
-        # election, is the source of truth: concede.
-        fs.delete(mine, False)
-        raise ConcurrentCommitError(
-            f"version {version} is already committed under {root!r}"
-        )
-    return token
+    try:
+        time.sleep(settle_s)
+        cutoff_ms = int(time.time() * 1000) - int(ttl_s * 1000)
+        best: tuple[int, str] | None = None
+        if not fs.exists(_jpath(spark, lock_dir)):
+            # the whole lock dir is gone: an earlier winner already
+            # committed this version and released its lease while we
+            # slept — we lost.
+            raise ConcurrentCommitError(
+                f"version {version} was committed and its lease released "
+                f"while settling under {root!r}"
+            )
+        try:
+            statuses = list(fs.listStatus(_jpath(spark, lock_dir)))
+        except Exception as e:  # TOCTOU on the exists guard above: a
+            # rival can commit + sweep the lock dir between our exists()
+            # and this listing — translate the raw FileNotFoundException
+            # into the retryable protocol error instead of leaking Py4J
+            if "FileNotFoundException" in str(e):
+                raise ConcurrentCommitError(
+                    f"version {version} was committed and its lease "
+                    f"released while settling under {root!r}"
+                ) from None
+            raise
+        for st in statuses:
+            m = _CAND_RE.match(st.getPath().getName())
+            if not m:
+                continue
+            ts, tok = int(m.group(1)), m.group(2)
+            if ts < cutoff_ms:
+                fs.delete(st.getPath(), False)  # expired: crashed writer
+                continue
+            if best is None or (ts, tok) < best:
+                best = (ts, tok)
+        if best != (now_ms, token):
+            fs.delete(mine, False)  # concede now, don't wait for TTL
+            raise ConcurrentCommitError(
+                f"lost commit lease election for version {version} under "
+                f"{root!r} (winner ts/token {best})"
+            )
+        if fs.exists(_jpath(spark, f"{root}/_manifests/v{version:08d}.json")):
+            # A writer that starts its election AFTER the version
+            # committed (and the committer released its lease) can win a
+            # fresh election over an empty lock dir — electing it would
+            # let a non-atomic store overwrite the committed manifest.
+            # The manifest, not the election, is the source of truth:
+            # concede.
+            fs.delete(mine, False)
+            raise ConcurrentCommitError(
+                f"version {version} is already committed under {root!r}"
+            )
+        return token
+    except ConcurrentCommitError:
+        raise  # protocol outcomes above already removed our candidate
+    except BaseException:
+        # NON-protocol failure (interrupt, transient store error) after
+        # our candidate PUT: leaving the candidate would block this
+        # version for every writer (self included) until ttl_s expires.
+        # Best-effort delete our own candidate — never a rival's — then
+        # re-raise the original error.
+        try:
+            fs.delete(mine, False)
+        except Exception:
+            pass
+        raise
 
 
 def release_commit_lease(

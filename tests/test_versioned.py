@@ -415,3 +415,65 @@ def test_lease_released_on_commit_failure_version_stays_retryable(
         write_versioned(spark, root, df, version=2, lease_settle_s=0.1)
     # immediate retry (no TTL wait) must win the election and commit
     assert write_versioned(spark, root, df, version=2, lease_settle_s=0.1) == 2
+
+
+def test_lease_sweep_between_exists_and_list_is_protocol_error(
+    spark, root, monkeypatch
+):
+    """ADVICE r7: TOCTOU between the exists() guard and listStatus() — a
+    rival committing + sweeping the lock dir in that window must surface
+    as the retryable ConcurrentCommitError, not a raw Py4J
+    FileNotFoundException. Simulated deterministically: a proxy fs whose
+    exists() passes the guard, then deletes the dir underneath before
+    the listing runs."""
+    import bdt_spark.operators.versioned as vz
+    from bdt_spark.operators.versioned import _fs, _jpath, acquire_commit_lease
+
+    real_fs = _fs(spark, root)
+    lock_dir = f"{root}/_locks/v{2:08d}"
+
+    class SweepingFs:
+        def exists(self, jpath):
+            if jpath.toString().endswith(f"_locks/v{2:08d}"):
+                # the "rival": swept the whole lease dir mid-window
+                real_fs.delete(_jpath(spark, lock_dir), True)
+                return True
+            return real_fs.exists(jpath)
+
+        def __getattr__(self, name):  # everything else passes through
+            return getattr(real_fs, name)
+
+    monkeypatch.setattr(vz, "_fs", lambda *_a, **_k: SweepingFs())
+    with pytest.raises(ConcurrentCommitError, match="committed"):
+        acquire_commit_lease(spark, root, version=2, settle_s=0.05)
+
+
+def test_lease_nonprotocol_failure_mid_settle_drops_own_candidate(
+    spark, root, monkeypatch
+):
+    """ADVICE r7: a NON-protocol exception after the candidate PUT (here:
+    an interrupt during the settle sleep) must best-effort delete the
+    writer's own candidate before re-raising — otherwise the version is
+    blocked for every writer until ttl_s (600 s default) expires."""
+    import bdt_spark.operators.versioned as vz
+    from bdt_spark.operators.versioned import _fs, _jpath, acquire_commit_lease
+
+    def interrupted(_s):
+        raise RuntimeError("simulated interrupt mid-settle")
+
+    monkeypatch.setattr(vz.time, "sleep", interrupted)
+    with pytest.raises(RuntimeError, match="mid-settle"):
+        acquire_commit_lease(spark, root, version=2, settle_s=5.0)
+    monkeypatch.undo()
+
+    fs = _fs(spark, root)
+    lock_dir = _jpath(spark, f"{root}/_locks/v{2:08d}")
+    leftovers = (
+        [st.getPath().getName() for st in fs.listStatus(lock_dir)]
+        if fs.exists(lock_dir)
+        else []
+    )
+    assert not any(n.startswith("cand-") for n in leftovers), leftovers
+    # and the version is immediately retryable — no TTL wait
+    tok = acquire_commit_lease(spark, root, version=2, settle_s=0.1)
+    assert tok
