@@ -32,7 +32,7 @@ FRAME_BYTES = 100
     FROM documents
     ORDER BY doc_id
     """,
-    tags=("multimodal", "mapInPandas"),
+    tags=("multimodal", "mapInPandas", "stub"),
     doc="Opaque-binary decode via Arrow-batched mapInPandas (stubbed codec, "
     "deterministic fake features). Executor-side only; no driver collect.",
 )
@@ -268,7 +268,7 @@ RESIZE_BYTES = 64
     FROM documents
     ORDER BY doc_id
     """,
-    tags=("multimodal", "mapInPandas", "binary-out"),
+    tags=("multimodal", "mapInPandas", "binary-out", "stub"),
     doc="Binary-in -> binary-out transform shape (resize/resample stand-"
     "in): each payload truncated/'#'-padded to a fixed size inside one "
     "mapInPandas pass; the transformed BYTES are verified by md5 against "
