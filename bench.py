@@ -86,21 +86,48 @@ SF1_SUBSET = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
+    from bdt_spark.operators.cacheutil import release
+
     spec = plans.get_query(name)
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     n = df.count()  # force full execution without driver materialization
     dt = time.perf_counter() - t0
     assert n >= 0
+    # repeated reps must each pay the full cost: drop any operator-owned
+    # caches so run 2 cannot read run 1's persisted blocks
+    release(df)
     return dt
+
+
+def median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+
+def timed_reps(fn, reps: int) -> tuple[float, list[float]]:
+    """Median-of-N timing (VERDICT r8 #6): a single contended-host run
+    can no longer cost a round of certification — the median absorbs
+    one-off noise, and the JSON carries the raw runs + loadavg so a
+    contended round is diagnosable after the fact."""
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return round(median(runs), 3), runs
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bdt_spark_bench")
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
     # Warmup: JVM codegen + Python-UDF worker pool startup are one-time
     # session costs (~2-4 s), not per-query work — at 100 TB they are
@@ -114,16 +141,22 @@ def main() -> None:
     ).count()
 
     # register + schema-infer (BASELINE.md metric #1)
-    t0 = time.perf_counter()
-    tables = load_fixture_tables(spark, sf_dir, force=True)
-    for df in tables.values():
-        _ = df.schema
-    timings["register_infer"] = round(time.perf_counter() - t0, 3)
+    def _register():
+        tables = load_fixture_tables(spark, sf_dir, force=True)
+        for df in tables.values():
+            _ = df.schema
+
+    timings["register_infer"], all_runs["register_infer"] = timed_reps(
+        _register, reps
+    )
 
     all_names = set(plans.all_queries())
     for name in HEADLINE + [q for q in PIPELINE if q in all_names]:
         try:
-            timings[name] = round(run_query(spark, name, sf_dir), 3)
+            runs = [round(run_query(spark, name, sf_dir), 3)
+                    for _ in range(reps)]
+            timings[name] = round(median(runs), 3)
+            all_runs[name] = runs
         except Exception as e:  # a broken query must not kill the bench
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -133,10 +166,15 @@ def main() -> None:
         from bdt_spark.operators.convert import convert
 
         tmp = tempfile.mkdtemp(prefix="bdt_bench_")
-        t0 = time.perf_counter()
-        convert(spark, os.path.join(sf_dir, "orders.parquet"),
-                os.path.join(tmp, "orders.csv"), single_file=True)
-        timings["convert_parquet_csv"] = round(time.perf_counter() - t0, 3)
+        timings["convert_parquet_csv"], all_runs["convert_parquet_csv"] = (
+            timed_reps(
+                lambda: convert(
+                    spark, os.path.join(sf_dir, "orders.parquet"),
+                    os.path.join(tmp, "orders.csv"), single_file=True,
+                ),
+                reps,
+            )
+        )
         shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:
         print(f"bench error convert: {e}", file=sys.stderr)
@@ -145,11 +183,16 @@ def main() -> None:
     try:
         from bdt_spark.operators.compare import compare_files
 
-        t0 = time.perf_counter()
-        res = compare_files(spark, os.path.join(sf_dir, "lineitem.parquet"),
-                            os.path.join(sf_dir, "lineitem.parquet"))
-        timings["compare_parquet"] = round(time.perf_counter() - t0, 3)
-        assert res.ok
+        def _compare():
+            res = compare_files(
+                spark, os.path.join(sf_dir, "lineitem.parquet"),
+                os.path.join(sf_dir, "lineitem.parquet"),
+            )
+            assert res.ok
+
+        timings["compare_parquet"], all_runs["compare_parquet"] = timed_reps(
+            _compare, reps
+        )
     except Exception as e:
         print(f"bench error compare: {e}", file=sys.stderr)
 
@@ -160,6 +203,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "protocol": "median",
+        "runs": all_runs,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
 
     # sf1 regression block: only when a scaled dir is present (generated
@@ -168,14 +216,19 @@ def main() -> None:
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         sf1_timings: dict[str, float] = {}
         load_fixture_tables(spark, sf1_dir, force=True)
+        sf1_runs: dict[str, list[float]] = {}
         for name in SF1_SUBSET:
             if name not in all_names:
                 continue
             try:
-                sf1_timings[name] = round(run_query(spark, name, sf1_dir), 3)
+                runs = [round(run_query(spark, name, sf1_dir), 3)
+                        for _ in range(reps)]
+                sf1_timings[name] = round(median(runs), 3)
+                sf1_runs[name] = runs
             except Exception as e:
                 print(f"bench error sf1 {name}: {e}", file=sys.stderr)
                 sf1_timings[name] = -1.0
+        out["sf1_runs"] = sf1_runs
         out["sf1_queries"] = sf1_timings
         out["sf1_total"] = round(
             sum(v for v in sf1_timings.values() if v > 0), 3
