@@ -176,6 +176,52 @@ def encode_doc_pngs(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _encode_docs(df, text_col, lambda did, px: encode_png(px))
 
 
+def _doc_tile_pixels(doc_id: int, text: str) -> "object":
+    """Deterministic GRAYSCALE image of flat 8x8 tiles for the JPEG path.
+
+    Tile k (row-major over a (doc_id%3+2) x (doc_id%5+2) tile grid) is a
+    flat 8x8 block of value v = byte k%len(text) of the text. Flat blocks
+    have zero AC energy, so with the codec's DC quant step of 8 the whole
+    lossy pipeline (FDCT -> quant -> Huffman -> dequant -> IDCT) is
+    BIT-EXACT on these images — the property the SQL oracle relies on —
+    while still exercising every decoder stage on real entropy-coded
+    bytes."""
+    import numpy as np
+
+    tiles_w = doc_id % 5 + 2
+    tiles_h = doc_id % 3 + 2
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    v = data[np.arange(tiles_w * tiles_h) % len(data)]
+    tiles = v.reshape(tiles_h, tiles_w)
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+
+
+def encode_doc_jpegs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL baseline-sequential JPEG (grayscale
+    flat-tile image per _doc_tile_pixels; restart markers every 3 MCUs on
+    ids divisible by 3 so the DRI/RSTn decode path runs under the oracle
+    too). Executor-side via mapInPandas."""
+    from bdt_spark.functions.imagecodec import encode_jpeg
+
+    def enc(did: int, text: str) -> bytes:
+        px = _doc_tile_pixels(did, text)
+        return encode_jpeg(px, restart_interval=3 if did % 3 == 0 else 0)
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                did = int(doc_id)
+                rows.append((did, enc(did, text)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", text_col).mapInPandas(
+        encode_batches, IMAGE_SCHEMA
+    )
+
+
 def decode_real_features(df: DataFrame) -> DataFrame:
     """REAL image decode via the pure-Python BMP/PPM parser — no fake path.
 

