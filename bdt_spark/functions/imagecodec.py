@@ -387,6 +387,7 @@ _ZIGZAG = [
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
+_ZZ = np.array(_ZIGZAG)  # vectorized (de)zigzag index
 
 # Standard Huffman table specs (T.81 Annex K.3): (BITS[1..16], HUFFVAL).
 # Encoder and decoder both derive canonical codes from these via the
@@ -601,7 +602,7 @@ def _plane_blocks(plane: np.ndarray, quant: np.ndarray):
             blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
             coefs = _DCT_M @ blk @ _DCT_M.T
             q = np.rint(coefs.reshape(64) / quant).astype(np.int64)
-            yield [int(q[_ZIGZAG[i]]) for i in range(64)]
+            yield q[_ZZ].tolist()
 
 
 def _marker(tag: int, payload: bytes) -> bytes:
@@ -691,7 +692,7 @@ def encode_jpeg(
                 blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
                 coefs = _DCT_M @ blk @ _DCT_M.T
                 q = np.rint(coefs / quant).astype(np.int64).reshape(64)
-                grid[(by, bx)] = [int(q[_ZIGZAG[i]]) for i in range(64)]
+                grid[(by, bx)] = q[_ZZ].tolist()
         grids.append(grid)
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -992,11 +993,9 @@ def _decode_scan(
                                 raise ValueError("jpeg: AC index overflow")
                             zz[k] = _extend(br.read_bits(ssz), ssz)
                             k += 1
-                        nat = np.zeros((8, 8))
-                        flat = nat.reshape(64)
-                        for j in range(64):
-                            flat[_ZIGZAG[j]] = zz[j]
-                        deq = nat * quant
+                        nat_flat = np.zeros(64)
+                        nat_flat[_ZZ] = zz
+                        deq = nat_flat.reshape(8, 8) * quant
                         blk = _DCT_M.T @ deq @ _DCT_M + 128.0
                         py, px = (my * cv + dy) * 8, (mx * ch + dx) * 8
                         planes[cs][py:py + 8, px:px + 8] = blk

@@ -134,11 +134,27 @@ def _doc_pixels(doc_id: int, text: str) -> "object":
     return rgb.reshape(h, w, 3)
 
 
+def _fan_out_cpu_stage(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-bound Python stage gets cluster-wide parallelism.
+
+    A small fixture table is often ONE parquet file -> one input split ->
+    the whole codec stage serializes onto a single Python worker (measured
+    6.6 s single-task vs sub-second spread at sf0.1). Repartition ONLY
+    when the input has fewer splits than cores — at 100 TB the scan
+    already has thousands of splits and this is a no-op, so the corpus is
+    never shuffled just for decode."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
     """Shared mapInPandas batching loop for doc -> image-payload encoders:
     `encoder(doc_id, pixels) -> bytes` supplies the per-row codec; the
     None/empty-text skip, pixel derivation, and output schema live HERE
     once so the BMP/PPM and PNG paths cannot drift apart."""
+    df = _fan_out_cpu_stage(df)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,7 +233,7 @@ def encode_doc_jpegs(df: DataFrame, text_col: str = "text") -> DataFrame:
                 rows.append((did, enc(did, text)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select("doc_id", text_col).mapInPandas(
+    return _fan_out_cpu_stage(df.select("doc_id", text_col)).mapInPandas(
         encode_batches, IMAGE_SCHEMA
     )
 
