@@ -152,6 +152,16 @@ def main() -> None:
         _register, reps
     )
 
+    def _gc():
+        # reclaim accumulated broadcast/shuffle blocks between queries:
+        # ContextCleaner frees them only on JVM GC, and letting them pile
+        # up until an arbitrary collection mid-query showed up as
+        # multi-second one-off spikes in otherwise-stable timings
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     all_names = set(plans.all_queries())
     for name in HEADLINE + [q for q in PIPELINE if q in all_names]:
         try:
@@ -162,6 +172,7 @@ def main() -> None:
         except Exception as e:  # a broken query must not kill the bench
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        _gc()
 
     # convert throughput (BASELINE.md metric #3): parquet -> csv
     try:
@@ -230,6 +241,7 @@ def main() -> None:
             except Exception as e:
                 print(f"bench error sf1 {name}: {e}", file=sys.stderr)
                 sf1_timings[name] = -1.0
+            _gc()
         out["sf1_runs"] = sf1_runs
         out["sf1_queries"] = sf1_timings
         out["sf1_total"] = round(
