@@ -141,7 +141,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "sample_language_temperature",
     "sample_deterministic_hash",
     "tokens_packing_efficiency",
-    "multimodal_chunk_energy",
+    "multimodal_decode_jpeg",
     "dedup_embedding_cosine",
     "events_ordered_funnel",
     "text_pii_redaction",
