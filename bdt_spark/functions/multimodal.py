@@ -154,7 +154,6 @@ def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
     `encoder(doc_id, pixels) -> bytes` supplies the per-row codec; the
     None/empty-text skip, pixel derivation, and output schema live HERE
     once so the BMP/PPM and PNG paths cannot drift apart."""
-    df = _fan_out_cpu_stage(df)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,7 +165,10 @@ def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
                 rows.append((did, encoder(did, _doc_pixels(did, text))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select("doc_id", text_col).mapInPandas(encode_batches, IMAGE_SCHEMA)
+    # fan out AFTER the projection so only (doc_id, text) shuffles
+    return _fan_out_cpu_stage(df.select("doc_id", text_col)).mapInPandas(
+        encode_batches, IMAGE_SCHEMA
+    )
 
 
 def encode_doc_images(df: DataFrame, text_col: str = "text") -> DataFrame:
