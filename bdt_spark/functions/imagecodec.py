@@ -587,24 +587,6 @@ def _encode_block(
     return dc
 
 
-def _plane_blocks(plane: np.ndarray, quant: np.ndarray):
-    """Yield quantized zigzag coefficient lists for each 8x8 block of a
-    plane (row-major block order), edge-padded by replication."""
-    h, w = plane.shape
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    padded = np.pad(
-        plane.astype(np.float64) - 128.0,
-        ((0, bh * 8 - h), (0, bw_ * 8 - w)),
-        mode="edge",
-    )
-    for by in range(bh):
-        for bx in range(bw_):
-            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            coefs = _DCT_M @ blk @ _DCT_M.T
-            q = np.rint(coefs.reshape(64) / quant).astype(np.int64)
-            yield q[_ZZ].tolist()
-
-
 def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
@@ -872,8 +854,11 @@ def _decode_jpeg(payload: bytes) -> tuple[str, np.ndarray]:
         if d[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         tag = d[pos + 1]
-        if tag == 0xD8:
-            pos += 2
+        if tag == 0xFF:  # optional 0xFF fill bytes before a marker
+            pos += 1     # (T.81 B.1.1.2): skip one and re-examine
+            continue
+        if tag == 0xD8 or tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            pos += 2     # standalone markers carry no length segment
             continue
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         seg = d[pos + 4:pos + 2 + seglen]
@@ -920,6 +905,15 @@ def _decode_jpeg(payload: bytes) -> tuple[str, np.ndarray]:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # a spec-valid baseline stream MAY carry one scan per
+                # component; silently decoding only the first scan would
+                # return a color-stripped image with wrong features —
+                # reject loudly instead
+                raise ValueError(
+                    "jpeg: non-interleaved multi-scan streams unsupported "
+                    f"(scan has {ns} of {len(frame[2])} components)"
+                )
             scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + c * 2], seg[2 + c * 2]
@@ -949,7 +943,16 @@ def _decode_scan(
     planes = {}
     meta = []  # (cid, ch, cv, quant, dc_dec, ac_dec)
     for cs, td, ta in scomps:
+        if cs not in by_id:
+            raise ValueError(f"jpeg: scan references undefined component {cs}")
         ch, cv, tq = by_id[cs]
+        # undefined table ids must surface as the contract's ValueError,
+        # not a bare KeyError that crashes a quarantine-on-ValueError
+        # ingest path
+        if tq not in qtables:
+            raise ValueError(f"jpeg: undefined quant table {tq}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(f"jpeg: undefined Huffman table dc={td} ac={ta}")
         planes[cs] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
         meta.append((cs, ch, cv, qtables[tq], huff_dc[td], huff_ac[ta]))
 

@@ -149,11 +149,15 @@ def _fan_out_cpu_stage(df: DataFrame) -> DataFrame:
     return df
 
 
-def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
+def _encode_docs(df: DataFrame, text_col: str, encoder, pixels_fn=None) -> DataFrame:
     """Shared mapInPandas batching loop for doc -> image-payload encoders:
-    `encoder(doc_id, pixels) -> bytes` supplies the per-row codec; the
-    None/empty-text skip, pixel derivation, and output schema live HERE
-    once so the BMP/PPM and PNG paths cannot drift apart."""
+    `encoder(doc_id, pixels) -> bytes` supplies the per-row codec and
+    `pixels_fn(doc_id, text)` the pixel derivation (default: the RGB
+    per-pixel formula; the JPEG path passes the flat-tile grayscale
+    variant); the None/empty-text skip, batching, fan-out, and output
+    schema live HERE once so the BMP/PPM, PNG, and JPEG paths cannot
+    drift apart."""
+    pixels_fn = pixels_fn or _doc_pixels
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,7 +166,7 @@ def _encode_docs(df: DataFrame, text_col: str, encoder) -> DataFrame:
                 if text is None or len(text) == 0:
                     continue
                 did = int(doc_id)
-                rows.append((did, encoder(did, _doc_pixels(did, text))))
+                rows.append((did, encoder(did, pixels_fn(did, text))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     # fan out AFTER the projection so only (doc_id, text) shuffles
@@ -221,22 +225,13 @@ def encode_doc_jpegs(df: DataFrame, text_col: str = "text") -> DataFrame:
     too). Executor-side via mapInPandas."""
     from bdt_spark.functions.imagecodec import encode_jpeg
 
-    def enc(did: int, text: str) -> bytes:
-        px = _doc_tile_pixels(did, text)
-        return encode_jpeg(px, restart_interval=3 if did % 3 == 0 else 0)
-
-    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                if text is None or len(text) == 0:
-                    continue
-                did = int(doc_id)
-                rows.append((did, enc(did, text)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    return _fan_out_cpu_stage(df.select("doc_id", text_col)).mapInPandas(
-        encode_batches, IMAGE_SCHEMA
+    return _encode_docs(
+        df,
+        text_col,
+        lambda did, px: encode_jpeg(
+            px, restart_interval=3 if did % 3 == 0 else 0
+        ),
+        pixels_fn=_doc_tile_pixels,
     )
 
 

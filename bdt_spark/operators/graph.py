@@ -70,17 +70,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        if (i + 1) % checkpoint_every == 0:
+        is_ckpt_iter = (i + 1) % checkpoint_every == 0
+        if is_ckpt_iter:
             # truncate lineage: the plan above this point is discarded, so
             # planning cost and failure-recompute depth stay bounded
             new_labels = new_labels.localCheckpoint(eager=True)
-            # the new checkpoint's lineage is truncated, so the PREVIOUS
-            # checkpoint's blocks are now unreachable from any live
-            # frame — free them instead of leaving residue to the
-            # ContextCleaner's GC timing
-            if live_ckpt is not None:
-                drop_checkpoint_blocks(live_ckpt)
-            live_ckpt = new_labels
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
@@ -91,6 +85,18 @@ def connected_components(
         )
         labels.unpersist()
         labels = new_labels
+        if is_ckpt_iter:
+            # ONLY NOW is the previous checkpoint unreachable: the old
+            # per-iteration labels (whose recompute lineage rooted at it)
+            # were consumed by the `changed` count above and unpersisted;
+            # every live frame (edges root at `pairs`, labels at the new
+            # checkpoint) no longer references it. Dropping it any
+            # earlier would turn an executor loss during the count into
+            # a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND job failure instead of
+            # a recompute.
+            if live_ckpt is not None:
+                drop_checkpoint_blocks(live_ckpt)
+            live_ckpt = new_labels
         if changed == 0:
             break
     else:

@@ -102,10 +102,7 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return dt
 
 
-def median(xs: list[float]) -> float:
-    ys = sorted(xs)
-    n = len(ys)
-    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+from statistics import median  # noqa: E402
 
 
 def timed_reps(fn, reps: int) -> tuple[float, list[float]]:

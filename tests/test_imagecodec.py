@@ -414,3 +414,48 @@ def test_jpeg_dims_recorded_in_sof_not_guessed():
     img = np.full((9, 22), 127, dtype=np.uint8)
     _, out = decode_image_bytes(encode_jpeg(img))
     assert out.shape == (9, 22, 3)
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; the parser must skip them, not misread a length."""
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    payload = encode_jpeg(img)
+    # inject fill bytes before the SOF marker
+    idx = payload.find(b"\xff\xc0")
+    padded = payload[:idx] + b"\xff\xff\xff" + payload[idx:]
+    _, out = decode_image_bytes(padded)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_undefined_tables_raise_valueerror():
+    """Undefined quant/Huffman table ids must surface as the contract's
+    ValueError (quarantine-able), never a bare KeyError."""
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    # SOF0 component's Tq nibble -> undefined table 5
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 2 + 2 + 6 + 2] = 5  # comp 1's Tq byte inside SOF
+    with pytest.raises(ValueError, match="quant table"):
+        decode_image_bytes(bytes(payload))
+    payload = bytearray(encode_jpeg(img))
+    sos = payload.find(b"\xff\xda")
+    payload[sos + 2 + 2 + 1 + 1] = 0x77  # comp 1's Td/Ta -> 7/7
+    with pytest.raises(ValueError, match="Huffman table"):
+        decode_image_bytes(bytes(payload))
+
+
+def test_jpeg_multi_scan_rejected_not_color_stripped():
+    """A color SOF with a single-component SOS (non-interleaved
+    multi-scan stream) must be rejected loudly, not silently decoded as
+    grayscale with wrong channel features."""
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[:, :] = [200, 30, 90]
+    payload = bytearray(encode_jpeg(rgb))
+    sos = payload.find(b"\xff\xda")
+    seglen = (payload[sos + 2] << 8) | payload[sos + 3]
+    # rewrite the SOS to claim ONE component (Y) — shorter segment
+    new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 63, 0])
+    payload = payload[:sos] + new_sos + payload[sos + 2 + seglen:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_image_bytes(bytes(payload))
