@@ -1022,3 +1022,85 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM 16-bit) — the audio companion of the image codecs
+# ---------------------------------------------------------------------------
+#
+# Public-spec container parse, same contract as the image codecs above:
+# the multimodal audio path gets a REAL decode (RIFF chunk walk, fmt
+# validation, PCM extraction) instead of raw-byte arithmetic. Mono/stereo
+# 16-bit PCM; unknown chunks (LIST/INFO/fact/...) are skipped per the
+# RIFF spec; compressed formats are rejected loudly.
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, extra_chunk: bytes | None = None
+) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as a PCM WAV file.
+
+    `extra_chunk` (pre-serialized RIFF chunk bytes) is inserted before
+    the data chunk — used by tests to prove the decoder skips unknown
+    chunks instead of misparsing."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        body += extra_chunk
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM 16-bit WAV payload to (sample_rate, (n, ch) int16).
+
+    Walks the RIFF chunk list (unknown chunks skipped, word-aligned),
+    validates the fmt chunk (format tag 1 = PCM, 16 bits/sample), and
+    raises ValueError for truncated/compressed/malformed streams."""
+    d = bytes(payload)
+    if len(d) < 12 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(d):
+        cid = d[pos:pos + 4]
+        (clen,) = struct.unpack("<I", d[pos + 4:pos + 8])
+        body = d[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"wav: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("wav: fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+            # spec-wise more chunks may follow; first data chunk is the
+            # audio payload
+            break
+        pos += 8 + clen + (clen % 2)  # word alignment
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    tag, ch, rate, _brate, _balign, bits = fmt
+    if tag != 1:
+        raise ValueError(f"wav: only PCM supported, got format tag {tag}")
+    if bits != 16:
+        raise ValueError(f"wav: only 16-bit PCM supported, got {bits}")
+    if ch < 1:
+        raise ValueError("wav: zero channels")
+    if len(data) % (2 * ch):
+        raise ValueError("wav: data length not a sample multiple")
+    arr = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return rate, arr

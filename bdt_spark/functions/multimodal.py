@@ -419,3 +419,86 @@ def chunk_energy(df: DataFrame, chunk_bytes: int = 100) -> DataFrame:
             )
 
     return df.mapInPandas(energy_batches, ENERGY_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def _doc_samples(doc_id: int, text: str) -> "object":
+    """Deterministic mono int16 PCM derived from a document: sample k =
+    (byte k of the text - 128) * 256 — full text, no cycling, so
+    n_samples == octet_length(text) and every waveform feature is exact
+    integer arithmetic the SQL oracle can recompute."""
+    import numpy as np
+
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    return ((data.astype(np.int32) - 128) * 256).astype(np.int16)
+
+
+def encode_doc_wavs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL RIFF/WAVE PCM-16 payload (mono,
+    sample rate 8000 + (doc_id%4)*2000; ids divisible by 5 carry an
+    extra LIST chunk before data so the decoder's chunk-skip path runs
+    under the oracle too). Executor-side via mapInPandas."""
+    import struct as _struct
+
+    from bdt_spark.functions.imagecodec import encode_wav
+
+    def enc(did: int, samples) -> bytes:
+        rate = 8000 + (did % 4) * 2000
+        extra = None
+        if did % 5 == 0:
+            info = b"INFObdt"
+            extra = b"LIST" + _struct.pack("<I", len(info)) + info + (
+                b"\x00" if len(info) % 2 else b""
+            )
+        return encode_wav(samples, sample_rate=rate, extra_chunk=extra)
+
+    return _encode_docs(df, text_col, enc, pixels_fn=_doc_samples)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: RIFF chunk walk + PCM extraction via
+    functions/imagecodec.py decode_wav, then exact waveform features —
+    peak amplitude, integer-exact energy (sum of squared samples), RMS,
+    and strict-sign zero-crossing count. Arrow-batched mapInPandas;
+    feature math is numpy over the decoded int16 samples."""
+    import numpy as np
+
+    from bdt_spark.functions.imagecodec import decode_wav
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(payload)
+                s = samples[:, 0].astype(np.int64)  # features on channel 1
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                zc = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        n,
+                        int(np.abs(s).max()) if n else 0,
+                        sum_sq,
+                        float((sum_sq / n) ** 0.5) if n else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decode_batches, WAV_FEATURES_SCHEMA)

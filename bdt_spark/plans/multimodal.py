@@ -321,6 +321,67 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real_features(encode_doc_jpegs(docs)).orderBy("doc_id")
 
 
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH vals AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(unnest(range(0, length(text))) AS BIGINT) AS k,
+             text
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
+    ),
+    s AS (
+      SELECT doc_id, n, k,
+             CAST((ascii(substr(text, CAST(k AS INT) + 1, 1)) - 128) * 256
+                  AS BIGINT) AS samp
+      FROM vals
+    ),
+    lagged AS (
+      SELECT doc_id, n, samp,
+             LAG(samp) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(samp)) AS INT) AS peak,
+           CAST(SUM(samp * samp) AS BIGINT) AS sum_sq,
+           SQRT(CAST(SUM(samp * samp) AS DOUBLE) / MAX(n)) AS rms,
+           CAST(SUM(CASE WHEN samp * prev < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "codec", "audio"),
+    doc="REAL audio decode: each doc is rendered to an actual RIFF/WAVE "
+    "PCM-16 payload (mono, per-doc sample rate; every fifth doc carries "
+    "an extra LIST chunk so the RIFF chunk-skip path runs under the "
+    "oracle) by the pure-Python codec in functions/imagecodec.py, then "
+    "parsed back through the chunk walk + fmt validation + PCM "
+    "extraction, with exact waveform features: peak amplitude, "
+    "integer-exact energy, RMS, strict-sign zero-crossing count. The "
+    "oracle recomputes all of them from first principles on the text "
+    "bytes (samples are (byte-128)*256), so any container, alignment, "
+    "endianness, or channel bug breaks the hash match. Completes the "
+    "image+audio multimodal surface with real codecs. Executor-side "
+    "mapInPandas throughout.",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        decode_wav_features,
+        encode_doc_wavs,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    # ASCII-only gate, same rationale as multimodal_decode_bmp
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
+    return decode_wav_features(encode_doc_wavs(docs)).orderBy("doc_id")
+
+
 RESIZE_BYTES = 64
 
 

@@ -68,6 +68,7 @@ PIPELINE = [
     "dedup_embedding_cosine",
     # round-9 additions
     "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists

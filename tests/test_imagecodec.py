@@ -459,3 +459,67 @@ def test_jpeg_multi_scan_rejected_not_color_stripped():
     payload = payload[:sos] + new_sos + payload[sos + 2 + seglen:]
     with pytest.raises(ValueError, match="multi-scan"):
         decode_image_bytes(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM-16)
+# ---------------------------------------------------------------------------
+
+from bdt_spark.functions.imagecodec import decode_wav, encode_wav  # noqa: E402
+
+
+def test_wav_mono_roundtrip():
+    s = ((np.arange(1000) * 37 % 65536) - 32768).astype(np.int16)
+    rate, out = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000
+    assert out.shape == (1000, 1)
+    assert np.array_equal(out[:, 0], s)
+
+
+def test_wav_stereo_roundtrip_and_odd_length_padding():
+    s = np.stack(
+        [np.arange(-100, 101, dtype=np.int16),
+         np.arange(100, -101, -1, dtype=np.int16)],
+        axis=1,
+    )
+    rate, out = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(out, s)
+    # odd byte count (odd mono samples) pads the RIFF chunk to word size
+    m = np.array([1, -2, 3], dtype=np.int16)
+    payload = encode_wav(m, 8000)
+    assert len(payload) % 2 == 0
+    _, out2 = decode_wav(payload)
+    assert np.array_equal(out2[:, 0], m)
+
+
+def test_wav_unknown_chunks_skipped():
+    import struct as _s
+
+    s = np.array([100, -200, 300], dtype=np.int16)
+    info = b"INFObdtwav"
+    extra = b"LIST" + _s.pack("<I", len(info)) + info
+    rate, out = decode_wav(encode_wav(s, 12000, extra_chunk=extra))
+    assert rate == 12000 and np.array_equal(out[:, 0], s)
+
+
+def test_wav_rejections():
+    s = np.array([1, 2], dtype=np.int16)
+    good = bytearray(encode_wav(s, 8000))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOPE" + bytes(good[4:]))
+    # format tag 2 (ADPCM) rejected
+    bad = bytearray(good)
+    fmt_at = bytes(bad).find(b"fmt ") + 8
+    bad[fmt_at] = 2
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(bad))
+    # 8-bit rejected
+    bad = bytearray(good)
+    bad[fmt_at + 14] = 8
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_wav(bytes(bad))
+    # truncated data chunk
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_wav(bytes(good[:-3]))
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(np.array([1.0, 2.0]))
