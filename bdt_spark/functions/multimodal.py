@@ -8,11 +8,14 @@ the one that holds at 100 TB:
   (mime, n_bytes, source id). Spark shuffles/stores binary efficiently;
   decode happens ONLY inside Arrow-batched `mapInPandas` on the executors —
   never on the driver, never row-at-a-time Python.
-- Decode / resize / frame-sample are per-batch pandas functions. The actual
-  codec calls (PIL / librosa / av) are NOT available in this container, so
-  `decode_image` raises NotImplementedError unless `fake=True`, which
-  substitutes a deterministic, content-derived fake decode. The Spark-side
-  plumbing — schema, batch iteration, partitioning — is real and tested.
+- Decode / resize / frame-sample are per-batch pandas functions. Codec
+  LIBRARIES (PIL / librosa / av) are not in this container, but
+  from-scratch public-spec codecs in `functions/imagecodec.py` give the
+  image (BMP/PPM/PNG/baseline JPEG) and audio (RIFF/WAVE PCM) paths REAL
+  decodes — see decode_real_features / decode_wav_features. Only the
+  library-backed generic path (`decode_image`) stays stubbed: it raises
+  NotImplementedError unless `fake=True`, which substitutes a
+  deterministic, content-derived fake decode (the `stub`-tagged queries).
 
 Batch-shape notes: `mapInPandas` receives an iterator of pandas DataFrames
 (one per Arrow batch, ~10k rows default). Feature extraction is allocated

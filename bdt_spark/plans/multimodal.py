@@ -1,9 +1,14 @@
 """Multimodal-column query specs: binary payload + mapInPandas decode.
 
-The fake-decode path is deterministic and content-derived, so the whole
-distributed pipeline (binary cast -> Arrow batches -> pandas decode ->
-result schema) is oracled in plain SQL. The fixture `documents.text` stands
-in for media bytes (ASCII, so byte offsets == char offsets in the oracle).
+Real-codec queries (`multimodal_decode_bmp`/`_png`/`_jpeg`/`_wav`)
+render each document into an actual image/audio payload via the
+from-scratch public-spec codecs in functions/imagecodec.py, decode it
+back, and oracle the features from first principles on the text bytes.
+The remaining `stub`-tagged queries exercise the distributed plumbing
+with a deterministic content-derived fake decode. Either way the whole
+pipeline (binary cast -> Arrow batches -> pandas decode -> result
+schema) is oracled in plain SQL. The fixture `documents.text` stands in
+for media bytes (ASCII, so byte offsets == char offsets in the oracle).
 """
 
 from __future__ import annotations
