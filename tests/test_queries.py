@@ -109,3 +109,17 @@ def test_fixture_embedding_dim_matches_unrolled_expressions():
             f"SELECT MIN(len(embedding)), MAX(len(embedding)) FROM '{path}'"
         ).fetchone()
         assert lo == hi == EMB_DIM, f"{path}: dims [{lo},{hi}] != {EMB_DIM}"
+
+
+def test_fan_out_cpu_stage_only_when_input_too_coarse(spark):
+    """The codec-stage fan-out must repartition a single-split input up
+    to cluster parallelism, and be a NO-OP (no added shuffle) when the
+    input already has enough splits — the property that makes it safe at
+    100 TB where scans come in with thousands of splits."""
+    from bdt_spark.functions.multimodal import _fan_out_cpu_stage
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert _fan_out_cpu_stage(one).rdd.getNumPartitions() == par
+    many = spark.range(1000).repartition(par + 3)
+    assert _fan_out_cpu_stage(many) is many
