@@ -26,6 +26,7 @@ sampling emits N rows per video).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -496,7 +497,11 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                         n,
                         int(np.abs(s).max()) if n else 0,
                         sum_sq,
-                        float((sum_sq / n) ** 0.5) if n else 0.0,
+                        # math.sqrt, NOT ** 0.5: libm pow(x, 0.5) is 1 ulp
+                        # off correctly-rounded sqrt for some inputs
+                        # (observed at sf10: sqrt(17340104704/99)), and the
+                        # SQL oracle's SQRT is correctly rounded.
+                        float(math.sqrt(sum_sq / n)) if n else 0.0,
                         zc,
                     )
                 )

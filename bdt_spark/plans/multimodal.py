@@ -104,6 +104,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table groups.",
 )
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     import pandas as pd
 
     t = load_fixture_tables(spark, sf_dir)
@@ -118,7 +120,10 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1 = sum(int(round(v * 1e8)) for v in bal) / 1e8
         s2 = sum(int(round(v * v * 1e8)) for v in bal) / 1e8
         mu = s1 / n
-        sd = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+        # math.sqrt, NOT ** 0.5: libm pow(x, 0.5) can be 1 ulp off the
+        # correctly-rounded sqrt the SQL engines use (the round(6) below
+        # absorbs it here, but sqrt costs nothing and removes the hazard)
+        sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
         out = pdf[["c_custkey", "c_mktsegment"]].copy()
         out["zscore"] = ((bal - mu) / sd).round(6)
         return out
