@@ -2757,3 +2757,134 @@ sql_query(
     "counts — one user_id shuffle, no joins, NULL comparisons fall out "
     "of the funnel naturally.",
 )
+
+
+# --- round 9: incremental dedup, corpus IDF, cohort retention ---------------
+
+sql_query(
+    "dedup_incremental_snapshot",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    fingerprints AS (
+      SELECT md5(text) AS text_hash, MIN(doc_id) AS corpus_doc_id
+      FROM corpus
+      GROUP BY md5(text)
+    )
+    SELECT i.doc_id AS incoming_doc_id, f.corpus_doc_id, f.text_hash
+    FROM incoming i
+    JOIN fingerprints f ON md5(i.text) = f.text_hash
+    ORDER BY incoming_doc_id
+    """,
+    tags=("dedup", "exact", "incremental"),
+    doc="Incremental dedup — the production shape: a NEW batch is deduped "
+    "against an EXISTING corpus snapshot rather than against itself. The "
+    "corpus side reduces to a compact (hash, min_doc_id) fingerprint "
+    "table (one partial+final agg shuffle over hashes only, never text), "
+    "then the incoming batch equi-joins it on md5 — at 100 TB the "
+    "fingerprint table is the only state carried between ingest runs and "
+    "is orders of magnitude smaller than the corpus; the incoming side "
+    "is map-only until the hash join. The fixture is duplicate-free, so "
+    "the injected every-10th corpus copies (shifted ids) are exactly the "
+    "matches; common-subset SQL, oracle is the same text.",
+)
+
+
+def _idf_rarity_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    words = (
+        "explode(split(lower(text), ' '))"
+        if spark
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, {words} AS word FROM documents
+      ) t
+    ),
+    df AS (
+      SELECT word, COUNT(*) AS n_docs_with FROM w GROUP BY word
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ),
+    scored AS (
+      SELECT w.doc_id,
+             CAST(LN((n.n_docs + 1.0) / (df.n_docs_with + 1.0))
+                  AS DECIMAL(30,12)) AS idf
+      FROM w JOIN df ON w.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           ROUND(CAST(SUM(idf) AS DOUBLE) / COUNT(*), 6) AS mean_idf
+    FROM scored
+    WHERE doc_id < 300
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+sql_query(
+    "text_idf_rarity_score",
+    _idf_rarity_sql("spark"),
+    oracle=_idf_rarity_sql("duck"),
+    tags=("text", "quality", "idf"),
+    doc="Corpus-level IDF rarity score per document (the boilerplate/"
+    "template-page signal: low mean IDF = the page is made of terms "
+    "every other page also has; complements text_unigram_logprob_score, "
+    "which weights by term frequency instead of document frequency). "
+    "Smoothed IDF = ln((N+1)/(df+1)) over DISTINCT (doc, word) pairs; "
+    "per-term IDFs are decimal-cast before summing so accumulation "
+    "order is moot. Plan: one distinct shuffle, one word-df aggregate "
+    "(partial agg first), one join back — at probe time the df table "
+    "broadcasts. Output bounded to doc_id < 300; the IDF statistics "
+    "are computed over the FULL corpus.",
+)
+
+
+def _retention_cohort_sql(dialect: str) -> str:
+    ddiff = (
+        "DATEDIFF(d, first_day)"
+        if dialect == "spark"
+        else "DATE_DIFF('day', first_day, d)"
+    )
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS first_day FROM days GROUP BY user_id
+    ),
+    offsets AS (
+      SELECT DISTINCT days.user_id, firsts.first_day,
+             CAST(FLOOR({ddiff} / 7.0) AS INT) AS week_offset
+      FROM days JOIN firsts ON days.user_id = firsts.user_id
+    )
+    SELECT CAST(first_day AS TIMESTAMP) AS cohort_day, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM offsets
+    GROUP BY first_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """
+
+
+sql_query(
+    "events_user_retention_cohort",
+    _retention_cohort_sql("spark"),
+    oracle=_retention_cohort_sql("duck"),
+    tags=("events", "retention", "analytics"),
+    doc="Cohort retention: users grouped by first-active day, counted "
+    "once per (cohort, week-offset) they return in — the standard "
+    "retention triangle. Distinct (user, day) first so per-user event "
+    "volume never inflates the shuffle; then one user_id-keyed MIN, "
+    "one join (user-keyed, co-partitioned with the distinct), one "
+    "cohort aggregate. Dialect-split only on DATEDIFF argument order.",
+)
