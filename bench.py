@@ -69,6 +69,8 @@ PIPELINE = [
     # round-9 additions
     "multimodal_decode_jpeg",
     "multimodal_decode_wav",
+    "dedup_incremental_snapshot",
+    "text_idf_rarity_score",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
