@@ -2888,3 +2888,47 @@ sql_query(
     "one join (user-keyed, co-partitioned with the distinct), one "
     "cohort aggregate. Dialect-split only on DATEDIFF argument order.",
 )
+
+
+sql_query(
+    "join_fuzzy_blocked_levenshtein",
+    """
+    WITH corpus_names AS (
+      SELECT p_name AS name, MIN(p_partkey) AS canonical_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ),
+    probe_names AS (
+      SELECT substr(p_name, 1, length(p_name) - 1) AS name,
+             MIN(p_partkey + 5000000) AS probe_key
+      FROM part WHERE p_partkey % 199 = 0
+      GROUP BY substr(p_name, 1, length(p_name) - 1)
+    )
+    SELECT pr.probe_key, c.canonical_key, c.n_rows,
+           CAST(levenshtein(pr.name, c.name) AS INT) AS edit_distance
+    FROM probe_names pr
+    JOIN corpus_names c
+      ON split_part(pr.name, ' ', 1) = split_part(c.name, ' ', 1)
+     AND length(c.name) BETWEEN length(pr.name) - 2 AND length(pr.name) + 2
+    WHERE levenshtein(pr.name, c.name) <= 2
+    ORDER BY probe_key, canonical_key
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+    doc="Blocked fuzzy join (entity resolution): probe strings matched "
+    "against a corpus under edit distance <= 2, NEVER all-pairs AND "
+    "never on raw rows — both sides first collapse to DISTINCT names "
+    "carrying multiplicities (one partial+final agg each; the realistic "
+    "shape, since entity resolution operates on the distinct-string "
+    "table, which is orders of magnitude smaller than the corpus — "
+    "this fixture: 64 distinct names over up to 2.2 M part rows, so a "
+    "raw-row fuzzy join would emit ~400 M pairs at sf10 while the "
+    "distinct-name join emits <= 64 x 64). The equi block key (first "
+    "token) turns the cross of distinct names into a hash join, the "
+    "length band prunes the block (edit distance <= 2 implies length "
+    "delta <= 2), and exact levenshtein verifies only block-local "
+    "candidates — the block-then-verify shape of the MinHash/sign-LSH "
+    "dedups with a string-metric verifier. Probes are every-199th part "
+    "name with the last char dropped (distance 1 to their source, "
+    "guaranteed non-vacuous). Common-subset SQL, oracle is the same "
+    "text.",
+)
