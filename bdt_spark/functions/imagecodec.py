@@ -770,8 +770,12 @@ class _BitReader:
                 raise ValueError("jpeg: hit marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # _fill only runs with nbits == 0 (read_bit refills on empty), so
+        # the accumulator is REPLACED, not extended — appending (acc<<8)|b
+        # would retain every consumed byte's bits and make entropy decode
+        # O(n^2) bigint copying over the segment length
+        self.acc = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -862,12 +866,20 @@ def _decode_jpeg(payload: bytes) -> tuple[str, np.ndarray]:
             continue
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         seg = d[pos + 4:pos + 2 + seglen]
+        # a payload cut inside the segment body yields a short slice; every
+        # downstream parser indexes to the declared length, so surface the
+        # truncation as the contract's ValueError here rather than as an
+        # IndexError/struct.error deep in a table parser
+        if seglen < 2 or len(seg) != seglen - 2:
+            raise ValueError("jpeg: truncated marker segment")
         if tag == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(seg):
                 prec, tid = seg[i] >> 4, seg[i] & 0x0F
                 if prec != 0:
                     raise ValueError("jpeg: 16-bit quant tables unsupported")
+                if i + 65 > len(seg):
+                    raise ValueError("jpeg: truncated quant table")
                 zz = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8)
                 nat = np.zeros(64)
                 for j in range(64):
@@ -877,17 +889,25 @@ def _decode_jpeg(payload: bytes) -> tuple[str, np.ndarray]:
         elif tag == 0xC4:  # DHT (possibly several)
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("jpeg: truncated huffman table header")
                 tclass, tid = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1:i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(seg):
+                    raise ValueError("jpeg: truncated huffman value list")
                 vals = list(seg[i + 17:i + 17 + n])
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tclass == 0 else huff_ac)[tid] = dec
                 i += 17 + n
         elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 baseline(+ext seq huff)
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated frame header")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
+            if len(seg) < 6 + nc * 3:
+                raise ValueError("jpeg: truncated frame components")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]

@@ -54,24 +54,26 @@ def _plan_size_bytes(df: DataFrame) -> int:
     driver-side, no job.
 
     Catalyst reports `spark.sql.defaultSizeInBytes` (Long.MaxValue by
-    default) for plans whose leaves carry no statistics, so a naive read
-    cannot tell "huge" from "unknown". When the root estimate hits that
-    sentinel, resolve per-leaf: leaves with real stats contribute their
-    size; RDD-backed leaves (`LogicalRDD` from createDataFrame,
-    `LocalRelation`) are driver-local by construction — bounded by driver
-    memory, never the at-scale case — and count as zero. Any OTHER
-    stats-less leaf (an exotic source) keeps the scale-safe large answer
-    (persists kept). The gate is therefore calibrated for file-scan and
-    in-memory inputs; callers piping a transformed view whose size
-    estimate no longer reflects the derived shingle/signature work should
-    pass eager_persist_min_bytes=0 to force the scale path."""
+    default) for plans whose leaves carry no statistics, and operators
+    above such a leaf SCALE that sentinel (a column-pruning Project
+    multiplies it by the output/input row-width ratio), so no threshold
+    on the ROOT estimate can distinguish "huge" from "unknown-times-
+    ratio". The gate therefore never reads the root: input size is the
+    SUM OF LEAF estimates. Leaves with real stats contribute their size
+    (file scans: file bytes); RDD-backed leaves (`LogicalRDD` from
+    createDataFrame, `LocalRelation`) are driver-local by construction —
+    bounded by driver memory, never the at-scale case — and count as
+    zero. Any OTHER stats-less leaf (an exotic source) returns the
+    scale-safe large answer (persists kept). Summing leaves ignores
+    filters between leaf and operator — a conservative over-estimate
+    that can only err toward keeping the scale path. Callers piping a
+    transformed view whose input size no longer reflects the derived
+    shingle/signature work should pass eager_persist_min_bytes=0 to
+    force the scale path."""
     try:
         jconf = df.sparkSession._jsparkSession.sessionState().conf()
         unknown = int(jconf.defaultSizeInBytes())
         plan = df._jdf.queryExecution().optimizedPlan()
-        size = int(plan.stats().sizeInBytes())
-        if size < unknown:
-            return size
         leaves = plan.collectLeaves()
         total = 0
         for i in range(leaves.size()):

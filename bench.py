@@ -165,10 +165,9 @@ def main() -> None:
     all_names = set(plans.all_queries())
     for name in HEADLINE + [q for q in PIPELINE if q in all_names]:
         try:
-            runs = [round(run_query(spark, name, sf_dir), 3)
-                    for _ in range(reps)]
-            timings[name] = round(median(runs), 3)
-            all_runs[name] = runs
+            timings[name], all_runs[name] = timed_reps(
+                lambda: run_query(spark, name, sf_dir), reps
+            )
         except Exception as e:  # a broken query must not kill the bench
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -234,10 +233,9 @@ def main() -> None:
             if name not in all_names:
                 continue
             try:
-                runs = [round(run_query(spark, name, sf1_dir), 3)
-                        for _ in range(reps)]
-                sf1_timings[name] = round(median(runs), 3)
-                sf1_runs[name] = runs
+                sf1_timings[name], sf1_runs[name] = timed_reps(
+                    lambda: run_query(spark, name, sf1_dir), reps
+                )
             except Exception as e:
                 print(f"bench error sf1 {name}: {e}", file=sys.stderr)
                 sf1_timings[name] = -1.0

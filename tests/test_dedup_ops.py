@@ -348,3 +348,30 @@ def test_eager_persist_gate_same_results_and_no_cache_residue(spark):
     e2 = {(r.vec_a, r.vec_b) for r in e2_out.collect()}
     assert e2 == s2 and len(s2) >= 1
     e2_out.unpersist()
+
+
+def test_plan_size_bytes_never_trusts_sentinel_derived_roots(spark):
+    """A Project above a stats-less leaf SCALES the unknown-stats
+    sentinel by the column-width ratio, producing a root estimate that
+    is huge but BELOW defaultSizeInBytes — a root-threshold check
+    mistakes it for a known size and fails open to eager. The gate must
+    resolve leaf estimates instead: driver-local leaves count as zero
+    regardless of what operators sit above them."""
+    from bdt_spark.operators.dedup import EAGER_PERSIST_MIN_BYTES, _plan_size_bytes
+
+    rows = [(i, f"word{i} filler text") for i in range(50)]
+    base = spark.createDataFrame(rows, "doc_id int, text string")
+    for df in (
+        base,
+        base.select("doc_id", "text"),          # Project over LogicalRDD
+        base.select("text"),                     # width-ratio-scaled root
+        base.filter("doc_id < 10").select("text"),
+    ):
+        n = _plan_size_bytes(df)
+        assert n < EAGER_PERSIST_MIN_BYTES, (
+            f"driver-local plan resolved as {n} bytes (eager)"
+        )
+    # file-scan input keeps its real (leaf) size
+    files = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert 0 < _plan_size_bytes(files) < EAGER_PERSIST_MIN_BYTES
+    assert 0 < _plan_size_bytes(files.select("text")) < EAGER_PERSIST_MIN_BYTES

@@ -379,6 +379,33 @@ def test_jpeg_truncated_raises():
             decode_image_bytes(payload[:cut])
 
 
+def test_jpeg_every_truncation_point_raises_valueerror():
+    """The decode contract is ValueError for corrupt payloads — a
+    quarantine-on-ValueError ingest path must never see IndexError or
+    struct.error. Exhaustive over every cut point: cuts inside DQT/DHT/
+    SOF segment bodies used to surface as IndexError/struct.error from
+    short slices. The one tolerated truncation is dropping ONLY the
+    trailing EOI marker (all entropy data present) — standard lenient
+    decoder behavior, so the range stops at len-2."""
+    img = _flat_tiles(np.array([[10, 200], [99, 40]], dtype=np.uint8))
+    payload = encode_jpeg(img)
+    for cut in range(2, len(payload) - 2):
+        with pytest.raises(ValueError):
+            decode_image_bytes(payload[:cut])
+
+
+def test_jpeg_bitreader_accumulator_stays_bounded():
+    """_BitReader must REPLACE its accumulator on refill, not append —
+    an appending accumulator retains every consumed byte and makes
+    entropy decode O(n^2) bigint copying over the segment length."""
+    from bdt_spark.functions.imagecodec import _BitReader
+
+    br = _BitReader(bytes([0xAB] * 2000), 0)
+    for _ in range(2000 * 8):
+        br.read_bit()
+    assert br.acc.bit_length() <= 8
+
+
 def test_jpeg_stuffed_ff_bytes_handled():
     """Entropy bytes equal to 0xFF must be stuffed with 0x00 by the
     writer and unstuffed by the reader — tested at the bit level
