@@ -64,6 +64,19 @@ def _read_arrow_table(path: str, header: bool = True):
         import pyarrow.json as pajson
 
         return pajson.read_json(path)
+    if fmt == "orc":
+        import glob as _glob
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        paths = (
+            sorted(_glob.glob(_os.path.join(path, "part-*.orc")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        return pa.concat_tables([po.read_table(p) for p in paths])
     raise ValueError(f"unsupported format for compare: {path!r}")
 
 

@@ -10,6 +10,8 @@ writes csv/json/parquet. Mirrors the reference's writer surface:
   (convert.rs:23-34; Spark exposes no codec level or per-column encoding —
   documented divergence; created_by is not settable in Spark, cosmetic).
 - Avro output rejected, matching convert.rs:37-39.
+- ORC output (EXTENSION): native Spark sink; the reference's FileFormat
+  enum has no ORC arm (utils.rs:12-23).
 - Arrow IPC output (EXTENSION): the reference panics on Arrow both ways
   (utils.rs:59-61, convert.rs:52); the repo reads it (sources/io.py) and
   writes it here — per-partition IPC files serialized executor-side.
@@ -167,7 +169,7 @@ def convert(
     Incompatible with `single_file`.
     """
     out_fmt = file_format(output_path)
-    if out_fmt not in ("csv", "json", "parquet", "arrow"):
+    if out_fmt not in ("csv", "json", "parquet", "arrow", "orc"):
         raise UnsupportedOutputError(
             f"unsupported output format for path: {output_path!r}"
         )
@@ -201,6 +203,12 @@ def convert(
         if zstd:
             writer = writer.option("compression", "zstd")
         writer.json(target_dir)
+    elif out_fmt == "orc":
+        # ORC out — an EXTENSION (the reference's FileFormat enum has no
+        # ORC arm at all, utils.rs:12-23); Spark's native ORC sink, zstd
+        # rides the orc.compress table property.
+        writer = writer.option("compression", "zstd" if zstd else "snappy")
+        writer.orc(target_dir)
     else:
         writer = writer.option("compression", "zstd" if zstd else "snappy")
         if zstd:

@@ -242,3 +242,29 @@ def test_arrow_zstd_unavailable_fails_driver_side(spark, sf_dir, tmp_path, monke
             str(tmp_path / "z.arrow"),
             zstd=True,
         )
+
+
+def test_orc_write_roundtrip_under_compare(spark, sf_dir, tmp_path):
+    # ORC out (EXTENSION — the reference's FileFormat enum has no ORC arm,
+    # utils.rs:12-23): parquet -> orc -> compare equal to the source, and
+    # the .orc extension dispatches through register/read like any format
+    out = str(tmp_path / "nation.orc")
+    convert(spark, f"{sf_dir}/nation.parquet", out)
+    res = compare_files(None, f"{sf_dir}/nation.parquet", out)
+    assert res.ok, res.message
+    from bdt_spark.sources.io import file_format, read_file
+
+    assert file_format(out) == "orc"
+    df = read_file(spark, out)
+    assert df.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+
+def test_orc_zstd_single_file(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_z.orc")
+    convert(spark, f"{sf_dir}/region.parquet", out, single_file=True, zstd=True)
+    assert os.path.isfile(out)
+    import pyarrow.orc as po
+
+    f = po.ORCFile(out)
+    assert f.compression.upper() == "ZSTD"
+    assert f.nrows == 5
