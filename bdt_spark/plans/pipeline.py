@@ -2932,3 +2932,176 @@ sql_query(
     "guaranteed non-vacuous). Common-subset SQL, oracle is the same "
     "text.",
 )
+
+
+def _tfidf_cosine_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    sh = _spark_shingles() if spark else _duck_shingles()
+    feats = f"explode({sh})" if spark else f"unnest({sh})"
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, {feats} AS word FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    rare AS (
+      SELECT word, COUNT(*) AS df FROM feat GROUP BY word
+      HAVING COUNT(*) <= 10
+    ),
+    tfidf AS (
+      SELECT feat.doc_id, feat.word,
+             CAST(CAST(LN((n.n_docs + 1.0) / (rare.df + 1.0))
+                       AS DECIMAL(30,12)) AS DOUBLE) AS w
+      FROM feat JOIN rare ON feat.word = rare.word CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id,
+             SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM tfidf GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM tfidf a JOIN tfidf b
+        ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cos AS (
+      SELECT d.doc_a, d.doc_b,
+             ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms na ON d.doc_a = na.doc_id
+      JOIN norms nb ON d.doc_b = nb.doc_id
+    ),
+    ranked AS (
+      SELECT doc_a, doc_b, cosine,
+             ROW_NUMBER() OVER (PARTITION BY doc_a
+                                ORDER BY cosine DESC, doc_b) AS rk
+      FROM cos
+    )
+    SELECT doc_a, doc_b, cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 AND doc_a < 200
+    ORDER BY doc_a, rk
+    """
+
+
+sql_query(
+    "text_tfidf_topk_similar",
+    _tfidf_cosine_sql("spark"),
+    oracle=_tfidf_cosine_sql("duck"),
+    tags=("text", "similarity", "tfidf", "inverted-index"),
+    doc="IDF-weighted shingle-set cosine top-k retrieval via an INVERTED-"
+    "INDEX join — the sparse-vector companion to the dense-embedding "
+    "ANN family, and the weighted/top-k complement of "
+    "dedup_ngram_jaccard (which thresholds an unweighted set overlap). "
+    "Features are distinct word 3-shingles (the fixture vocabulary is "
+    "31 words, so unigrams have no rare terms — shingles do: 16k "
+    "distinct, max df 7 at sf0.01); each doc is a binary shingle "
+    "vector weighted by smoothed IDF. The index keeps only rare "
+    "features (df <= 10): common features carry no discriminative "
+    "signal AND are exactly the ones whose posting lists blow the "
+    "self-join up quadratically, so the cap is simultaneously the "
+    "quality filter and the scale bound (candidate pairs <= df_cap^2/2 "
+    "per feature — linear in vocabulary, independent of corpus size; "
+    "the same hot-bucket philosophy as the MinHash/sign-LSH dedups). "
+    "Per-feature IDFs are pinned to 12 decimals so both engines weigh "
+    "identically; dots and norms are decimal-summed (order-proof), "
+    "cosine rounded to 6 before ranking so the ROW_NUMBER order is "
+    "identical cross-engine (ties broken by doc_b). Plan: one "
+    "(doc,shingle) explode + feature-df agg (rare table broadcasts at "
+    "probe scale), the bounded posting-list self-join, two small norm "
+    "joins. Output bounded to doc_a < 200 / top-3; statistics over the "
+    "FULL corpus.",
+)
+
+
+def _nb_langid_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    words = (
+        "explode(split(lower(text), ' '))"
+        if spark
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH train_tokens AS (
+      SELECT lang, {words} AS word FROM documents WHERE doc_id % 2 = 0
+    ),
+    test_tokens AS (
+      SELECT doc_id, lang AS actual_lang, {words} AS word
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    class_counts AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_tokens
+      FROM train_tokens GROUP BY lang
+    ),
+    priors AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM train_tokens
+    ),
+    word_counts AS (
+      SELECT lang, word, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM train_tokens GROUP BY lang, word
+    ),
+    model AS (
+      SELECT wc.lang, wc.word,
+             CAST(LN((wc.c + 1.0) / (cc.n_tokens + vocab.v))
+                  AS DECIMAL(30,12)) AS logp
+      FROM word_counts wc
+      JOIN class_counts cc ON wc.lang = cc.lang
+      CROSS JOIN vocab
+    ),
+    defaults AS (
+      SELECT cc.lang,
+             CAST(LN(1.0 / (cc.n_tokens + vocab.v))
+                  AS DECIMAL(30,12)) AS logp0,
+             CAST(LN(p.n_docs) AS DECIMAL(30,12)) AS logprior
+      FROM class_counts cc
+      JOIN priors p ON cc.lang = p.lang
+      CROSS JOIN vocab
+    ),
+    scored AS (
+      SELECT t.doc_id, t.actual_lang, d.lang AS cand_lang,
+             CAST(MAX(d.logprior) + SUM(COALESCE(m.logp, d.logp0))
+                  AS DOUBLE) AS score
+      FROM test_tokens t
+      CROSS JOIN defaults d
+      LEFT JOIN model m ON m.lang = d.lang AND m.word = t.word
+      GROUP BY t.doc_id, t.actual_lang, d.lang
+    ),
+    predicted AS (
+      SELECT doc_id, actual_lang, cand_lang AS predicted_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(score, 6) DESC,
+                                         cand_lang) AS rk
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM predicted WHERE rk = 1
+    GROUP BY actual_lang, predicted_lang
+    ORDER BY actual_lang, predicted_lang
+    """
+
+
+sql_query(
+    "text_naive_bayes_langid",
+    _nb_langid_sql("spark"),
+    oracle=_nb_langid_sql("duck"),
+    tags=("text", "classifier", "langid", "naive-bayes"),
+    doc="Trained multinomial Naive Bayes language classifier — counting IS "
+    "training, so the whole train/score/evaluate loop is one declarative "
+    "plan (no iterative solver): even doc_ids train, odd doc_ids score, "
+    "output is the confusion matrix (complements text_langid_heuristic, "
+    "which is a fixed stopword rule). Laplace-smoothed log-likelihoods "
+    "ln((c+1)/(n_lang+V)) and log-priors are pinned to 12 decimals "
+    "pointwise, per-doc scores are decimal-summed (order-proof), and "
+    "the argmax is a ROW_NUMBER over the rounded score with the lang "
+    "name as tiebreak — identical cross-engine. Unseen words hit the "
+    "COALESCE backoff ln(1/(n_lang+V)). Scale: the model is two "
+    "aggregates over the training corpus (vocab x langs rows — "
+    "megabytes at 100 TB corpus scale) and BROADCASTS to the scoring "
+    "join; the per-candidate fan-out is |langs| (bounded), and the "
+    "final argmax + confusion matrix are doc-keyed aggs. ",
+)
