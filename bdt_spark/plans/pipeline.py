@@ -2963,6 +2963,7 @@ def _tfidf_cosine_sql(dialect: str) -> str:
              CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
       FROM tfidf a JOIN tfidf b
         ON a.word = b.word AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 200
       GROUP BY a.doc_id, b.doc_id
     ),
     cos AS (
@@ -3009,8 +3010,11 @@ sql_query(
     "identical cross-engine (ties broken by doc_b). Plan: one "
     "(doc,shingle) explode + feature-df agg (rare table broadcasts at "
     "probe scale), the bounded posting-list self-join, two small norm "
-    "joins. Output bounded to doc_a < 200 / top-3; statistics over the "
-    "FULL corpus.",
+    "joins. The probe set (doc_a < 200) is pushed into the pair join — "
+    "a filter on the window partition key commutes with the per-doc_a "
+    "ranking, so this is the true retrieval shape: probe set x corpus "
+    "index, never index x index. IDF statistics and norms are computed "
+    "over the FULL corpus; output is top-3 per probe doc.",
 )
 
 

@@ -71,6 +71,8 @@ PIPELINE = [
     "multimodal_decode_wav",
     "dedup_incremental_snapshot",
     "text_idf_rarity_score",
+    "text_tfidf_topk_similar",
+    "text_naive_bayes_langid",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
