@@ -3109,3 +3109,102 @@ sql_query(
     "join; the per-candidate fan-out is |langs| (bounded), and the "
     "final argmax + confusion matrix are doc-keyed aggs. ",
 )
+
+
+def _pca_power_sql(dialect: str) -> str:
+    if dialect == "spark":
+        exploded = (
+            "SELECT vec_id, pos + 1 AS pos1, CAST(v AS DOUBLE) AS v\n"
+            "      FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos, v"
+        )
+    else:
+        exploded = (
+            "SELECT vec_id,"
+            " CAST(generate_subscripts(embedding, 1) AS INT) AS pos1,\n"
+            "             CAST(unnest(embedding) AS DOUBLE) AS v\n"
+            "      FROM embeddings"
+        )
+    # Three unrolled power iterations: v_{t+1} = normalize(C v_t), starting
+    # from the all-ones direction. Every SUM is decimal-pinned so both
+    # engines accumulate identically; products/sqrt/div on identical doubles
+    # are identical IEEE ops.
+    iters = []
+    prev = "u0"
+    for t in (1, 2, 3):
+        iters.append(
+            f"""w{t} AS (
+      SELECT cov.i AS i,
+             CAST(SUM(CAST(cov.c * {prev}.u AS DECIMAL(30,12))) AS DOUBLE) AS w
+      FROM cov JOIN {prev} ON cov.j = {prev}.i
+      GROUP BY cov.i
+    ),
+    n{t} AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM w{t}
+    ),
+    u{t} AS (
+      SELECT i, w / n{t}.nrm AS u FROM w{t} CROSS JOIN n{t}
+    )"""
+        )
+        prev = f"u{t}"
+    iter_sql = ",\n    ".join(iters)
+    return f"""
+    WITH x AS (
+      {exploded}
+    ),
+    mu AS (
+      SELECT pos1,
+             CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM x GROUP BY pos1
+    ),
+    m2 AS (
+      SELECT a.pos1 AS i, b.pos1 AS j,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+             COUNT(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id
+      GROUP BY a.pos1, b.pos1
+    ),
+    cov AS (
+      SELECT m2.i, m2.j, m2.sxy / m2.n - ma.m * mb.m AS c
+      FROM m2
+      JOIN mu ma ON m2.i = ma.pos1
+      JOIN mu mb ON m2.j = mb.pos1
+    ),
+    u0 AS (
+      SELECT pos1 AS i, 0.125 AS u FROM mu
+    ),
+    {iter_sql},
+    lam AS (
+      SELECT CAST(SUM(CAST(u2.u * w3.w AS DECIMAL(30,12))) AS DOUBLE)
+               AS eigenvalue
+      FROM u2 JOIN w3 ON u2.i = w3.i
+    )
+    SELECT u3.i AS dim1, ROUND(u3.u, 8) AS component,
+           ROUND(lam.eigenvalue, 8) AS top_eigenvalue
+    FROM u3 CROSS JOIN lam
+    ORDER BY dim1
+    """
+
+
+sql_query(
+    "embedding_pca_power_iteration",
+    _pca_power_sql("spark"),
+    oracle=_pca_power_sql("duck"),
+    tags=("embedding", "pca", "iterative", "linear-algebra"),
+    doc="Top principal component of the embedding cloud by POWER ITERATION "
+    "— an iterative ML algorithm expressed as one declarative plan, "
+    "EXACTLY oracled (not property-oracled): the d x d covariance in "
+    "relational form is small enough (64^2 rows) that three unrolled "
+    "iterations are just joins+aggs over a tiny table. Covariance via "
+    "the moment identity cov = E[xy] - E[x]E[y]: the Gram pass is ONE "
+    "self-join on vec_id (d^2 rows per vector, partial-aggregated "
+    "map-side before the (i,j) shuffle — the only corpus-sized stage, "
+    "linear in rows; at 1000 executors each task emits its local d x d "
+    "sums), means are a second linear pass; no centering join against "
+    "the raw data. Iterations v <- normalize(C v) start from the "
+    "uniform direction (0.125 = 1/sqrt(64)); eigenvalue = Rayleigh "
+    "quotient u2' C u2. Every SUM decimal-pinned -> bit-identical "
+    "cross-engine; output rounded to 8 decimals. The realistic use: "
+    "top-component removal (all-but-the-top common-component "
+    "denoising) and PCA whitening ahead of ANN indexing.",
+)
