@@ -1,0 +1,132 @@
+"""Incremental distinct-count state: a parquet table of mergeable HLL
+sketches, updated per ingest batch and merged on read.
+
+The problem this solves at 100 TB: "how many distinct users/documents/keys
+have we EVER seen, and per group?" COUNT(DISTINCT) answers it only by
+rescanning all history on every ingest. Datasketches HLL sketches are
+mergeable, so the corpus-sized scan happens ONCE per batch — each batch
+contributes one tiny sketch row per group (2^lg_k registers, ~KBs), and any
+later question is answered by merging sketch rows with `hll_union_agg`,
+never by touching raw history. This is the cross-batch, persistent
+companion of the `agg_hll_sketch_merge` registry query (which demonstrates
+the same algebra inside a single statement).
+
+Layout: `state_dir/batch=<batch_id>/part-*.parquet`, one hive partition per
+ingest batch, each holding one row per group:
+    (group cols ..., sketch binary, n_rows bigint, batch_id string)
+Replaying a batch OVERWRITES its own partition (dynamic partition
+overwrite), so at-least-once upstream delivery converges to exactly-once
+state — the same idempotency contract as the foreachBatch sinks in
+streaming/windows.py. Readers see a plain partitioned parquet table.
+
+Compaction folds all batch partitions into one (`batch=<compact>...`)
+partition per group so the state stays O(groups) rather than
+O(groups x batches); estimates are unchanged because HLL union is
+associative and idempotent.
+
+Scale notes: the update's only corpus-sized stage is `hll_sketch_agg` over
+the batch (map-side partial sketches, one tiny shuffle of partial sketches
+per group). Estimate/merge reads only sketch rows — KBs per group — and is
+driver-light (no collect; the result is a DataFrame).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_LG_K = 16  # rsd ~0.4%
+
+
+def update_sketch_state(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    batch_id: str | None = None,
+    lg_k: int = DEFAULT_LG_K,
+) -> str:
+    """Fold one ingest batch into the sketch state. Returns the batch_id.
+
+    Idempotent on replay: the batch's rows land in its own
+    `batch=<batch_id>` partition and a replay overwrites exactly that
+    partition (partitionOverwriteMode=dynamic), leaving other batches
+    untouched.
+    """
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:12]
+    gcols = [F.col(c) for c in group_cols]
+    sketches = batch.groupBy(*gcols).agg(
+        F.hll_sketch_agg(F.col(key_col), lg_k).alias("sketch"),
+        F.count(F.col(key_col)).alias("n_rows"),
+    )
+    (
+        sketches.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_dir)
+    )
+    return batch_id
+
+
+def estimate_distinct(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge all batch sketches and estimate distinct counts.
+
+    Returns (group cols ..., est_distinct bigint, n_rows bigint,
+    n_batches bigint). Never touches raw history — input size is
+    O(groups x batches) sketch rows.
+    """
+    state = spark.read.parquet(state_dir)
+    gcols = [F.col(c) for c in group_cols]
+    return state.groupBy(*gcols).agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))))
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count_distinct(F.col("batch")).alias("n_batches"),
+    )
+
+
+def compact_sketch_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Fold every batch partition into a single compacted partition so the
+    state stays O(groups). HLL union is associative + idempotent, so
+    estimates are unchanged. Returns the compacted partition's batch id.
+
+    The fold writes the merged sketches to a NEW `batch=<id>` partition
+    first, then drops the old partitions — a reader that races the
+    compaction sees either the old batches or old+compacted (idempotent
+    union: same estimate), never missing state.
+    """
+    state = spark.read.parquet(state_dir)
+    old_batches = [r["batch"] for r in state.select("batch").distinct().collect()]
+    compact_id = "compact-" + uuid.uuid4().hex[:12]
+    gcols = [F.col(c) for c in group_cols]
+    merged = state.groupBy(*gcols).agg(
+        F.hll_union_agg(F.col("sketch")).alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    (
+        merged.withColumn("batch", F.lit(compact_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_dir)
+    )
+    import shutil
+    from pathlib import Path
+
+    for b in old_batches:
+        shutil.rmtree(Path(state_dir) / f"batch={b}", ignore_errors=True)
+    return compact_id
