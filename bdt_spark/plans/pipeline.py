@@ -3208,3 +3208,112 @@ sql_query(
     "top-component removal (all-but-the-top common-component "
     "denoising) and PCA whitening ahead of ANN indexing.",
 )
+
+
+def _resample_ffill_sql(dialect: str) -> str:
+    if dialect == "spark":
+        spine = "explode(sequence(d0, d1, interval 1 day))"
+        lastv = "LAST_VALUE(dy.day_value) IGNORE NULLS"
+    else:
+        spine = "CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)"
+        lastv = "LAST_VALUE(dy.day_value IGNORE NULLS)"
+    return f"""
+    WITH days AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS day_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM days GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, {spine} AS d FROM spans
+    ),
+    filled AS (
+      SELECT s.user_id, s.d, dy.day_value,
+             {lastv} OVER (PARTITION BY s.user_id ORDER BY s.d) AS ffill,
+             CASE WHEN dy.day_value IS NULL THEN 1 ELSE 0 END AS gap
+      FROM spine s
+      LEFT JOIN days dy ON s.user_id = dy.user_id AND s.d = dy.d
+    )
+    SELECT user_id, CAST(d AS TIMESTAMP) AS day_ts,
+           ROUND(ffill, 2) AS filled_value, CAST(gap AS INT) AS is_gap
+    FROM filled WHERE user_id < 20 ORDER BY user_id, day_ts
+    """
+
+
+sql_query(
+    "events_resample_forward_fill",
+    _resample_ffill_sql("spark"),
+    oracle=_resample_ffill_sql("duck"),
+    tags=("events", "timeseries", "resample", "gap-fill"),
+    doc="Time-series resampling to a daily grain with forward-fill gap "
+    "repair — the feature-engineering step that turns an irregular event "
+    "stream into a dense per-entity series (as-of state per day). The "
+    "spine is generated PER USER over that user's own active range "
+    "(sequence/generate_series explode — spine rows are bounded by "
+    "users x span days, linear in users, never a global calendar cross "
+    "join), the LEFT JOIN back is co-keyed with the day aggregate's "
+    "shuffle, and the fill is one LAST_VALUE IGNORE NULLS window per "
+    "user. Day sums decimal-pinned; DATE cast to TIMESTAMP in the final "
+    "projection (dialect repr divergence); is_gap marks which rows are "
+    "carried values. Dialect split: sequence+explode / generate_series+"
+    "unnest and the two engines' IGNORE NULLS placements. Output "
+    "bounded to user_id < 20.",
+)
+
+
+sql_query(
+    "quality_constraint_report",
+    """
+    WITH uniq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+    ),
+    nulls AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_price,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpositive_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    ),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    childless AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS childless_orders
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+    )
+    SELECT u.n_rows, u.n_keys,
+           u.n_rows = u.n_keys AS pk_unique,
+           n.null_custkey, n.null_price, n.nonpositive_price, n.bad_status,
+           o.orphan_lineitems,
+           o.orphan_lineitems = 0 AS fk_lineitem_orders_ok,
+           c.childless_orders
+    FROM uniq u CROSS JOIN nulls n CROSS JOIN orphans o CROSS JOIN childless c
+    """,
+    tags=("quality", "validation", "constraints"),
+    doc="Data-contract validation report as ONE declarative pass — the "
+    "expectation-suite shape (null counts, domain checks, PK uniqueness, "
+    "FK referential integrity both directions) a production pipeline "
+    "runs before promoting an ingest batch. Single-table checks fold "
+    "into one scan each (all CASE-sum aggregates); the FK checks are "
+    "null-safe anti-join semantics via NOT EXISTS (at scale these "
+    "become one shuffle each on the join key, or broadcast when the "
+    "parent side is a dim); the four 1-row legs meet in broadcast cross "
+    "joins. Booleans make the report self-asserting: pk_unique and "
+    "fk_lineitem_orders_ok must be TRUE on a healthy batch; the counts "
+    "quantify any violation for triage. Common-subset SQL, oracle is "
+    "the same text.",
+)
