@@ -139,7 +139,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_session_window",
     "events_tumbling_window",
     "sample_language_temperature",
-    "sample_deterministic_hash",
+    "quality_constraint_report",
     "tokens_packing_efficiency",
     "multimodal_decode_jpeg",
     "dedup_embedding_cosine",

@@ -499,7 +499,7 @@ sql_query(
                - 1.0) < 0.02 AS shard_within_2pct,
            ABS(CAST(m.est_merged AS DOUBLE) / e.exact_total
                - 1.0) < 0.02 AS merged_within_2pct,
-           CAST(m.est_merged >= HLL_SKETCH_ESTIMATE(s.sk) AS BOOLEAN)
+           CAST(m.est_merged >= HLL_SKETCH_ESTIMATE(s.sk) * 0.99 AS BOOLEAN)
              AS merge_monotone
     FROM shard_sketches s CROSS JOIN merged m CROSS JOIN exact_total e
     ORDER BY event_type
@@ -525,7 +525,14 @@ sql_query(
     "sketch queries (raw estimates are engine-specific): per-shard and "
     "merged estimates must sit within 2% of exact (lgK=16 -> rsd "
     "~0.4%, so 2% is 5 sigma), and the union estimate dominates every "
-    "shard estimate (monotonicity). The exact_users column is a real "
+    "shard estimate up to 1% slack (near-monotonicity: when shards "
+    "fully overlap — every user emits every event_type, true at sf10 — "
+    "union(sketches) re-encodes the SAME set through the union gadget, "
+    "whose estimate can land ~0.1% BELOW a shard's own estimate; "
+    "measured sf10: merged 150704 vs shard 150844 on exact 150000, a "
+    "strict >= flips while both sit within 0.6% of truth. 1% slack "
+    "still catches a merge that drops a disjoint shard or returns "
+    "garbage). The exact_users column is a real "
     "cross-engine value check. Cross joins are against 1-row "
     "aggregates (broadcast).",
 )
