@@ -3317,3 +3317,168 @@ sql_query(
     "quantify any violation for triage. Common-subset SQL, oracle is "
     "the same text.",
 )
+
+
+def _skew_report_sql(dialect: str) -> str:
+    # Exact p50/p99 of the per-key count distribution. Spark's
+    # percentile() and DuckDB's quantile_cont() both use the standard
+    # linear-interpolation estimator over sorted values; operands are
+    # exact BIGINTs so the interpolation arithmetic is bit-identical.
+    if dialect == "spark":
+        p50 = "percentile(cnt, 0.5)"
+        p99 = "percentile(cnt, 0.99)"
+    else:
+        p50 = "quantile_cont(cnt, 0.5)"
+        p99 = "quantile_cont(cnt, 0.99)"
+    return f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST({p50} AS DOUBLE) AS p50_cnt,
+             CAST({p99} AS DOUBLE) AS p99_cnt
+      FROM per_key
+    ),
+    hot AS (
+      SELECT user_id, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT h.rk AS hot_rank, h.user_id AS hot_key,
+           h.cnt AS hot_cnt,
+           s.n_keys, s.n_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
+           ROUND(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
+             AS skew_ratio,
+           CAST(CEIL(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows)
+                AS BIGINT) AS suggested_salt
+    FROM hot h CROSS JOIN stats s
+    WHERE h.rk <= 5
+    ORDER BY hot_rank
+    """
+
+
+sql_query(
+    "events_key_skew_report",
+    _skew_report_sql("spark"),
+    oracle=_skew_report_sql("duck"),
+    tags=("quality", "skew", "diagnostics"),
+    doc="Shuffle-key skew diagnosis — the report you run BEFORE a big "
+    "join/agg on a 100 TB table to decide whether the key needs "
+    "salting. One partial+final count per key (map-side combine makes "
+    "the shuffle linear in distinct keys, not rows), then a 1-row "
+    "stats fold and a top-5 hottest-key window over the tiny per-key "
+    "table. skew_ratio = max/mean is exactly the multiple by which the "
+    "hottest reducer exceeds the average at any partition count whose "
+    "hash spreads keys evenly; suggested_salt = ceil(ratio) is the "
+    "salting fan-out that levels it. p50/p99 of the count distribution "
+    "separate 'one pathological key' from 'heavy tail everywhere' "
+    "(different fixes: broadcast-isolate vs AQE skew split). Dialect "
+    "split: percentile vs quantile_cont (same interpolation on exact "
+    "BIGINT operands).",
+)
+
+
+sql_query(
+    "orders_scd2_status_intervals",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS d,
+             o_orderkey,
+             LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders WHERE o_custkey % 50 = 0
+    ),
+    changes AS (
+      SELECT o_custkey, status, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY d, o_orderkey) AS seq
+      FROM h WHERE prev IS NULL OR prev <> status
+    )
+    SELECT o_custkey, status,
+           CAST(d AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(d) OVER (
+             PARTITION BY o_custkey ORDER BY seq) AS TIMESTAMP)
+             AS valid_to,
+           CAST(LEAD(d) OVER (PARTITION BY o_custkey ORDER BY seq)
+                IS NULL AS BOOLEAN) AS is_current,
+           CAST(seq AS BIGINT) AS version_n
+    FROM changes
+    ORDER BY o_custkey, version_n
+    """,
+    tags=("events", "scd2", "dimension", "cdc"),
+    doc="Type-2 slowly-changing-dimension build from an append-only "
+    "history — the standard warehouse pattern for 'what was this "
+    "entity's state AT time t'. Consecutive same-state rows collapse "
+    "via one LAG pass (change detection), then LEAD converts change "
+    "points into [valid_from, valid_to) intervals with a NULL-open "
+    "current row. Both windows share ONE partitioning (o_custkey), so "
+    "the whole build is a single shuffle of the filtered history — at "
+    "100 TB the per-entity history is rarely more than a few KB, so "
+    "the window state stays in-memory per key. Deterministic under "
+    "same-day ties: every window orders by (date, o_orderkey) and the "
+    "interval sequencing uses the change's ROW_NUMBER, never the bare "
+    "date. DATE-typed outputs cast to TIMESTAMP (dialect repr). "
+    "Output bounded to the custkey%50 stratum, filtered BEFORE the "
+    "shuffle (predicate pushdown keeps the sample cheap at any scale).",
+)
+
+
+def _inverted_index_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT doc_id, word FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS word "
+            "WHERE word <> ''"
+        )
+        postings = (
+            "concat_ws(',', slice(array_sort(collect_set(doc_id)), 1, 8))"
+        )
+    else:
+        words = (
+            "SELECT doc_id, unnest(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS word FROM documents"
+        )
+        postings = (
+            "array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')"
+        )
+    return f"""
+    WITH words AS ({words}),
+    idx AS (
+      SELECT word,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             {postings} AS first_postings
+      FROM words WHERE word <> '' GROUP BY word
+    )
+    SELECT word, df, cf, first_postings
+    FROM idx
+    ORDER BY df DESC, word
+    LIMIT 100
+    """
+
+
+sql_query(
+    "text_inverted_index",
+    _inverted_index_sql("spark"),
+    oracle=_inverted_index_sql("duck"),
+    tags=("text", "retrieval", "index"),
+    doc="Inverted-index build (term -> document-frequency, collection-"
+    "frequency, posting-list prefix) — the retrieval-side data "
+    "structure behind decontamination and BM25-style search over a "
+    "training corpus. Tokenize is a map-only explode; the index is ONE "
+    "groupBy(word) shuffle where COUNT(DISTINCT doc_id) and COUNT(*) "
+    "partial-aggregate map-side. Posting lists are capped to the 8 "
+    "smallest doc_ids (array_sort/list_sort makes the prefix "
+    "deterministic) and serialized to a comma string so both engines "
+    "compare exactly; production would keep the full sorted array "
+    "bucketed by term. Output is the 100 highest-df terms with "
+    "deterministic (df DESC, word) tie-break. Dialect split: LATERAL "
+    "VIEW explode+split vs unnest+string_split_regex, and the two "
+    "engines' array-slice spellings.",
+)
