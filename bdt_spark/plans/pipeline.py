@@ -3482,3 +3482,281 @@ sql_query(
     "VIEW explode+split vs unnest+string_split_regex, and the two "
     "engines' array-slice spellings.",
 )
+
+
+def _trend_forecast_sql(dialect: str) -> str:
+    if dialect == "spark":
+        dayix = "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')"
+    else:
+        dayix = "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST({dayix} AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST({dayix} AS BIGINT)
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(MAX(x) AS BIGINT) AS last_x
+      FROM daily GROUP BY event_type
+    ),
+    coefs AS (
+      SELECT event_type, n, last_x,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n AS icept
+      FROM fit
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(slope, 6) AS slope_per_day,
+           ROUND(icept, 6) AS intercept,
+           ROUND(icept + slope * (last_x + 7), 6) AS forecast_plus7d
+    FROM coefs
+    ORDER BY event_type
+    """
+
+
+sql_query(
+    "events_linear_trend_forecast",
+    _trend_forecast_sql("spark"),
+    oracle=_trend_forecast_sql("duck"),
+    tags=("events", "timeseries", "regression", "forecast"),
+    doc="Per-key least-squares trend + linear forecast over the daily "
+    "event-count series — capacity-planning over the event stream "
+    "('at this growth, where is volume in a week?'). The normal "
+    "equations are assembled from INTEGER power sums (x = day index, "
+    "y = exact daily count, so sx/sy/sxy/sxx are all exact BIGINTs "
+    "whose map-side partial sums commute) — slope and intercept then "
+    "come from a handful of IEEE double divisions, bit-identical in "
+    "both engines with NO decimal pinning needed; engine regr_slope/"
+    "regr_intercept are deliberately avoided because their internal "
+    "accumulation order is unspecified. Two narrow shuffles: "
+    "(event_type, day) count, then per-event_type fold of 6 numbers. "
+    "At 100 TB the daily rollup is the only corpus-sized stage. "
+    "Dialect split: DATEDIFF argument order vs DATE_DIFF('day', ...).",
+)
+
+
+def _quantize_int8_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cells = (
+            "SELECT vec_id, pos + 1 AS dim1, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        # DuckDB cannot pass a column to lateral generate_series; the
+        # fixture embedding width is fixed (64), so the oracle unrolls a
+        # constant series and guards it against a width drift with the
+        # WHERE i <= len() clause.
+        cells = (
+            "SELECT vec_id, i AS dim1, CAST(embedding[i] AS DOUBLE) AS v "
+            "FROM embeddings, GENERATE_SERIES(1, 64) t(i) "
+            "WHERE i <= LEN(embedding)"
+        )
+    return f"""
+    WITH cells AS ({cells}),
+    ranges AS (
+      SELECT dim1, MIN(v) AS mn, MAX(v) AS mx,
+             (MAX(v) - MIN(v)) / 255.0 AS scale
+      FROM cells GROUP BY dim1
+    ),
+    quant AS (
+      SELECT c.vec_id, c.dim1, c.v, r.scale,
+             FLOOR((c.v - r.mn) / r.scale + 0.5) - 128 AS q,
+             ABS(c.v - (r.mn + (FLOOR((c.v - r.mn) / r.scale + 0.5))
+                               * r.scale)) AS abs_err
+      FROM cells c JOIN ranges r ON c.dim1 = r.dim1
+    )
+    SELECT q.dim1,
+           ROUND(MIN(q.v), 8) AS dim_min,
+           ROUND(MAX(q.v), 8) AS dim_max,
+           ROUND(MAX(q.scale), 10) AS scale,
+           CAST(MIN(q.q) AS BIGINT) AS q_min,
+           CAST(MAX(q.q) AS BIGINT) AS q_max,
+           ROUND(CAST(SUM(CAST(q.abs_err AS DECIMAL(25,14)))
+                      AS DOUBLE) / COUNT(*), 10) AS mean_abs_err,
+           CAST(MAX(q.abs_err) <= MAX(q.scale) * 0.5000001 AS BOOLEAN)
+             AS within_half_step
+    FROM quant q
+    WHERE q.dim1 <= 8
+    GROUP BY q.dim1
+    ORDER BY q.dim1
+    """
+
+
+sql_query(
+    "embedding_quantize_int8",
+    _quantize_int8_sql("spark"),
+    oracle=_quantize_int8_sql("duck"),
+    tags=("embedding", "quantization", "compression"),
+    doc="Scalar int8 quantization of the embedding table — the 4x "
+    "memory/IO reduction that makes a 100 TB float32 vector corpus "
+    "servable (per-dim affine [min,max] -> 0..255, stored int8; the "
+    "standard pre-step before IVF/PQ indexes probe quantized codes "
+    "and re-rank survivors in float). Calibration (per-dim min/max) "
+    "is one partial-aggregated shuffle over exploded cells, linear in "
+    "corpus size; the quantize pass joins the 64-row range table back "
+    "broadcast. Rounding is spelled FLOOR(x + 0.5) in BOTH dialects "
+    "(engine round() half-rule conventions differ; floor on IEEE "
+    "doubles is bit-identical). Self-asserting within_half_step "
+    "proves every cell's reconstruction error <= scale/2 (the 1e-7 "
+    "slack covers the float32->double widening of mn). Per-dim "
+    "mean_abs_err decimal-pinned. Output: the first 8 dims' "
+    "calibration + error profile; q_min/q_max pin the int8 range "
+    "[-128, 127].",
+)
+
+
+_MG_K = 12
+
+_MG_ITEMS_SQL = """
+    SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+           CAST(user_id % (user_id % 31 + 1) AS BIGINT) AS item
+    FROM events
+"""
+
+# The merge/prune/assert tail is IDENTICAL in both dialects; only how the
+# per-shard summaries are produced differs (applyInPandas vs window SQL).
+_MG_TAIL_SQL = """
+    WITH merged AS (
+      SELECT item, CAST(SUM(est) AS BIGINT) AS m
+      FROM {summaries} WHERE item >= 0 GROUP BY item
+    ),
+    t2 AS (
+      SELECT COALESCE(MAX(CASE WHEN rk = {k1} THEN m END), 0) AS t
+      FROM (SELECT m, ROW_NUMBER() OVER (ORDER BY m DESC, item) AS rk
+            FROM merged) r
+    ),
+    survivors AS (
+      SELECT item, merged.m - t2.t AS est
+      FROM merged CROSS JOIN t2 WHERE merged.m - t2.t > 0
+    ),
+    err AS (
+      SELECT CAST((SELECT SUM(est) FROM {summaries} WHERE item = -1)
+                  + t2.t AS BIGINT) AS err_bound
+      FROM t2
+    ),
+    exact AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({items}) i GROUP BY item
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM exact),
+    heavy_miss AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hm
+      FROM exact CROSS JOIN tot
+      WHERE exact.c * {k1} > tot.n
+        AND item NOT IN (SELECT item FROM survivors)
+    )
+    SELECT s.item, CAST(s.est AS BIGINT) AS est_count,
+           x.c AS exact_count, e.err_bound,
+           CAST(s.est <= x.c AS BOOLEAN) AS lower_ok,
+           CAST(x.c <= s.est + e.err_bound AS BOOLEAN) AS upper_ok,
+           CAST(h.hm = 0 AS BOOLEAN) AS all_heavy_present
+    FROM survivors s
+    JOIN exact x ON s.item = x.item
+    CROSS JOIN err e CROSS JOIN heavy_miss h
+    ORDER BY est_count DESC, s.item
+"""
+
+
+def _mg_oracle_sql() -> str:
+    k, k1 = _MG_K, _MG_K + 1
+    summaries = f"""(
+      WITH counts AS (
+        SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ({_MG_ITEMS_SQL}) i GROUP BY shard, item
+      ),
+      ranked AS (
+        SELECT shard, item, c,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY c DESC, item) AS rk
+        FROM counts
+      ),
+      sh_t AS (
+        SELECT shard, COALESCE(MAX(CASE WHEN rk = {k1} THEN c END), 0) AS t
+        FROM ranked GROUP BY shard
+      )
+      SELECT c.shard, c.item, c.c - t.t AS est
+      FROM counts c JOIN sh_t t ON c.shard = t.shard
+      WHERE c.c - t.t > 0
+      UNION ALL
+      SELECT shard, CAST(-1 AS BIGINT) AS item, t AS est FROM sh_t
+    )"""
+    return _MG_TAIL_SQL.format(summaries=summaries, items=_MG_ITEMS_SQL, k1=k1)
+
+
+@query(
+    "agg_frequent_items_mergeable",
+    oracle=_mg_oracle_sql(),
+    tags=("agg", "approx", "sketch", "mergeable", "grouped-map"),
+    doc="Mergeable Misra-Gries frequent-items summaries — the bounded-"
+    "state heavy-hitter pattern for 100 TB streams: each shard reduces "
+    "its items to at most k=12 weighted counters (offline-canonical MG "
+    "prune: subtract the (k+1)-th largest count, keep positives — the "
+    "prune operation from Agarwal et al.'s Mergeable Summaries), only "
+    "those tiny summaries cross shard boundaries, and merging is "
+    "counter addition followed by one more prune. The shard pass runs "
+    "as applyInPandas with per-group state bounded by the DISTINCT "
+    "items of one shard's counts (never raw rows: the exact per-item "
+    "count feeding the prune is itself a partial-aggregated groupBy); "
+    "a sentinel row (item=-1) carries each shard's subtracted "
+    "threshold so the global error bound err <= sum(t_s) + t2 is "
+    "exact. EXACTLY oracled, not property-oracled: the prune is "
+    "deterministic integer arithmetic ((k+1)-th largest is a multiset "
+    "statistic, independent of tie order), so DuckDB reproduces the "
+    "identical summary via window SQL. Self-asserting columns pin the "
+    "MG guarantees cross-checked against exact counts: est <= true <= "
+    "est + err_bound, and every item above n/(k+1) survives. The item "
+    "key is integer-only zipf-ish skew (user_id % (user_id % 31 + 1)) "
+    "— no transcendental whose last-ulp could diverge across engines.",
+)
+def agg_frequent_items_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    load_fixture_tables(spark, sf_dir)
+    k, k1 = _MG_K, _MG_K + 1
+    items = spark.sql(_MG_ITEMS_SQL)
+
+    def mg_prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cnt = (
+            pdf.groupby("item").size().sort_values(ascending=False)
+        )
+        t = int(cnt.iloc[k]) if len(cnt) > k else 0
+        surv = cnt - t
+        surv = surv[surv > 0]
+        shard = int(pdf["shard"].iloc[0])
+        out = pd.DataFrame(
+            {
+                "shard": shard,
+                "item": surv.index.to_numpy(dtype="int64"),
+                "est": surv.to_numpy(dtype="int64"),
+            }
+        )
+        sentinel = pd.DataFrame({"shard": [shard], "item": [-1], "est": [t]})
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    summaries = items.groupBy("shard").applyInPandas(
+        mg_prune, "shard bigint, item bigint, est bigint"
+    )
+    # Materialize the summaries as a LOCAL relation: the tail SQL
+    # consumes them from several CTE branches, and an inlined CTE would
+    # re-run the whole shard pass per branch. Driver-size by
+    # construction — that is the entire point of a mergeable summary:
+    # <= shards x (k+1) rows (104 here; 130k even at 10k shards),
+    # regardless of corpus size.
+    rows = summaries.collect()
+    spark.createDataFrame(
+        rows, "shard bigint, item bigint, est bigint"
+    ).createOrReplaceTempView("mg_summaries")
+    return spark.sql(
+        _MG_TAIL_SQL.format(
+            summaries="mg_summaries", items=_MG_ITEMS_SQL, k1=k1
+        )
+    )

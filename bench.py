@@ -73,6 +73,9 @@ PIPELINE = [
     "text_idf_rarity_score",
     "text_tfidf_topk_similar",
     "text_naive_bayes_langid",
+    "text_inverted_index",
+    "agg_frequent_items_mergeable",
+    "embedding_quantize_int8",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
