@@ -3437,7 +3437,8 @@ def _inverted_index_sql(dialect: str) -> str:
             "WHERE word <> ''"
         )
         postings = (
-            "concat_ws(',', slice(array_sort(collect_set(doc_id)), 1, 8))"
+            "concat_ws(',', array_sort("
+            "collect_list(doc_id) FILTER (WHERE rn <= 8)))"
         )
     else:
         words = (
@@ -3445,16 +3446,34 @@ def _inverted_index_sql(dialect: str) -> str:
             "'[^a-z]+')) AS word FROM documents"
         )
         postings = (
-            "array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')"
+            "array_to_string(list_sort("
+            "list(doc_id) FILTER (WHERE rn <= 8)), ',')"
         )
+    # Aggregation state is BOUNDED: the naive collect_set(doc_id) +
+    # slice would buffer every posting of a stop-word in one aggregate
+    # buffer (millions of ids at corpus scale); here the (word, doc_id)
+    # dedup aggregate feeds a ROW_NUMBER that tags the 8 smallest
+    # doc_ids, and the final collect_list is FILTERed to those — at most
+    # 8 elements per word ever held, while the window sort itself is
+    # spillable. The window and the final GROUP BY share the word
+    # partitioning, so the rewrite costs no extra exchange.
     return f"""
     WITH words AS ({words}),
+    wd AS (
+      SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt_wd
+      FROM words WHERE word <> '' GROUP BY word, doc_id
+    ),
+    ranked AS (
+      SELECT word, doc_id, cnt_wd,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+      FROM wd
+    ),
     idx AS (
       SELECT word,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(cnt_wd) AS BIGINT) AS cf,
              {postings} AS first_postings
-      FROM words WHERE word <> '' GROUP BY word
+      FROM ranked GROUP BY word
     )
     SELECT word, df, cf, first_postings
     FROM idx
@@ -3471,16 +3490,18 @@ sql_query(
     doc="Inverted-index build (term -> document-frequency, collection-"
     "frequency, posting-list prefix) — the retrieval-side data "
     "structure behind decontamination and BM25-style search over a "
-    "training corpus. Tokenize is a map-only explode; the index is ONE "
-    "groupBy(word) shuffle where COUNT(DISTINCT doc_id) and COUNT(*) "
-    "partial-aggregate map-side. Posting lists are capped to the 8 "
-    "smallest doc_ids (array_sort/list_sort makes the prefix "
-    "deterministic) and serialized to a comma string so both engines "
-    "compare exactly; production would keep the full sorted array "
-    "bucketed by term. Output is the 100 highest-df terms with "
+    "training corpus. Tokenize is a map-only explode; a (word, doc_id) "
+    "dedup aggregate (partial map-side) feeds one word-partitioned "
+    "stage where df/cf fold and a ROW_NUMBER window caps the posting "
+    "prefix to the 8 smallest doc_ids with BOUNDED aggregation state "
+    "(a collect_set-then-slice would buffer a stop-word's millions of "
+    "postings in one aggregate buffer; the FILTERed collect_list never "
+    "holds more than 8). Prefixes serialize to a comma string so both "
+    "engines compare exactly; production would keep the full sorted "
+    "array bucketed by term. Output is the 100 highest-df terms with "
     "deterministic (df DESC, word) tie-break. Dialect split: LATERAL "
     "VIEW explode+split vs unnest+string_split_regex, and the two "
-    "engines' array-slice spellings.",
+    "engines' filtered list-aggregate spellings.",
 )
 
 
