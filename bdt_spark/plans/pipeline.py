@@ -3781,3 +3781,170 @@ def agg_frequent_items_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             summaries="mg_summaries", items=_MG_ITEMS_SQL, k1=k1
         )
     )
+
+
+_BLOOM_WORDS = 65536  # 32-bit words -> 2,097,152-bit filter
+
+
+def _bloom_semi_join_sql(dialect: str) -> str:
+    nb = _BLOOM_WORDS * 32
+    if dialect == "spark":
+        def lane(col: str, lo: int) -> str:
+            return (
+                f"CAST(CONV(SUBSTR(md5(CAST({col} AS STRING)), {lo}, 8), "
+                f"16, 10) AS BIGINT) % {nb}"
+            )
+
+        wdiv = "DIV"
+        mask = "SHIFTLEFT(CAST(1 AS BIGINT), CAST({b} AS INT))"
+    else:
+        def lane(col: str, lo: int) -> str:
+            return (
+                f"CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), {lo}, 8) "
+                f"AS BIGINT) % {nb}"
+            )
+
+        wdiv = "//"
+        mask = "(CAST(1 AS BIGINT) << CAST({b} AS INT))"
+    def wb(col: str, lo: int, pfx: str) -> str:
+        p = lane(col, lo)
+        return (
+            f"CAST(({p}) {wdiv} 32 AS BIGINT) AS {pfx}w, "
+            f"CAST(({p}) % 32 AS INT) AS {pfx}b"
+        )
+
+    return f"""
+    WITH build_keys AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    ),
+    build_bits AS (
+      SELECT {wb('k', 1, 'h1')}, {wb('k', 9, 'h2')}, {wb('k', 17, 'h3')}
+      FROM build_keys
+    ),
+    bloom AS (
+      SELECT w, CAST(BIT_OR(m) AS BIGINT) AS word FROM (
+        SELECT h1w AS w, {mask.format(b='h1b')} AS m FROM build_bits
+        UNION ALL
+        SELECT h2w AS w, {mask.format(b='h2b')} AS m FROM build_bits
+        UNION ALL
+        SELECT h3w AS w, {mask.format(b='h3b')} AS m FROM build_bits
+      ) bits GROUP BY w
+    ),
+    probe AS (
+      SELECT DISTINCT l_orderkey AS pk FROM lineitem
+    ),
+    probe_bits AS (
+      SELECT pk, {wb('pk', 1, 'h1')}, {wb('pk', 9, 'h2')}, {wb('pk', 17, 'h3')}
+      FROM probe
+    ),
+    candidates AS (
+      SELECT p.pk
+      FROM probe_bits p
+      JOIN bloom g1 ON g1.w = p.h1w
+                    AND (g1.word & {mask.format(b='p.h1b')}) <> 0
+      JOIN bloom g2 ON g2.w = p.h2w
+                    AND (g2.word & {mask.format(b='p.h2b')}) <> 0
+      JOIN bloom g3 ON g3.w = p.h3w
+                    AND (g3.word & {mask.format(b='p.h3b')}) <> 0
+    ),
+    truth AS (
+      SELECT p.pk FROM probe p
+      WHERE EXISTS (SELECT 1 FROM build_keys b WHERE b.k = p.pk)
+    ),
+    counts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM build_keys) AS n_build_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM candidates) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+         WHERE t.pk NOT IN (SELECT pk FROM candidates)) AS n_missed
+    )
+    SELECT n_build_keys, n_probe_keys, n_candidates, n_true,
+           n_candidates - n_true AS n_false_pos,
+           ROUND(CAST(n_candidates - n_true AS DOUBLE)
+                 / (n_probe_keys - n_true), 8) AS fpr,
+           CAST(n_missed = 0 AS BOOLEAN) AS no_false_negatives,
+           CAST(CAST(n_candidates - n_true AS DOUBLE)
+                / (n_probe_keys - n_true) < 0.05 AS BOOLEAN) AS fpr_ok,
+           ROUND({nb} / CAST(n_build_keys AS DOUBLE), 2) AS bits_per_key
+    FROM counts
+    """
+
+
+sql_query(
+    "join_bloom_filter_pruning",
+    _bloom_semi_join_sql("spark"),
+    oracle=_bloom_semi_join_sql("duck"),
+    tags=("join", "bloom", "runtime-filter", "pruning"),
+    doc="Bloom-filter semi-join pruning built IN SQL and measured against "
+    "the exact semi-join — the runtime-filter pattern that turns a "
+    "100 TB fact-scan x selective-dim join into 'ship a 256 KB bitmap "
+    "to every task, drop non-candidates before the shuffle'. The "
+    "filter is a TABLE of 65536 32-bit words (bit 31 max keeps every "
+    "shifted mask positive — no BIGINT overflow in either engine): "
+    "build keys fan out to 3 md5 lanes (the same 8-hex-char lane "
+    "convention as MinHash), BIT_OR folds them per word, and the probe "
+    "side re-derives its 3 (word, bit) coordinates and survives only "
+    "if all three broadcast joins find their bit set. Self-asserting: "
+    "no_false_negatives MUST be true (Bloom guarantee — a dropped true "
+    "match would be a correctness bug, not a tuning miss), fpr_ok pins "
+    "the measured false-positive rate under 5% (2M bits vs ~45k keys "
+    "even at sf10 -> theoretical fpr ~2e-4), and the exact fpr value "
+    "hash-matches cross-engine because the whole filter is "
+    "deterministic integer arithmetic. Dialect split: CONV vs '0x' "
+    "cast for hex lanes, DIV vs //, SHIFTLEFT vs <<.",
+)
+
+
+def _anomaly_mad_sql(dialect: str) -> str:
+    med = "PERCENTILE({}, 0.5)" if dialect == "spark" else "QUANTILE_CONT({}, 0.5)"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type, CAST({med.format('cnt')} AS DOUBLE) AS med
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type,
+             CAST({med.format('ABS(d.cnt - m.med)')} AS DOUBLE) AS mad
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, CAST(d.d AS TIMESTAMP) AS day_ts, d.cnt,
+           m.med, a.mad,
+           ROUND((d.cnt - m.med) / (1.4826 * a.mad), 6) AS robust_z,
+           CAST(ABS(d.cnt - m.med) > 3 * 1.4826 * a.mad AS BOOLEAN)
+             AS is_anomaly
+    FROM daily d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    ORDER BY d.event_type, day_ts
+    """
+
+
+sql_query(
+    "events_anomaly_robust_zscore",
+    _anomaly_mad_sql("spark"),
+    oracle=_anomaly_mad_sql("duck"),
+    tags=("events", "timeseries", "anomaly", "robust-stats"),
+    doc="Robust anomaly scoring of the daily event-volume series — "
+    "median/MAD instead of mean/stddev, so a single spiky day cannot "
+    "poison its own detection threshold (the classic failure of "
+    "3-sigma on operational series). Three passes over the tiny daily "
+    "rollup (the ONLY corpus-sized stage is the first day-count "
+    "aggregate, partial map-side): per-key median, then median of "
+    "absolute deviations, then the scored join — at 100 TB the daily "
+    "table is keys x days rows, so the percentile folds are "
+    "negligible. robust_z = (x - med) / (1.4826 * MAD) is the "
+    "consistency-scaled score (1.4826 makes MAD sigma-consistent "
+    "under normality); |z| > 3 flags. Exact cross-engine: counts are "
+    "BIGINTs, both engines' percentile/quantile_cont use the same "
+    "linear interpolation, and the scoring arithmetic is IEEE-"
+    "deterministic. Dialect split: PERCENTILE vs QUANTILE_CONT.",
+)

@@ -76,6 +76,7 @@ PIPELINE = [
     "text_inverted_index",
     "agg_frequent_items_mergeable",
     "embedding_quantize_int8",
+    "join_bloom_filter_pruning",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
