@@ -209,3 +209,39 @@ def test_q5_customer_semi_reduced_before_facts(spark, sf_dir):
     ][0]
     assert "c_nationkey" in cust_schema
     assert "c_acctbal" not in cust_schema and "c_mktsegment" not in cust_schema
+
+
+def test_bloom_probe_joins_are_broadcast(spark, sf_dir):
+    """join_bloom_filter_pruning: the 65536-word filter table must ride
+    BROADCAST joins into the probe side (the entire point of a runtime
+    filter — the probe never shuffles to meet the bitmap), and nothing
+    may degrade to a cartesian."""
+    text = _plan(spark, sf_dir, "join_bloom_filter_pruning", mode="simple")
+    assert text.count("BroadcastHashJoin") >= 3, text
+    assert "CartesianProduct" not in text
+
+
+def test_inverted_index_state_is_bounded(spark, sf_dir):
+    """text_inverted_index: the posting prefix must come from the
+    FILTERed collect_list (<=8 elements per aggregation buffer), never
+    from a collect_set over all postings (unbounded for a stop-word at
+    corpus scale); and the single-distinct rewrite keeps Expand out."""
+    text = _plan(spark, sf_dir, "text_inverted_index", mode="simple")
+    assert "collect_set" not in text, text
+    assert "Expand" not in text, text
+    assert "collect_list" in text, text
+
+
+def test_mg_summaries_merge_from_local_relation(spark, sf_dir):
+    """agg_frequent_items_mergeable: the shard pass is Arrow-batched
+    (FlatMapGroupsInPandas), and the merge tail consumes the collected
+    summaries as a LOCAL relation — re-running the shard pass once per
+    CTE branch would scan the corpus 3-4x."""
+    import bdt_spark.plans as plans
+
+    df = plans.get_query("agg_frequent_items_mergeable").fn(spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in text, (
+        "merge tail must not re-run the shard pass"
+    )
+    assert "LocalTableScan" in text or "Scan ExistingRDD" in text, text
