@@ -3948,3 +3948,242 @@ sql_query(
     "linear interpolation, and the scoring arithmetic is IEEE-"
     "deterministic. Dialect split: PERCENTILE vs QUANTILE_CONT.",
 )
+
+
+def _twap_sql(dialect: str) -> str:
+    if dialect == "spark":
+        secs = "CAST(UNIX_MICROS(nxt) - UNIX_MICROS(ts) AS BIGINT) / 1000000.0"
+    else:
+        secs = "CAST(DATE_DIFF('microsecond', ts, nxt) AS BIGINT) / 1000000.0"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+      SELECT user_id, value, {secs} AS dt
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS DECIMAL(20,6))) AS DOUBLE), 6)
+             AS twap,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS plain_avg
+    FROM weighted
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5
+    ORDER BY user_id
+    LIMIT 200
+    """
+
+
+sql_query(
+    "events_time_weighted_average",
+    _twap_sql("spark"),
+    oracle=_twap_sql("duck"),
+    tags=("events", "timeseries", "twap"),
+    doc="Time-weighted average of an irregularly-sampled per-entity "
+    "series — the correct 'average state over the period' when "
+    "observations arrive unevenly (a plain AVG over-weights bursty "
+    "stretches; TWAP holds each value for the interval until the next "
+    "observation, the finance/metering convention). One LEAD window "
+    "per user (single shuffle, state = one row), then a per-user fold. "
+    "Interval lengths are derived from MICROSECOND integer epoch "
+    "diffs — exact BIGINTs in both engines (UNIX_MICROS vs "
+    "DATE_DIFF('microsecond')) divided by 1e6, so dt is "
+    "IEEE-identical; both weighted sums decimal-pinned. plain_avg "
+    "sits alongside to show the bias TWAP corrects.",
+)
+
+
+sql_query(
+    "events_daily_growth_accounting",
+    """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(d) AS first_d FROM user_days GROUP BY user_id
+    ),
+    daily AS (
+      SELECT ud.d,
+             CAST(COUNT(*) AS BIGINT) AS dau,
+             CAST(SUM(CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users
+      FROM user_days ud JOIN first_seen fs ON ud.user_id = fs.user_id
+      GROUP BY ud.d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day_ts, dau, new_users,
+           dau - new_users AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    ORDER BY day_ts
+    """,
+    tags=("events", "growth", "retention"),
+    doc="Growth accounting over the event stream: DAU split into new "
+    "vs returning, plus the cumulative distinct-user curve — computed "
+    "EXACTLY without any running-distinct state: a user contributes "
+    "'new' only on MIN(day), so the cumulative distinct count is just "
+    "a running SUM of new_users (the first-touch decomposition). "
+    "Shuffle profile: distinct (user, day) partial-aggregates "
+    "map-side (per-user event volume never inflates it), first-seen "
+    "is a per-user MIN on the SAME key so AQE co-locates, and the "
+    "final window runs over days-only rows (30 here; ~3650 for a "
+    "decade — always tiny). Common-subset SQL; DATE cast to "
+    "TIMESTAMP for cross-engine repr.",
+)
+
+
+def _pmi_lift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT DISTINCT doc_id, word FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS word "
+            "WHERE LENGTH(word) >= 3"
+        )
+    else:
+        words = (
+            "SELECT DISTINCT doc_id, word FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS word FROM documents) w "
+            "WHERE LENGTH(word) >= 3"
+        )
+    return f"""
+    WITH wd AS ({words}),
+    df AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM wd GROUP BY word
+    ),
+    mid AS (
+      SELECT wd.doc_id, wd.word, df.c
+      FROM wd JOIN df ON wd.word = df.word
+      WHERE df.c >= 5
+        AND df.c * 20 <= (SELECT COUNT(DISTINCT doc_id) * 19 FROM wd)
+    ),
+    capped AS (
+      SELECT doc_id, word, c FROM (
+        SELECT doc_id, word, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c, word) AS rn
+        FROM mid
+      ) r WHERE rn <= 64
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM wd),
+    pairs AS (
+      SELECT a.word AS word_a, b.word AS word_b,
+             CAST(MAX(a.c) AS BIGINT) AS c_a,
+             CAST(MAX(b.c) AS BIGINT) AS c_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY a.word, b.word
+      HAVING COUNT(*) >= 3
+    )
+    SELECT word_a, word_b, c_a, c_b, c_ab,
+           ROUND(CAST(n.n * c_ab AS DOUBLE) / (c_a * c_b), 6) AS lift
+    FROM pairs CROSS JOIN n
+    ORDER BY lift DESC, word_a, word_b
+    LIMIT 20
+    """
+
+
+sql_query(
+    "text_pmi_cooccurrence",
+    _pmi_lift_sql("spark"),
+    oracle=_pmi_lift_sql("duck"),
+    tags=("text", "collocation", "pmi"),
+    doc="Collocation mining: top word pairs by LIFT (the exp of PMI — "
+    "n*c_ab / (c_a*c_b), reported as the exact integer ratio instead "
+    "of its log so no transcendental can diverge in the last ulp "
+    "cross-engine). The pair join is the classic quadratic hazard, "
+    "BOUNDED the same way text_tfidf_topk_similar bounds its posting "
+    "lists, twice over: a RELATIVE df band (5 <= df <= 0.95n, spelled "
+    "in overflow-safe integer arithmetic) gates entry to the "
+    "doc-keyed self-join, and a hard per-doc cap (the 64 rarest "
+    "admitted words per doc, rarest-first so the informative tail "
+    "wins) bounds fan-out at <= 64^2 pairs per doc NO MATTER what "
+    "the vocabulary does — total pair volume is linear in corpus "
+    "size by construction, at any df distribution (the fixture's "
+    "~30-word near-universal vocabulary sails under the cap; a "
+    "natural corpus' stop-words get rank-dropped). Distinct (doc, word) "
+    "first so repeated mentions don't inflate support; MIN support 3 "
+    "prunes flukes before ranking. The df side-table joins in "
+    "broadcast-sized form at any corpus scale (mid-band vocabulary).",
+)
+
+
+def _profile_sql(dialect: str) -> str:
+    cols = [
+        ("o_orderkey", "CAST(o_orderkey AS STRING)"),
+        ("o_custkey", "CAST(o_custkey AS STRING)"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice",
+         "CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS STRING)"),
+        # via DATE: a tz-tagged parquet TIMESTAMP (the scaled fixtures
+        # surface as TIMESTAMPTZ in DuckDB) would stringify with a
+        # '+00' suffix on one engine only
+        ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+        ("o_orderpriority", "o_orderpriority"),
+    ]
+    if dialect == "spark":
+        args = ", ".join(f"'{n}', {e}" for n, e in cols)
+        long_form = (
+            f"SELECT col, val FROM orders "
+            f"LATERAL VIEW stack({len(cols)}, {args}) s AS col, val"
+        )
+    else:
+        legs = " UNION ALL ".join(
+            f"SELECT '{n}' AS col, {e.replace('AS STRING', 'AS VARCHAR')} "
+            f"AS val FROM orders"
+            for n, e in cols
+        )
+        long_form = legs
+    return f"""
+    WITH long_form AS ({long_form}),
+    base AS (
+      SELECT col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(val) AS BIGINT) AS n_filled,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             MIN(val) AS min_str, MAX(val) AS max_str
+      FROM long_form GROUP BY col
+    ),
+    vc AS (
+      SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY col
+                                ORDER BY COUNT(*) DESC, val) AS rk
+      FROM long_form WHERE val IS NOT NULL GROUP BY col, val
+    )
+    SELECT b.col, b.n_rows, b.n_rows - b.n_filled AS n_nulls,
+           b.n_distinct, b.min_str, b.max_str,
+           v.val AS top_value, v.c AS top_count
+    FROM base b JOIN vc v ON b.col = v.col AND v.rk = 1
+    ORDER BY b.col
+    """
+
+
+sql_query(
+    "catalog_table_profile",
+    _profile_sql("spark"),
+    oracle=_profile_sql("duck"),
+    tags=("catalog", "profiling", "quality"),
+    doc="One-pass column profiler (the stats panel behind a `schema`/"
+    "`describe` CLI: null count, distinct count, min/max, modal value) "
+    "in LONG form — stack/UNPIVOT the table to (column, value-as-"
+    "string) rows and profile all columns through ONE aggregation "
+    "pipeline instead of N per-column scans; a naive SELECT with six "
+    "COUNT(DISTINCT col_i) would plan a 6-way Expand (6x the scan "
+    "rows through the shuffle — the Expand hazard test_plans pins "
+    "elsewhere), while the long form shuffles each value exactly "
+    "once. Values stringify through engine-stable reprs (DECIMAL for "
+    "the double column, native for strings/ints/timestamps); min/max "
+    "are therefore lexicographic — documented profile semantics, "
+    "deterministic everywhere. Modal value tie-breaks (count DESC, "
+    "value ASC). Dialect split: stack() vs UNION ALL legs (DuckDB's "
+    "UNPIVOT types conflict across mixed columns).",
+)
