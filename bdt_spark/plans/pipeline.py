@@ -3668,22 +3668,25 @@ _MG_TAIL_SQL = """
       SELECT item, CAST(COUNT(*) AS BIGINT) AS c
       FROM ({items}) i GROUP BY item
     ),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM exact),
-    heavy_miss AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS hm
-      FROM exact CROSS JOIN tot
-      WHERE exact.c * {k1} > tot.n
-        AND item NOT IN (SELECT item FROM survivors)
+    scored AS (
+      SELECT e.item, e.c, s.est,
+             CAST(SUM(e.c) OVER () AS BIGINT) AS n
+      FROM exact e LEFT JOIN survivors s ON e.item = s.item
+    ),
+    final AS (
+      SELECT item, c, est, n,
+             CAST(SUM(CASE WHEN c * {k1} > n AND est IS NULL
+                           THEN 1 ELSE 0 END) OVER () AS BIGINT) AS hm
+      FROM scored
     )
-    SELECT s.item, CAST(s.est AS BIGINT) AS est_count,
-           x.c AS exact_count, e.err_bound,
-           CAST(s.est <= x.c AS BOOLEAN) AS lower_ok,
-           CAST(x.c <= s.est + e.err_bound AS BOOLEAN) AS upper_ok,
-           CAST(h.hm = 0 AS BOOLEAN) AS all_heavy_present
-    FROM survivors s
-    JOIN exact x ON s.item = x.item
-    CROSS JOIN err e CROSS JOIN heavy_miss h
-    ORDER BY est_count DESC, s.item
+    SELECT f.item, CAST(f.est AS BIGINT) AS est_count,
+           f.c AS exact_count, e.err_bound,
+           CAST(f.est <= f.c AS BOOLEAN) AS lower_ok,
+           CAST(f.c <= f.est + e.err_bound AS BOOLEAN) AS upper_ok,
+           CAST(f.hm = 0 AS BOOLEAN) AS all_heavy_present
+    FROM final f CROSS JOIN err e
+    WHERE f.est IS NOT NULL
+    ORDER BY est_count DESC, f.item
 """
 
 
@@ -3734,7 +3737,11 @@ def _mg_oracle_sql() -> str:
     "statistic, independent of tie order), so DuckDB reproduces the "
     "identical summary via window SQL. Self-asserting columns pin the "
     "MG guarantees cross-checked against exact counts: est <= true <= "
-    "est + err_bound, and every item above n/(k+1) survives. The item "
+    "est + err_bound, and every item above n/(k+1) survives — the "
+    "exact-count cross-check re-reads the corpus exactly ONCE (total "
+    "and heavy-miss fold into the per-item pass as global windows "
+    "over the <= |items|-row table, rather than per-CTE rescans). "
+    "The item "
     "key is integer-only zipf-ish skew (user_id % (user_id % 31 + 1)) "
     "— no transcendental whose last-ulp could diverge across engines.",
 )
