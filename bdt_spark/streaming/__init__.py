@@ -10,6 +10,7 @@ from bdt_spark.streaming.windows import (
     running_max_stream_to_parquet,
     sessionized_stream,
     stateful_running_max,
+    streaming_frequent_items,
     tumbling_counts_stream,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "tumbling_counts_stream",
     "sessionized_stream",
     "stateful_running_max",
+    "streaming_frequent_items",
     "running_max_stream_to_parquet",
     "merge_running_state",
     "read_running_state",

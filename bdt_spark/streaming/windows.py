@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -560,4 +561,83 @@ def dedup_stream_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("item", LongType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("ests", ArrayType(LongType())),
+        StructField("err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def streaming_frequent_items(events: DataFrame, k: int = 12) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters via applyInPandasWithState —
+    the incremental mirror of the batch `agg_frequent_items_mergeable`
+    query (plans/pipeline.py): per-shard state is AT MOST k weighted
+    counters plus one error scalar, regardless of how many micro-batches
+    or rows flow through. Each batch folds its exact item counts into
+    the counters and re-applies the canonical MG prune (subtract the
+    (k+1)-th largest, keep positives, accumulate the subtracted
+    threshold into `err`); the invariants the batch query asserts hold
+    across ANY batch boundary placement:
+
+        est(item) <= true_count(item) <= est(item) + err      (bounds)
+        true_count(item) > err  =>  item is in the summary     (coverage)
+
+    State is NoTimeout — bounded by the shard-key domain by design (the
+    whole point of the summary), not by time; see stateful_running_max
+    for why the timeout path is not wired on this build. Item/shard
+    derivation matches the batch query's integer-only expressions."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, ests, err, n_seen = state.get
+            counts = dict(zip(items, ests))
+        else:
+            counts, err, n_seen = {}, 0, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for v, c in pdf["item"].value_counts().items():
+                counts[int(v)] = counts.get(int(v), 0) + int(c)
+        if len(counts) > k:
+            t = sorted(counts.values(), reverse=True)[k]
+            counts = {i: c - t for i, c in counts.items() if c - t > 0}
+            err += t
+        state.update(
+            (list(counts.keys()), list(counts.values()), err, n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": int(key[0]),
+                "item": list(counts.keys()),
+                "est": list(counts.values()),
+                "err": err,
+                "n_seen": n_seen,
+            }
+        )
+
+    items = events.selectExpr(
+        "CAST(user_id % 8 AS BIGINT) AS shard",
+        "CAST(user_id % (user_id % 31 + 1) AS BIGINT) AS item",
+    )
+    return items.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

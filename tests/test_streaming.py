@@ -479,3 +479,67 @@ def test_state_table_markers_off_fallback(spark, sf_dir, tmp_path):
         assert got == expect
     finally:
         hconf.set(key, old)
+
+
+def test_streaming_frequent_items_mg_invariants(spark, sf_dir, tmp_path):
+    """Streaming Misra-Gries across REAL batch boundaries: split the
+    events fixture into 4 files (maxFilesPerTrigger=1 -> 4 micro-
+    batches), run the bounded-state operator, and assert the MG
+    invariants against exact batch counts — est <= true <= est + err
+    per surviving item, every item with true > err survives, and state
+    never holds more than k counters (+ threshold ties)."""
+    from bdt_spark.streaming.windows import streaming_frequent_items
+
+    pdf = _batch_events(spark, sf_dir).toPandas()
+    stream_dir = tmp_path / "mg_stream"
+    stream_dir.mkdir()
+    for i in range(4):
+        pdf.iloc[i::4].to_parquet(stream_dir / f"slice{i}.parquet")
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(str(stream_dir)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    got = run_to_memory(
+        spark, streaming_frequent_items(src), "t_mgfreq", output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("n_seen").desc())
+    final = (
+        got.withColumn(
+            "max_seen", F.max("n_seen").over(Window.partitionBy("shard"))
+        )
+        .filter("n_seen = max_seen")
+        .drop("max_seen")
+        .collect()
+    )
+    assert final, "stream emitted nothing"
+
+    exact_rows = (
+        spark.read.parquet(str(stream_dir))
+        .selectExpr(
+            "CAST(user_id % 8 AS BIGINT) AS shard",
+            "CAST(user_id % (user_id % 31 + 1) AS BIGINT) AS item",
+        )
+        .groupBy("shard", "item")
+        .count()
+        .collect()
+    )
+    exact = {(r.shard, r.item): r["count"] for r in exact_rows}
+
+    by_shard: dict = {}
+    for r in final:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        err = rows[0].err
+        summary = {r.item: r.est for r in rows}
+        # k counters + possible ties at the pruned threshold
+        assert len(summary) <= 12 + 8, (shard, len(summary))
+        for item, est in summary.items():
+            true = exact[(shard, item)]
+            assert est <= true <= est + err, (shard, item, est, true, err)
+        for (s, item), true in exact.items():
+            if s == shard and true > err:
+                assert item in summary, (shard, item, true, err)
