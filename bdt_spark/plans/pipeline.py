@@ -4194,3 +4194,83 @@ sql_query(
     "value ASC). Dialect split: stack() vs UNION ALL legs (DuckDB's "
     "UNPIVOT types conflict across mixed columns).",
 )
+
+
+_SCD2_CHANGES_SQL = """
+      SELECT o_custkey AS k, status, d AS ts, seq FROM (
+        SELECT o_custkey, status, d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, d
+                                  ORDER BY seq DESC) AS last_at_ts,
+               seq
+        FROM (
+          SELECT o_custkey, o_orderstatus AS status, o_orderdate AS d,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS seq,
+                 LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                   AS prev
+          FROM orders WHERE o_custkey % 50 = 0
+        ) h WHERE prev IS NULL OR prev <> status
+      ) c WHERE last_at_ts = 1
+"""
+
+_SCD2_PROBES_SQL = """
+      SELECT o.o_custkey AS k, l.l_shipdate AS ts, l.l_orderkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 50 = 0 AND l.l_linenumber = 1
+"""
+
+
+sql_query(
+    "orders_scd2_asof_lookup",
+    f"""
+    WITH changes AS ({_SCD2_CHANGES_SQL}),
+    probes AS ({_SCD2_PROBES_SQL}),
+    tagged AS (
+      SELECT k, ts, 0 AS side, seq, status,
+             CAST(NULL AS BIGINT) AS l_orderkey
+      FROM changes
+      UNION ALL
+      SELECT k, ts, 1 AS side, CAST(0 AS BIGINT) AS seq,
+             CAST(NULL AS STRING) AS status, l_orderkey
+      FROM probes
+    ),
+    carried AS (
+      SELECT k, ts, side, l_orderkey,
+             LAST_VALUE(status) IGNORE NULLS OVER (
+               PARTITION BY k ORDER BY ts, side, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS status_asof
+      FROM tagged
+    )
+    SELECT k AS o_custkey, l_orderkey, CAST(ts AS TIMESTAMP) AS ship_ts,
+           status_asof
+    FROM carried WHERE side = 1
+    ORDER BY o_custkey, l_orderkey
+    """,
+    oracle=f"""
+    WITH changes AS ({_SCD2_CHANGES_SQL}),
+    probes AS ({_SCD2_PROBES_SQL})
+    SELECT p.k AS o_custkey, p.l_orderkey, CAST(p.ts AS TIMESTAMP) AS ship_ts,
+           c.status AS status_asof
+    FROM probes p ASOF LEFT JOIN changes c
+      ON p.k = c.k AND p.ts >= c.ts
+    ORDER BY o_custkey, l_orderkey
+    """,
+    tags=("events", "scd2", "asof", "temporal-join"),
+    doc="Point-in-time lookup against the SCD2 dimension built by "
+    "orders_scd2_status_intervals: for each shipment, the customer's "
+    "status AS OF the ship date — the warehouse question SCD2 exists "
+    "to answer. Spark side is the union + carry-forward window (the "
+    "same sort-merge shape as operators/asof.py: one shuffle of "
+    "changes+probes on the key, one per-partition sort, state = one "
+    "carried value per key — no range join, no interval explosion); "
+    "the ORACLE deliberately uses DuckDB's NATIVE ASOF LEFT JOIN, so "
+    "two structurally different algorithms must agree row-for-row. "
+    "Same-day status flips collapse to the last change of the day "
+    "before the lookup (both engines see one change per (key, ts), "
+    "removing tie ambiguity); change rows sort before probe rows at "
+    "equal ts (ts >= semantics, matching ASOF's p.ts >= c.ts). "
+    "Probes pre-filtered to the custkey stratum and linenumber 1, "
+    "pushed below the orders join.",
+)
