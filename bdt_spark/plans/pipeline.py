@@ -3528,11 +3528,15 @@ def _trend_forecast_sql(dialect: str) -> str:
     ),
     coefs AS (
       SELECT event_type, n, last_x,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-             (CAST(sy AS DOUBLE)
-              - CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n AS icept
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+             END AS slope,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE (CAST(sy AS DOUBLE)
+                        - CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+             END AS icept
       FROM fit
     )
     SELECT event_type, n AS n_days,
@@ -3925,9 +3929,13 @@ def _anomaly_mad_sql(dialect: str) -> str:
     )
     SELECT d.event_type, CAST(d.d AS TIMESTAMP) AS day_ts, d.cnt,
            m.med, a.mad,
-           ROUND((d.cnt - m.med) / (1.4826 * a.mad), 6) AS robust_z,
-           CAST(ABS(d.cnt - m.med) > 3 * 1.4826 * a.mad AS BOOLEAN)
-             AS is_anomaly
+           CASE WHEN a.mad = 0 THEN NULL
+                ELSE ROUND((d.cnt - m.med) / (1.4826 * a.mad), 6)
+           END AS robust_z,
+           CASE WHEN a.mad = 0 THEN CAST(NULL AS BOOLEAN)
+                ELSE CAST(ABS(d.cnt - m.med) > 3 * 1.4826 * a.mad
+                          AS BOOLEAN)
+           END AS is_anomaly
     FROM daily d
     JOIN med m ON d.event_type = m.event_type
     JOIN mad a ON d.event_type = a.event_type
@@ -3975,9 +3983,11 @@ def _twap_sql(dialect: str) -> str:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
-           ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(30,10))) AS DOUBLE)
-                 / CAST(SUM(CAST(dt AS DECIMAL(20,6))) AS DOUBLE), 6)
-             AS twap,
+           CASE WHEN SUM(CAST(dt AS DECIMAL(20,6))) = 0 THEN NULL
+                ELSE ROUND(
+                  CAST(SUM(CAST(value * dt AS DECIMAL(30,10))) AS DOUBLE)
+                  / CAST(SUM(CAST(dt AS DECIMAL(20,6))) AS DOUBLE), 6)
+           END AS twap,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
                  / COUNT(*), 6) AS plain_avg
     FROM weighted
@@ -4066,11 +4076,11 @@ def _pmi_lift_sql(dialect: str) -> str:
       SELECT word, CAST(COUNT(*) AS BIGINT) AS c
       FROM wd GROUP BY word
     ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM wd),
     mid AS (
       SELECT wd.doc_id, wd.word, df.c
-      FROM wd JOIN df ON wd.word = df.word
-      WHERE df.c >= 5
-        AND df.c * 20 <= (SELECT COUNT(DISTINCT doc_id) * 19 FROM wd)
+      FROM wd JOIN df ON wd.word = df.word CROSS JOIN n
+      WHERE df.c >= 5 AND df.c * 20 <= n.n * 19
     ),
     capped AS (
       SELECT doc_id, word, c FROM (
@@ -4080,7 +4090,6 @@ def _pmi_lift_sql(dialect: str) -> str:
         FROM mid
       ) r WHERE rn <= 64
     ),
-    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM wd),
     pairs AS (
       SELECT a.word AS word_a, b.word AS word_b,
              CAST(MAX(a.c) AS BIGINT) AS c_a,

@@ -620,11 +620,16 @@ def streaming_frequent_items(events: DataFrame, k: int = 12) -> DataFrame:
         state.update(
             (list(counts.keys()), list(counts.values()), err, n_seen)
         )
+        # item=-1 sentinel (same convention as the batch query's summary
+        # rows): err/n_seen must reach the sink even when the prune
+        # empties the counters (13+ equal-count items -> t equals every
+        # count, counts = {}), otherwise an empty-but-valid summary
+        # emits nothing and downstream reads a stale smaller err.
         yield pd.DataFrame(
             {
                 "shard": int(key[0]),
-                "item": list(counts.keys()),
-                "est": list(counts.values()),
+                "item": list(counts.keys()) + [-1],
+                "est": list(counts.values()) + [0],
                 "err": err,
                 "n_seen": n_seen,
             }
