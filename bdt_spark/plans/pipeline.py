@@ -4283,3 +4283,131 @@ sql_query(
     "Probes pre-filtered to the custkey stratum and linenumber 1, "
     "pushed below the orders join.",
 )
+
+
+sql_query(
+    "features_quantile_binning",
+    """
+    WITH binned AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_in_bin
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("features", "binning", "quantile"),
+    doc="Equi-depth decile binning of a continuous feature — the "
+    "feature-engineering discretizer AND the boundary planner behind "
+    "repartitionByRange (the lo/hi fences of each bin are exactly the "
+    "range-partition split points that balance a skewed write). NTILE "
+    "over a TOTAL order (price, orderkey) is deterministic in both "
+    "engines down to the row — identical bin populations, not just "
+    "similar fences. The single global sort is the scale cost; a "
+    "production planner samples instead (as repartitionByRange "
+    "itself does) — this query IS the exact ground truth such "
+    "sampling approximates. Bin means decimal-pinned.",
+)
+
+
+def _time_grain_rollup_sql(dialect: str) -> str:
+    # Spark spells multi-grain GROUPING SETS over computed columns most
+    # robustly via pre-projected grain columns; both engines share that
+    # shape. DATE_TRUNC('week') is ISO-Monday in both.
+    return """
+    WITH g AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_g,
+             CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week_g,
+             CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month_g,
+             event_type, value
+      FROM events
+    )
+    SELECT CASE WHEN day_g IS NOT NULL THEN 'day'
+                WHEN week_g IS NOT NULL THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(day_g, week_g, month_g) AS bucket_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+             AS total_value
+    FROM g
+    GROUP BY GROUPING SETS ((day_g, event_type), (week_g, event_type),
+                            (month_g, event_type))
+    ORDER BY grain, bucket_ts, event_type
+    """
+
+
+sql_query(
+    "events_time_grain_rollup",
+    _time_grain_rollup_sql("spark"),
+    oracle=_time_grain_rollup_sql("duck"),
+    tags=("events", "timeseries", "rollup", "grouping-sets"),
+    doc="Multi-granularity time rollup in ONE pass — day, ISO-week and "
+    "month aggregates of the event stream via GROUPING SETS over "
+    "pre-projected grain columns, the warehouse pattern that feeds a "
+    "dashboard's zoom levels without three scans (Spark plans one "
+    "Expand x3 over the grain columns only — row width stays narrow "
+    "because the grains are projected before the aggregate, and the "
+    "explosion is 3x the DAILY rollup input, not 3x raw corpus "
+    "columns). Grain identified back from which grouping column is "
+    "non-NULL (all three grains are non-null expressions, so COALESCE "
+    "is unambiguous). Decimal-pinned sums; identical SQL both "
+    "engines; buckets already TIMESTAMP so no repr divergence.",
+)
+
+
+sql_query(
+    "pipeline_delete_propagation",
+    """
+    WITH tombstones AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 499 = 0
+    ),
+    affected AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS event_rows_hit,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_hit
+      FROM events e JOIN tombstones t ON e.user_id = t.user_id
+    ),
+    survivors AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_after,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_after
+      FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM tombstones t
+                        WHERE t.user_id = e.user_id)
+    ),
+    total AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_before FROM events
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked
+      FROM events e JOIN tombstones t ON e.user_id = t.user_id
+      WHERE NOT EXISTS (SELECT 1 FROM tombstones t2
+                        WHERE t2.user_id = e.user_id)
+    )
+    SELECT t.rows_before, a.event_rows_hit, a.users_hit,
+           s.rows_after, s.users_after,
+           CAST(t.rows_before = a.event_rows_hit + s.rows_after
+                AS BOOLEAN) AS partition_exact,
+           CAST(l.leaked = 0 AS BOOLEAN) AS no_leak
+    FROM total t CROSS JOIN affected a CROSS JOIN survivors s
+    CROSS JOIN leak l
+    """,
+    tags=("pipeline", "deletion", "compliance"),
+    doc="Right-to-be-forgotten propagation audit — the report a "
+    "deletion pipeline emits before and after applying a tombstone "
+    "list: rows/users hit, rows/users surviving the NOT EXISTS "
+    "anti-join (the null-safe delete semantics), and two "
+    "self-asserting invariants — hit + survivors partitions the table "
+    "EXACTLY (nothing dropped or double-counted) and the leak probe "
+    "(tombstoned rows that would survive) is structurally zero. At "
+    "100 TB the tombstone list broadcasts (it is always tiny relative "
+    "to the corpus) and the delete is one anti-join scan; with the "
+    "versioned-table writer (operators/versioned.py) the rewrite "
+    "commits atomically. All counts exact cross-engine.",
+)
