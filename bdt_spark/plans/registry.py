@@ -131,7 +131,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "nullops_fill_drop",
     "query_recursive_cte",
     "dedup_simhash",
-    "multimodal_decode_bmp",
+    "features_quantile_binning",
     "similarity_topk_bruteforce",
     "similarity_ivf_recall_curve",
     "text_quality_scores",
