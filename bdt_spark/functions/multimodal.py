@@ -510,3 +510,55 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, WAV_FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", IntegerType()),
+        StructField("gray_sum", LongType()),
+    ]
+)
+
+
+def phash_features(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels (2x2 grid).
+
+    Decodes each payload with the layout-only parser, grayscales
+    (r+g+b)//3 in exact integer arithmetic, maps pixel (x, y) to block
+    (x*2//w, y*2//h) and sets bit (by*2 + bx) when the block's mean
+    exceeds the image mean — compared as the cross-multiplication
+    block_sum * n_pixels > total_sum * block_count so no division ever
+    happens (bit-exact against the SQL oracle recomputing the same hash
+    from the source bytes). 2x2 (not a finer grid) because fixture
+    images go down to 4x3: every block is guaranteed non-empty."""
+    import numpy as np
+
+    from bdt_spark.functions.imagecodec import decode_image_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, px = decode_image_bytes(payload)
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                total = int(gray.sum())
+                npix = w * h
+                bx = np.arange(w) * 2 // w
+                by = np.arange(h) * 2 // h
+                phash = 0
+                for b_y in (0, 1):
+                    for b_x in (0, 1):
+                        blk = gray[np.ix_(by == b_y, bx == b_x)]
+                        if int(blk.sum()) * npix > total * blk.size:
+                            phash |= 1 << (b_y * 2 + b_x)
+                rows.append((int(doc_id), fmt, w, h, phash, total))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)

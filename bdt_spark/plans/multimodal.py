@@ -462,3 +462,105 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_energy(binary, chunk_bytes=CHUNK_BYTES).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 7 + 3 AS INT) AS height
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
+    ),
+    px AS (
+      SELECT doc_id, width, height, n, text,
+             CAST(unnest(range(0, width * height)) AS BIGINT) AS k
+      FROM dims
+    ),
+    gray AS (
+      SELECT doc_id, width, height, k,
+             CAST(k % width AS BIGINT) AS x,
+             CAST(k // width AS BIGINT) AS y,
+             (ascii(substr(text, CAST(k % n AS INT) + 1, 1))
+              + (ascii(substr(text, CAST(k % n AS INT) + 1, 1)) * 2) % 256
+              + (ascii(substr(text, CAST(k % n AS INT) + 1, 1)) + 73) % 256
+             ) // 3 AS g
+      FROM px
+    ),
+    blocks AS (
+      SELECT doc_id, width, height,
+             CAST(y * 2 // height AS INT) * 2
+               + CAST(x * 2 // width AS INT) AS bit_ix,
+             CAST(SUM(g) AS BIGINT) AS block_sum,
+             CAST(COUNT(*) AS BIGINT) AS block_cnt
+      FROM gray
+      GROUP BY doc_id, width, height,
+               CAST(y * 2 // height AS INT) * 2
+                 + CAST(x * 2 // width AS INT)
+    ),
+    hashes AS (
+      SELECT b.doc_id, b.width, b.height,
+             CAST(SUM(CASE WHEN b.block_sum * t.total_cnt
+                                > t.total_sum * b.block_cnt
+                           THEN 1 << b.bit_ix ELSE 0 END) AS INT) AS phash
+      FROM blocks b
+      JOIN (SELECT doc_id, CAST(SUM(block_sum) AS BIGINT) AS total_sum,
+                   CAST(SUM(block_cnt) AS BIGINT) AS total_cnt
+            FROM blocks GROUP BY doc_id) t
+        ON b.doc_id = t.doc_id
+      GROUP BY b.doc_id, b.width, b.height
+    )
+    SELECT width, height, phash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM hashes
+    GROUP BY width, height, phash
+    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, width, height, phash
+    LIMIT 200
+    """,
+    tags=("multimodal", "dedup", "phash", "mapInPandas"),
+    doc="Perceptual-hash image dedup over REAL decoded pixels: every doc "
+    "renders to an actual BMP/PPM (functions/imagecodec.py), the "
+    "2x2 average-hash is computed from the DECODED pixel array "
+    "executor-side (mapInPandas), and images bucket on "
+    "(width, height, phash) — the LSH-style candidate stage of image "
+    "dedup, with bucket SUMMARIES as output so result size is bounded "
+    "by distinct buckets (never pairs) at any corpus scale; a "
+    "production pipeline verifies within buckets exactly like "
+    "MinHash-LSH verifies its candidates. The hash is division-free "
+    "(block_sum * n_pixels > total_sum * block_count), so the SQL "
+    "oracle re-deriving every pixel from the source TEXT BYTES (the "
+    "encoder's k-th-byte formula, the same first-principles basis as "
+    "multimodal_decode_bmp) reproduces it bit-exactly — any layout "
+    "bug anywhere in encode -> parse -> grayscale -> grid flips a "
+    "bucket and fails the hash compare.",
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        encode_doc_images,
+        phash_features,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
+    hashes = phash_features(encode_doc_images(docs))
+    hashes.createOrReplaceTempView("phash_hashes")
+    return spark.sql(
+        """
+        SELECT width, height, phash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM phash_hashes
+        GROUP BY width, height, phash
+        HAVING COUNT(*) > 1
+        ORDER BY n_docs DESC, width, height, phash
+        LIMIT 200
+        """
+    )
