@@ -77,6 +77,9 @@ PIPELINE = [
     "agg_frequent_items_mergeable",
     "embedding_quantize_int8",
     "join_bloom_filter_pruning",
+    "multimodal_dedup_phash",
+    "text_pmi_cooccurrence",
+    "orders_scd2_asof_lookup",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
