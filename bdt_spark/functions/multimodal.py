@@ -562,3 +562,50 @@ def phash_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("fingerprint", IntegerType()),
+    ]
+)
+
+
+def wav_fingerprint(df: DataFrame) -> DataFrame:
+    """Temporal-energy audio fingerprint over REAL decoded WAV samples.
+
+    Decodes each RIFF/WAVE payload, splits the waveform into 4 temporal
+    quarters (sample k -> quarter k*4 // n), and sets bit q when the
+    quarter's energy sum(s^2) exceeds its share of the total — compared
+    by cross-multiplication (q_energy * n > total_energy * q_cnt, exact
+    BIGINTs: |s| <= 32512 so s^2 sums stay far under 2^63) so the SQL
+    oracle recomputing from the source bytes is bit-identical. The
+    audio analog of phash_features' average-hash."""
+    import numpy as np
+
+    from bdt_spark.functions.imagecodec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(payload)
+                s = samples.astype(np.int64)
+                n = len(s)
+                e = s * s
+                total = int(e.sum())
+                q_ix = np.arange(n) * 4 // n
+                fp = 0
+                for q in range(4):
+                    mask = q_ix == q
+                    if int(e[mask].sum()) * n > total * int(mask.sum()):
+                        fp |= 1 << q
+                rows.append((int(doc_id), int(rate), n, fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)

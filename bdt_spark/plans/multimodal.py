@@ -564,3 +564,99 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 200
         """
     )
+
+
+@query(
+    "multimodal_dedup_audio_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate
+      FROM documents
+      WHERE length(text) >= 1 AND length(text) = strlen(text)
+    ),
+    samp AS (
+      SELECT doc_id, sample_rate, n,
+             CAST(unnest(range(0, n)) AS BIGINT) AS k
+      FROM base
+    ),
+    energy AS (
+      SELECT s.doc_id, s.sample_rate, s.n,
+             CAST(s.k * 4 // s.n AS INT) AS q,
+             CAST(((ascii(substr(b.text, CAST(s.k AS INT) + 1, 1)) - 128)
+                   * 256) AS BIGINT)
+               * (((ascii(substr(b.text, CAST(s.k AS INT) + 1, 1)) - 128)
+                   * 256)) AS e
+      FROM samp s JOIN base b ON s.doc_id = b.doc_id
+    ),
+    quarters AS (
+      SELECT doc_id, sample_rate, n, q,
+             CAST(SUM(e) AS BIGINT) AS q_energy,
+             CAST(COUNT(*) AS BIGINT) AS q_cnt
+      FROM energy GROUP BY doc_id, sample_rate, n, q
+    ),
+    fps AS (
+      SELECT qs.doc_id, qs.sample_rate, qs.n,
+             CAST(SUM(CASE WHEN qs.q_energy * t.total_cnt
+                                > t.total_energy * qs.q_cnt
+                           THEN 1 << qs.q ELSE 0 END) AS INT) AS fingerprint
+      FROM quarters qs
+      JOIN (SELECT doc_id, CAST(SUM(q_energy) AS BIGINT) AS total_energy,
+                   CAST(SUM(q_cnt) AS BIGINT) AS total_cnt
+            FROM quarters GROUP BY doc_id) t
+        ON qs.doc_id = t.doc_id
+      GROUP BY qs.doc_id, qs.sample_rate, qs.n
+    )
+    SELECT sample_rate, fingerprint,
+           CAST(n // 64 AS BIGINT) AS len_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM fps
+    GROUP BY sample_rate, fingerprint, CAST(n // 64 AS BIGINT)
+    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, sample_rate, fingerprint, len_band
+    LIMIT 200
+    """,
+    tags=("multimodal", "dedup", "audio", "mapInPandas"),
+    doc="Audio dedup candidates by temporal-energy fingerprint over REAL "
+    "decoded RIFF/WAVE samples — the audio analog of "
+    "multimodal_dedup_phash: each doc renders to an actual PCM-16 WAV "
+    "(unknown-chunk skipping exercised on every 5th id), the decoded "
+    "waveform's 4 temporal quarters produce a 4-bit energy signature "
+    "via division-free cross-multiplication (exact BIGINTs), and "
+    "recordings bucket on (sample_rate, fingerprint, length band) with "
+    "bucket SUMMARIES as output (bounded by buckets, never pairs). "
+    "The oracle recomputes every sample from the source text bytes "
+    "(the encoder's (byte-128)*256 formula) — an encode, chunk-walk, "
+    "or sign-extension bug anywhere flips a bucket and fails the "
+    "hash compare.",
+)
+def multimodal_dedup_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bdt_spark.functions.multimodal import (
+        encode_doc_wavs,
+        wav_fingerprint,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    docs = t["documents"].filter(
+        "length(text) >= 1 AND length(text) = octet_length(text)"
+    )
+    fps = wav_fingerprint(encode_doc_wavs(docs))
+    fps.createOrReplaceTempView("audio_fps")
+    return spark.sql(
+        """
+        SELECT sample_rate, fingerprint,
+               CAST(n_samples DIV 64 AS BIGINT) AS len_band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM audio_fps
+        GROUP BY sample_rate, fingerprint, CAST(n_samples DIV 64 AS BIGINT)
+        HAVING COUNT(*) > 1
+        ORDER BY n_docs DESC, sample_rate, fingerprint, len_band
+        LIMIT 200
+        """
+    )
