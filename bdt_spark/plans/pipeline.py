@@ -4513,3 +4513,154 @@ sql_query(
     "AUC at scale partitions the window by key. Common-subset SQL, "
     "oracle is the same text.",
 )
+
+
+def _ewma_sql(dialect: str) -> str:
+    if dialect == "spark":
+        dayix = "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')"
+        shift = "SHIFTLEFT(CAST(1 AS BIGINT), CAST(15 - (a.x - b.x) AS INT))"
+    else:
+        dayix = "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))"
+        shift = "(CAST(1 AS BIGINT) << CAST(15 - (a.x - b.x) AS INT))"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST({dayix} AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST({dayix} AS BIGINT)
+    ),
+    weighted AS (
+      SELECT a.event_type, a.x, a.y AS raw,
+             CAST(SUM(b.y * {shift}) AS BIGINT) AS numer,
+             CAST(SUM({shift}) AS BIGINT) AS denom
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type
+       AND b.x BETWEEN a.x - 15 AND a.x
+      GROUP BY a.event_type, a.x, a.y
+    )
+    SELECT event_type, x AS day_index, raw,
+           ROUND(CAST(numer AS DOUBLE) / denom, 6) AS ewma
+    FROM weighted
+    ORDER BY event_type, day_index
+    """
+
+
+sql_query(
+    "events_ewma_smoothing",
+    _ewma_sql("spark"),
+    oracle=_ewma_sql("duck"),
+    tags=("events", "timeseries", "smoothing", "ewma"),
+    doc="Exponentially-weighted moving average (alpha = 1/2, 16-day "
+    "horizon) of the daily event series — the low-lag smoother behind "
+    "alerting baselines — computed EXACTLY: the geometric weights are "
+    "INTEGER powers of two (bit shifts, never POWER(): libm exp/ln "
+    "can be a ulp off a true power and engines disagree), so "
+    "numerator and the self-normalizing denominator (which also "
+    "handles series-start truncation correctly) are exact BIGINTs "
+    "down to one final IEEE division. The distance-dependent weight "
+    "makes this inexpressible as a plain window SUM; the banded "
+    "self-join runs on the DAILY rollup (keys x days rows — tiny at "
+    "any corpus scale; the corpus-sized stage is only the day-count "
+    "aggregate), bounded at 16 partners per row.",
+)
+
+
+sql_query(
+    "quality_split_drift_chi2",
+    """
+    WITH tagged AS (
+      SELECT o_orderpriority AS category,
+             CAST(o_orderkey % 2 AS INT) AS split
+      FROM orders
+    ),
+    cells AS (
+      SELECT category, split, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY category, split
+    ),
+    margins AS (
+      SELECT c.category, c.split, c.n,
+             CAST(SUM(c.n) OVER (PARTITION BY c.category) AS BIGINT)
+               AS cat_total,
+             CAST(SUM(c.n) OVER (PARTITION BY c.split) AS BIGINT)
+               AS split_total,
+             CAST(SUM(c.n) OVER () AS BIGINT) AS grand
+      FROM cells c
+    ),
+    terms AS (
+      SELECT category, split, n,
+             CAST(cat_total AS DOUBLE) * split_total / grand AS expected
+      FROM margins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT category) - 1 AS BIGINT) AS dof,
+           ROUND(CAST(SUM(CAST((n - expected) * (n - expected) / expected
+                               AS DECIMAL(30,12))) AS DOUBLE), 6)
+             AS chi2,
+           CAST(CAST(SUM(CAST((n - expected) * (n - expected) / expected
+                              AS DECIMAL(30,12))) AS DOUBLE)
+                < 15.09 AS BOOLEAN) AS no_drift_at_1pct
+    FROM terms
+    """,
+    tags=("quality", "drift", "statistics"),
+    doc="Train/test split drift check via the chi-square homogeneity "
+    "statistic — the pre-training gate that catches a broken split "
+    "(a hash-split must NOT correlate with any feature; here the "
+    "o_orderpriority distribution across an orderkey%2 split). "
+    "Contingency cells, margins and expected counts come from one "
+    "groupBy plus window margins (one pass over the tiny cell "
+    "table); chi2 terms are decimal-pinned before the fold so "
+    "accumulation order cannot flip the rounded value. "
+    "no_drift_at_1pct compares against the chi-square 99th "
+    "percentile at dof=4 (15.09, Wilson-Hilferty table value "
+    "inlined as a constant: a sound split stays under it; at 100 TB "
+    "the statistic's power grows with n, exactly what you want for "
+    "a contamination gate). Common-subset SQL, oracle is the same "
+    "text.",
+)
+
+
+def _mutual_knn_sql(dialect: str) -> str:
+    cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
+    return f"""
+    WITH v AS (
+      SELECT {hint}vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
+      FROM embeddings WHERE vec_id < 500
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos} DESC, b.vec_id) AS rk
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst, cos_raw FROM scored WHERE rk <= 3
+    )
+    SELECT k1.src AS vec_a, k1.dst AS vec_b,
+           ROUND(k1.cos_raw, 6) AS cos_sim
+    FROM knn k1 JOIN knn k2
+      ON k1.src = k2.dst AND k1.dst = k2.src
+    WHERE k1.src < k1.dst
+    ORDER BY vec_a, vec_b
+    """
+
+
+sql_query(
+    "similarity_mutual_knn_graph",
+    _mutual_knn_sql("spark"),
+    oracle=_mutual_knn_sql("duck"),
+    tags=("similarity", "knn-graph", "clustering"),
+    doc="MUTUAL k-nearest-neighbor graph (a edge exists only when each "
+    "endpoint ranks in the OTHER's top-3 by cosine) — the standard "
+    "noise-robust edge set for density clustering and dedup-cluster "
+    "seeding: one-directional kNN links a point into a foreign "
+    "cluster through a hub neighbor, mutuality prunes exactly those. "
+    "Per-node top-3 is a ranking window over the scored pairs; "
+    "mutuality is a self-join of the (already tiny, <= 3n rows) kNN "
+    "edge list on the reversed pair. The all-pairs scoring stage is "
+    "bounded to the vec_id < 500 slice (the whole sf0.01 corpus; a "
+    "fixed-size panel at larger sf) — the production-scale version "
+    "feeds these windows from the IVF/LSH candidate stages instead "
+    "of all-pairs, as similarity_topk_ivf demonstrates. Cosines "
+    "through the shared unrolled-chain dot (same IEEE order both "
+    "engines), ROUND(6) on output only.",
+)
