@@ -4664,3 +4664,103 @@ sql_query(
     "through the shared unrolled-chain dot (same IEEE order both "
     "engines), ROUND(6) on output only.",
 )
+
+
+def _prefix_filter_spark_sql() -> str:
+    sh = _spark_shingles()
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {sh} AS shingles
+      FROM documents WHERE doc_id < 2000
+    ),
+    tok AS (
+      SELECT doc_id, sh
+      FROM docs LATERAL VIEW explode(shingles) t AS sh
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY doc_id
+    ),
+    df AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY sh
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.sh, s.n,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.c, t.sh) AS rn
+      FROM tok t
+      JOIN df d ON t.sh = d.sh
+      JOIN sizes s ON t.doc_id = s.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, sh FROM ordered
+      WHERE rn <= n - (n + 1) DIV 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN tok t1 ON t1.doc_id = c.doc_a
+      JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 3 * i.i >= sa.n + sb.n
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _prefix_filter_oracle_sql() -> str:
+    sh = _duck_shingles()
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {sh} AS shingles
+      FROM documents WHERE doc_id < 2000
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS i,
+             CAST(len(a.shingles) AS BIGINT) AS na,
+             CAST(len(b.shingles) AS BIGINT) AS nb
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+    FROM pairs
+    WHERE 3 * i >= na + nb
+    ORDER BY doc_a, doc_b
+    """
+
+
+sql_query(
+    "dedup_prefix_filter_jaccard",
+    _prefix_filter_spark_sql(),
+    oracle=_prefix_filter_oracle_sql(),
+    tags=("dedup", "jaccard", "prefix-filter"),
+    doc="Set-similarity join by PREFIX FILTERING (the ppjoin/AllPairs "
+    "family, Xiao et al. / Bayardo et al. — public literature): for "
+    "Jaccard >= 0.5, two shingle sets MUST share a token within each "
+    "other's (n - ceil(n/2) + 1)-token prefix when tokens are ordered "
+    "rarest-first globally — so candidates come from an equi-join of "
+    "PREFIXES (short, rare-token lists that collide seldom) instead "
+    "of any all-pairs stage, then exact verification keeps true "
+    "matches. The threshold test is the integer identity 3i >= na+nb "
+    "(division-free). The ORACLE is the DIRECT all-pairs exact "
+    "Jaccard join — a structurally different algorithm — so a "
+    "hash-match PROVES the filter's completeness on this corpus "
+    "(dropping a true pair = instant mismatch), and the 6 fixture "
+    "near-dup pairs keep it non-vacuous. Both sides share the "
+    "doc_id < 2000 scope: the fixture's ~30-word vocabulary makes "
+    "shingle dfs atypically dense, so the demo bounds the corpus "
+    "the way dedup_ngram_jaccard does; on natural corpora prefix "
+    "dfs are sparse and the prefix join IS the scale path.",
+)
