@@ -4764,3 +4764,221 @@ sql_query(
     "the way dedup_ngram_jaccard does; on natural corpora prefix "
     "dfs are sparse and the prefix join IS the scale path.",
 )
+
+
+def _bpe_pairs_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = (
+            "SELECT word FROM documents "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS word "
+            "WHERE LENGTH(word) >= 2"
+        )
+        chars = (
+            "SELECT word, pos + 1 AS p, c FROM words "
+            "LATERAL VIEW posexplode(split(word, '')) t AS pos, c"
+        )
+    else:
+        words = (
+            "SELECT word FROM (SELECT unnest(string_split_regex("
+            "lower(text), '[^a-z]+')) AS word FROM documents) w "
+            "WHERE LENGTH(word) >= 2"
+        )
+        chars = (
+            "SELECT word, i AS p, word[i] AS c "
+            "FROM words, GENERATE_SERIES(1, 64) t(i) "
+            "WHERE i <= LENGTH(word)"
+        )
+    return f"""
+    WITH raw_words AS ({words}),
+    wfreq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS m
+      FROM raw_words GROUP BY word
+    ),
+    words AS (SELECT word FROM wfreq),
+    chars AS ({chars}),
+    adjacent AS (
+      SELECT a.c AS left_c, b.c AS right_c, w.m
+      FROM chars a
+      JOIN chars b ON a.word = b.word AND b.p = a.p + 1
+      JOIN wfreq w ON w.word = a.word
+    ),
+    pair_counts AS (
+      SELECT left_c, right_c, CAST(SUM(m) AS BIGINT) AS freq
+      FROM adjacent GROUP BY left_c, right_c
+    ),
+    tot AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS total_pairs FROM pair_counts
+    )
+    SELECT p.left_c, p.right_c, p.freq,
+           ROUND(CAST(p.freq AS DOUBLE) / t.total_pairs, 6) AS pair_share
+    FROM pair_counts p CROSS JOIN tot t
+    ORDER BY p.freq DESC, p.left_c, p.right_c
+    LIMIT 10
+    """
+
+
+sql_query(
+    "tokens_bpe_merge_candidates",
+    _bpe_pairs_sql("spark"),
+    oracle=_bpe_pairs_sql("duck"),
+    tags=("tokens", "bpe", "tokenizer"),
+    doc="The counting core of byte-pair-encoding tokenizer TRAINING: "
+    "the adjacent-symbol pair frequencies whose argmax is the next "
+    "BPE merge rule (Sennrich et al., public). Words collapse to "
+    "DISTINCT form with a multiplicity weight FIRST (the standard BPE "
+    "word-frequency table), so the positional adjacency self-join "
+    "runs over unique words only — (word, position) keys are unique, "
+    "the join is linear and immune to token-frequency skew ('the' x "
+    "100k never meets itself 100k^2 times); pair frequency is then "
+    "SUM(multiplicity), partial-aggregated. Full "
+    "iterative training repeats this argmax+substitute loop "
+    "driver-side over a shrinking symbol table; the corpus-sized "
+    "stage each round is exactly this query, so its shuffle profile "
+    "IS the trainer's. Top-10 with total-order tie-break; "
+    "pair_share's denominator folds in a broadcast 1-row leg. "
+    "Dialect split: posexplode+split('') vs generate_series indexing "
+    "(constant 64 unrolled, guarded by i <= LENGTH).",
+)
+
+
+sql_query(
+    "quality_split_drift_ks",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice AS v, CAST(o_orderkey % 2 AS INT) AS split
+      FROM orders
+    ),
+    pts AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2
+      FROM tagged GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+             CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+             CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2,
+             CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(d2) OVER () AS BIGINT) AS n2
+      FROM pts
+    ),
+    gaps AS (
+      SELECT n1, n2,
+             ABS(c1 * n2 - c2 * n1) AS gap_num
+      FROM cdf
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           ROUND(CAST(MAX(gap_num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 8)
+             AS ks_d,
+           CAST(CAST(MAX(gap_num) AS DOUBLE) / (MAX(n1) * MAX(n2))
+                < 1.628 * SQRT((MAX(n1) + MAX(n2))
+                               / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)))
+                AS BOOLEAN) AS no_drift_at_1pct
+    FROM gaps
+    """,
+    tags=("quality", "drift", "statistics", "ks-test"),
+    doc="Two-sample Kolmogorov-Smirnov drift check on a CONTINUOUS "
+    "feature across the hash split — the companion to the chi-square "
+    "gate (which needs categories): D = max |F1(x) - F2(x)|, computed "
+    "EXACTLY as integer cross-multiplied cumulative counts "
+    "(|c1*n2 - c2*n1|, no per-row divisions to accumulate error; one "
+    "final IEEE division). The CDFs come from per-value grouped "
+    "counts + ONE ordered window over distinct values (bounded by "
+    "distinct prices, not rows; evaluating D only at sample points "
+    "is exact — the CDF gap is constant between them). "
+    "no_drift_at_1pct uses the standard large-sample critical value "
+    "c(0.01)=1.628 (Smirnov asymptotic, public tables). A sound "
+    "orderkey%2 split must pass at any sf. Common-subset SQL.",
+)
+
+
+def _winnowing_sql(dialect: str) -> str:
+    # k = 8 char-gram, w = 4 window (guarantee: any shared run of
+    # >= w + k - 1 = 11 chars yields a shared fingerprint).
+    if dialect == "spark":
+        pos = (
+            "SELECT doc_id, text, p FROM documents "
+            "LATERAL VIEW explode(sequence(1, "
+            "GREATEST(LENGTH(text) - 7, 0))) t AS p "
+            "WHERE LENGTH(text) >= 8"
+        )
+        h = "CAST(CONV(SUBSTR(md5(SUBSTR(text, p, 8)), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        # DuckDB cannot take a column bound in lateral generate_series;
+        # unroll a constant upper bound (fixture max text length is 874)
+        # guarded by the WHERE.
+        pos = (
+            "SELECT doc_id, text, CAST(p AS BIGINT) AS p "
+            "FROM documents, GENERATE_SERIES(1, 1024) t(p) "
+            "WHERE LENGTH(text) >= 8 AND p <= LENGTH(text) - 7"
+        )
+        h = "CAST('0x' || SUBSTR(md5(SUBSTR(text, CAST(p AS INT), 8)), 1, 8) AS BIGINT)"
+    return f"""
+    WITH pos AS ({pos}),
+    grams AS (
+      SELECT doc_id, p, {h} AS h FROM pos
+    ),
+    spans AS (
+      SELECT doc_id, p,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS minh,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_grams
+      FROM grams
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, minh
+      FROM spans WHERE p <= n_grams - 3
+    ),
+    rare_fp AS (
+      SELECT doc_id, minh FROM (
+        SELECT doc_id, minh,
+               COUNT(*) OVER (PARTITION BY minh) AS fp_df
+        FROM fp
+      ) f WHERE fp_df <= 10
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM rare_fp a
+      JOIN rare_fp b ON b.minh = a.minh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM shared
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT 50
+    """
+
+
+sql_query(
+    "text_winnowing_fingerprints",
+    _winnowing_sql("spark"),
+    oracle=_winnowing_sql("duck"),
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+    doc="WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the "
+    "MOSS algorithm — public): hash every 8-char gram, slide a "
+    "4-position window, keep each window's MINIMUM hash — the "
+    "guarantee is that any shared substring of >= 11 chars yields a "
+    "shared fingerprint, while storage drops to ~2/(w+1) of the gram "
+    "stream. Selection by window-min of hash VALUES makes the "
+    "fingerprint set independent of tie-position conventions, so the "
+    "SQL oracle matches exactly (md5 lanes, the MinHash convention). "
+    "The cross-doc join goes through a RARE-fingerprint gate "
+    "(doc-frequency <= 10) — boilerplate grams that appear "
+    "everywhere never enter the pair join, the same linearity bound "
+    "as every other candidate stage in this repo; the gate is a "
+    "COUNT window over the minh partitioning (NOT a df side-table "
+    "join: at sf10 Catalyst mis-sized that table and tried to "
+    "broadcast tens of millions of hashes into the driver — the "
+    "window reuses the partitioning the self-join needs anyway). "
+    "Output: top "
+    "plagiarism-suspect pairs by shared fingerprint count (the "
+    "fixture's near-dup pairs dominate). Windows are per-doc "
+    "partitions (narrow shuffle on doc_id); grams never leave their "
+    "partition before the window min.",
+)
