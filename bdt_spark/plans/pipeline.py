@@ -4982,3 +4982,109 @@ sql_query(
     "partitions (narrow shuffle on doc_id); grams never leave their "
     "partition before the window min.",
 )
+
+
+sql_query(
+    "events_session_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type, event_id,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+               AS session_n
+      FROM seq
+    ),
+    entries AS (
+      SELECT user_id, session_n, event_type AS entry_channel
+      FROM (
+        SELECT user_id, session_n, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_n
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+      ) f WHERE rn = 1
+    )
+    SELECT e.entry_channel,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS converting_users,
+           CAST(COUNT(*) AS BIGINT) AS attributed_purchases,
+           CAST(COUNT(DISTINCT s.user_id || '#' || s.session_n)
+                AS BIGINT) AS converting_sessions
+    FROM sess s
+    JOIN entries e ON s.user_id = e.user_id
+                  AND s.session_n = e.session_n
+    WHERE s.event_type = 'purchase'
+    GROUP BY e.entry_channel
+    ORDER BY attributed_purchases DESC, entry_channel
+    """,
+    tags=("events", "attribution", "sessionization", "funnel"),
+    doc="First-touch session attribution: every purchase credits the "
+    "event_type that OPENED its session (30-minute inactivity "
+    "sessions via the lag/cumsum gaps-and-islands pattern, same "
+    "construction events_sessionize_gaps_islands pins) — the "
+    "marketing-analytics question 'which entry channel converts'. "
+    "All three windows and the entries join share ONE user_id "
+    "partitioning, so the whole attribution is a single shuffle of "
+    "the event stream plus per-key sorts. Deterministic under "
+    "same-timestamp ties (every ordering includes event_id). "
+    "Session identity for the distinct count is the composite "
+    "user#session string (exact, engine-portable). Common-subset "
+    "SQL, oracle is the same text.",
+)
+
+
+sql_query(
+    "orders_market_basket_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey,
+             CAST(l_partkey % 50 AS BIGINT) AS category
+      FROM lineitem
+    ),
+    cat_n AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS c
+      FROM basket GROUP BY category
+    ),
+    n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM basket
+    ),
+    pairs AS (
+      SELECT a.category AS cat_a, b.category AS cat_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.category < b.category
+      GROUP BY a.category, b.category
+      HAVING COUNT(*) >= 10
+    )
+    SELECT p.cat_a, p.cat_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+           ROUND(CAST(n.n_orders * p.c_ab AS DOUBLE)
+                 / (ca.c * cb.c), 6) AS lift,
+           ROUND(CAST(p.c_ab AS DOUBLE) / ca.c, 6) AS confidence_a_to_b
+    FROM pairs p
+    JOIN cat_n ca ON p.cat_a = ca.category
+    JOIN cat_n cb ON p.cat_b = cb.category
+    CROSS JOIN n
+    ORDER BY lift DESC, cat_a, cat_b
+    LIMIT 25
+    """,
+    tags=("join", "market-basket", "association-rules"),
+    doc="Market-basket association rules over order line items: "
+    "support, confidence and lift for category pairs bought "
+    "together (the Apriori 2-itemset pass, expressed as one "
+    "declarative plan). The basket self-join is bounded exactly "
+    "like the PMI query: items collapse to DISTINCT (order, "
+    "category) first, so per-order fan-out is capped by the "
+    "category vocabulary (50) independent of line-item count, and "
+    "total pair volume is linear in orders. Lift is the exact "
+    "integer ratio n*c_ab/(c_a*c_b); the category margins join "
+    "back broadcast-sized. Support floor (>= 10 orders) prunes "
+    "noise pre-ranking. Common-subset SQL, oracle is the same "
+    "text.",
+)
