@@ -5088,3 +5088,96 @@ sql_query(
     "noise pre-ranking. Common-subset SQL, oracle is the same "
     "text.",
 )
+
+
+sql_query(
+    "customer_rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                  AS DECIMAL(30,8)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                  THEN 'champion'
+                WHEN r_score = 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'promising'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("features", "rfm", "segmentation"),
+    doc="RFM (recency / frequency / monetary) customer segmentation — "
+    "the classic lifecycle-marketing scoring, as one declarative "
+    "plan: per-customer aggregates (one shuffle, partial map-side; "
+    "monetary decimal-pinned), then three NTILE(4) quartile scores "
+    "over TOTAL orders (each ordering tie-broken by custkey, so bin "
+    "populations are deterministic to the row — same guarantee as "
+    "features_quantile_binning), folded into the 64-cell RFM cube "
+    "with named segments. The three global sorts run over the "
+    "per-customer rollup (distinct customers, not orders) — at "
+    "100 TB that is the small table. Common-subset SQL.",
+)
+
+
+sql_query(
+    "lineitem_pareto_abc",
+    """
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
+                  AS DECIMAL(38,8)) AS cum_rev,
+             CAST(SUM(rev) OVER () AS DECIMAL(38,8)) AS total_rev
+      FROM part_rev
+    ),
+    classed AS (
+      SELECT l_partkey, rev,
+             CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS revenue_share
+    FROM (SELECT c.*, r.total_rev AS tot
+          FROM classed c CROSS JOIN (SELECT DISTINCT total_rev
+                                     FROM ranked) r) x
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("agg", "pareto", "abc-analysis"),
+    doc="Pareto / ABC inventory analysis: parts classified by "
+    "cumulative revenue share (A = first 80%, B = to 95%, C = tail) "
+    "— the 80/20 skew diagnosis that decides which join keys "
+    "deserve broadcast or salting treatment. The running share is "
+    "never computed as a per-row DOUBLE division: class boundaries "
+    "compare DECIMAL cumulative sums by integer-scaled "
+    "cross-multiplication (cum*10 <= total*8), exact in both "
+    "engines, so a part straddling the 80% line lands in the same "
+    "class everywhere. One shuffle for the per-part rollup "
+    "(decimal-pinned revenue), one ordered window over distinct "
+    "parts. Deterministic under revenue ties (partkey tie-break in "
+    "the cumulative ordering). Common-subset SQL.",
+)
