@@ -5181,3 +5181,113 @@ sql_query(
     "parts. Deterministic under revenue ties (partkey tie-break in "
     "the cumulative ordering). Common-subset SQL.",
 )
+
+
+def _centroid_drift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cells = (
+            "SELECT vec_id, label, pos + 1 AS dim1, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        cells = (
+            "SELECT vec_id, label, i AS dim1, "
+            "CAST(embedding[i] AS DOUBLE) AS v "
+            "FROM embeddings, GENERATE_SERIES(1, 64) t(i) "
+            "WHERE i <= LEN(embedding)"
+        )
+    return f"""
+    WITH cells AS ({cells}),
+    halves AS (
+      SELECT label, dim1, CAST(vec_id % 2 AS INT) AS split,
+             CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY label, dim1, CAST(vec_id % 2 AS INT)
+    ),
+    mu AS (
+      SELECT label, dim1,
+             MAX(CASE WHEN split = 0 THEN s / n END) AS m0,
+             MAX(CASE WHEN split = 1 THEN s / n END) AS m1
+      FROM halves GROUP BY label, dim1
+    ),
+    dist AS (
+      SELECT label,
+             CAST(SUM(CAST((m0 - m1) * (m0 - m1) AS DECIMAL(30,18)))
+                  AS DOUBLE) AS sq_l2
+      FROM mu GROUP BY label
+    )
+    SELECT label, ROUND(sq_l2, 10) AS centroid_sq_l2,
+           CAST(sq_l2 < 0.05 AS BOOLEAN) AS no_drift
+    FROM dist
+    ORDER BY label
+    """
+
+
+sql_query(
+    "embedding_centroid_drift",
+    _centroid_drift_sql("spark"),
+    oracle=_centroid_drift_sql("duck"),
+    tags=("embedding", "drift", "quality"),
+    doc="EMBEDDING drift check — the vector companion to the chi-square "
+    "(categorical) and KS (continuous scalar) split gates: per-label "
+    "centroid of each hash-split half, squared L2 distance between "
+    "the halves' centroids. A sound split gives near-zero distance "
+    "(sampling noise ~ 2*d*var/n); a drifted embedding version, a "
+    "re-normalization bug, or a split that correlates with content "
+    "shows up as a per-label distance jump. One (label, dim, split) "
+    "partial-aggregated shuffle over the exploded cells — linear in "
+    "corpus, the 64-row-per-label centroid table is free. Per-dim "
+    "means decimal-pinned, the squared-difference fold decimal-"
+    "pinned again (the values are ~1e-4; DECIMAL(30,18) keeps every "
+    "bit). The no_drift bound is loose by design (0.05 across sf "
+    "0.001-10; measured sf0.01 values sit at ~1e-3).",
+)
+
+
+def _ship_sla_sql(dialect: str) -> str:
+    if dialect == "spark":
+        lag = ("DATEDIFF(CAST(l.l_shipdate AS DATE), "
+               "CAST(o.o_orderdate AS DATE))")
+        p = "PERCENTILE(lag_days, ARRAY(0.5, 0.9, 0.99))"
+        idx = ["[0]", "[1]", "[2]"]
+    else:
+        lag = ("DATE_DIFF('day', CAST(o.o_orderdate AS DATE), "
+               "CAST(l.l_shipdate AS DATE))")
+        p = "QUANTILE_CONT(lag_days, [0.5, 0.9, 0.99])"
+        idx = ["[1]", "[2]", "[3]"]
+    return f"""
+    WITH lags AS (
+      SELECT l.l_returnflag AS flag,
+             CAST({lag} AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pct AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_items,
+             {p} AS q
+      FROM lags GROUP BY flag
+    )
+    SELECT flag, n_items,
+           CAST(q{idx[0]} AS DOUBLE) AS p50_days,
+           CAST(q{idx[1]} AS DOUBLE) AS p90_days,
+           CAST(q{idx[2]} AS DOUBLE) AS p99_days
+    FROM pct
+    ORDER BY flag
+    """
+
+
+sql_query(
+    "lineitem_shipping_sla_percentiles",
+    _ship_sla_sql("spark"),
+    oracle=_ship_sla_sql("duck"),
+    tags=("events", "sla", "percentiles", "latency"),
+    doc="Order-to-ship latency SLA percentiles per return-flag cohort "
+    "— the p50/p90/p99 latency report pattern, over the orders-"
+    "lineitem join. Day lags are exact BIGINTs (DATEDIFF of DATE "
+    "casts); both engines' percentile/quantile_cont interpolate "
+    "identically on exact integers, and the multi-quantile ARRAY "
+    "form computes all three in ONE sort per group instead of "
+    "three. The join shuffles on orderkey once; the percentile fold "
+    "runs per flag cohort. Dialect split: DATEDIFF arg order, "
+    "percentile spelling, and Spark 0-based vs DuckDB 1-based "
+    "array indexing.",
+)
