@@ -80,6 +80,9 @@ PIPELINE = [
     "multimodal_dedup_phash",
     "text_pmi_cooccurrence",
     "orders_scd2_asof_lookup",
+    "text_winnowing_fingerprints",
+    "tokens_bpe_merge_candidates",
+    "dedup_prefix_filter_jaccard",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
