@@ -39,6 +39,16 @@ AUDITED = [
     "agg_distinct_counts",
     "tokens_packing_efficiency",
     "similarity_ivf_recall_curve",
+    # round-9 operators
+    "join_bloom_filter_pruning",
+    "text_inverted_index",
+    "agg_frequent_items_mergeable",
+    "text_pmi_cooccurrence",
+    "dedup_prefix_filter_jaccard",
+    "text_winnowing_fingerprints",
+    "tokens_bpe_merge_candidates",
+    "multimodal_dedup_phash",
+    "orders_scd2_asof_lookup",
 ]
 
 
