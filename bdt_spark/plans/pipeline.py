@@ -5291,3 +5291,45 @@ sql_query(
     "percentile spelling, and Spark 0-based vs DuckDB 1-based "
     "array indexing.",
 )
+
+
+sql_query(
+    "orders_priority_mix_shift",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+             o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP),
+               o_orderpriority
+    ),
+    shares AS (
+      SELECT m, prio, n,
+             CAST(SUM(n) OVER (PARTITION BY m) AS BIGINT) AS m_total
+      FROM monthly
+    ),
+    deltas AS (
+      SELECT m, prio, n,
+             ROUND(CAST(n AS DOUBLE) / m_total, 6) AS share,
+             ROUND(CAST(n AS DOUBLE) / m_total
+                   - LAG(CAST(n AS DOUBLE) / m_total) OVER (
+                       PARTITION BY prio ORDER BY m), 6) AS share_mom_delta
+      FROM shares
+    )
+    SELECT m AS month_ts, prio, n, share, share_mom_delta
+    FROM deltas
+    WHERE m >= TIMESTAMP '1998-01-01'
+    ORDER BY month_ts, prio
+    """,
+    tags=("events", "composition", "timeseries"),
+    doc="Composition-shift report: each month's order-priority mix and "
+    "its month-over-month share delta — the 'did the category mix "
+    "move' monitoring view (a sustained delta means upstream behavior "
+    "changed even when totals look flat). One month+category rollup "
+    "(partial map-side, the only corpus-sized stage), a per-month "
+    "total window and a per-category LAG window over the tiny "
+    "monthly table. Shares are int/int IEEE divisions; the MoM delta "
+    "subtracts two such exact doubles before one ROUND. Output "
+    "bounded to the final fixture year. Common-subset SQL.",
+)
