@@ -221,6 +221,10 @@ def main() -> None:
         print(f"bench error compare: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # Compact driver-facing envelope (VERDICT r9 #1): the driver records
+    # only the LAST ~2000 bytes of stdout, so the final line must carry
+    # medians only — per-run arrays and loadavg diagnostics go to the
+    # sidecar file under bench_results/, never stdout.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -229,6 +233,9 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "protocol": "median",
+    }
+    detail = {
+        **out,
         "runs": all_runs,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -252,13 +259,33 @@ def main() -> None:
                 print(f"bench error sf1 {name}: {e}", file=sys.stderr)
                 sf1_timings[name] = -1.0
             _gc()
-        out["sf1_runs"] = sf1_runs
+        sf1_total = round(sum(v for v in sf1_timings.values() if v > 0), 3)
         out["sf1_queries"] = sf1_timings
-        out["sf1_total"] = round(
-            sum(v for v in sf1_timings.values() if v > 0), 3
-        )
+        out["sf1_total"] = sf1_total
+        detail["sf1_runs"] = sf1_runs
+        detail["sf1_queries"] = sf1_timings
+        detail["sf1_total"] = sf1_total
 
-    print(json.dumps(out))
+    # Full diagnostics to the sidecar; best-effort (bench numbers must
+    # still print even on a read-only checkout).
+    try:
+        os.makedirs("bench_results", exist_ok=True)
+        with open(f"bench_results/bench_full_sf{sf}.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench sidecar write failed: {e}", file=sys.stderr)
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # Degrade gracefully: the driver needs {metric,value,unit,queries,
+        # sf} — shed the sf1 block first (it lives in the sidecar), then
+        # precision, before ever exceeding the 2000-byte tail capture.
+        out.pop("sf1_queries", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
