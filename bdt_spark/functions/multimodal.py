@@ -146,9 +146,24 @@ def _fan_out_cpu_stage(df: DataFrame) -> DataFrame:
     6.6 s single-task vs sub-second spread at sf0.1). Repartition ONLY
     when the input has fewer splits than cores — at 100 TB the scan
     already has thousands of splits and this is a no-op, so the corpus is
-    never shuffled just for decode."""
+    never shuffled just for decode.
+
+    The gate reads `df.inputFiles()` — a pure plan-leaf inspection — and
+    NOT `df.rdd.getNumPartitions()`: with AQE enabled, touching `.rdd`
+    finalizes the adaptive plan, which materializes any upstream shuffle
+    query stages as an extra eager job before the encode starts (ADVICE
+    r9). File count under-approximates split count (one big file can hold
+    many splits), so the worst case of the heuristic is one redundant
+    round-robin shuffle of the narrow (doc_id, text) projection, never a
+    lost fan-out at scale. Scan-less inputs (in-memory relations) report
+    zero files and are left untouched — createDataFrame already spreads
+    its slices across defaultParallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # exotic plan leaf: fanning out is only a heuristic
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -581,7 +596,8 @@ def wav_fingerprint(df: DataFrame) -> DataFrame:
     quarters (sample k -> quarter k*4 // n), and sets bit q when the
     quarter's energy sum(s^2) exceeds its share of the total — compared
     by cross-multiplication (q_energy * n > total_energy * q_cnt, exact
-    BIGINTs: |s| <= 32512 so s^2 sums stay far under 2^63) so the SQL
+    BIGINTs: byte range 0..255 maps to (byte-128)*256 in -32768..32512,
+    so |s| <= 32768 and s^2 <= 2^30 — sums stay far under 2^63) so the SQL
     oracle recomputing from the source bytes is bit-identical. The
     audio analog of phash_features' average-hash."""
     import numpy as np

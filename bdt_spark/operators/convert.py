@@ -44,15 +44,29 @@ def _write_arrow(df, output_path: str, *, single_file: bool, zstd: bool) -> None
     they arrive, so a partition never has to fit in one Arrow table.
     `zstd` rides IPC buffer compression (pyarrow IpcWriteOptions).
 
-    Commit protocol (the same guarantees a FileOutputCommitter gives):
-    each task ATTEMPT streams into its own
+    Commit protocol: each task ATTEMPT streams into its own
     `part-<pid>.arrow.<taskAttemptId>.tmp` and atomically renames it to
     the final name only after a clean close — a retried or speculative
     attempt can never interleave bytes with another attempt, and the
     last completed rename wins with a whole file. Directory outputs get
     a `_SUCCESS` marker only after the job (and the rename sweep)
     completed, so a mid-job failure leaves `.tmp` partials and NO
-    marker — never partial output indistinguishable from complete."""
+    marker — never partial output indistinguishable from complete.
+
+    DEPLOYMENT ASSUMPTION (ADVICE r9): tasks write with local `os` file
+    APIs, while the post-job `.tmp` sweep and `_SUCCESS` marker run on the
+    DRIVER — so this writer requires `output_path` to be a POSIX path on a
+    filesystem shared by driver and executors (local mode, NFS, a FUSE
+    mount). That is weaker than a FileOutputCommitter, which commits
+    through the Hadoop FS on any URI: on an object store (`s3://...`) this
+    writer does not work at all (os.* can't open the path), and even on a
+    shared POSIX FS the driver-side sweep could in principle race one
+    zombie speculative attempt still holding its `.tmp` (harmless to
+    committed output — the sweep only ever deletes `.tmp` files — but the
+    zombie's late rename could resurrect a duplicate part after the sweep).
+    Spark kills speculative twins at job end, so the window is theoretical;
+    for cluster object-store deployments, route Arrow output through a
+    Hadoop-committer-backed format instead."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if zstd:

@@ -108,6 +108,13 @@ def compact_sketch_state(
     first, then drops the old partitions — a reader that races the
     compaction sees either the old batches or old+compacted (idempotent
     union: same estimate), never missing state.
+
+    Old partitions are deleted through the Hadoop FileSystem API of the
+    active session (the same API the reads/writes use), so compaction works
+    on any supported filesystem (HDFS/S3/local), and a failed delete raises
+    rather than silently leaving the old batch double-counting n_rows /
+    n_batches in `estimate_distinct` (ADVICE r9; est_distinct itself would
+    stay correct either way — HLL union is idempotent).
     """
     state = spark.read.parquet(state_dir)
     old_batches = [r["batch"] for r in state.select("batch").distinct().collect()]
@@ -124,9 +131,14 @@ def compact_sketch_state(
         .partitionBy("batch")
         .parquet(state_dir)
     )
-    import shutil
-    from pathlib import Path
-
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     for b in old_batches:
-        shutil.rmtree(Path(state_dir) / f"batch={b}", ignore_errors=True)
+        part = jvm_path(f"{state_dir}/batch={b}")
+        if fs.exists(part) and not fs.delete(part, True):
+            raise IOError(
+                f"compact_sketch_state: failed to delete old partition "
+                f"batch={b} under {state_dir}; state would double-count "
+                f"n_rows/n_batches"
+            )
     return compact_id

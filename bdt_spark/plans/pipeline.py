@@ -3593,10 +3593,17 @@ def _quantize_int8_sql(dialect: str) -> str:
       FROM cells GROUP BY dim1
     ),
     quant AS (
+      -- scale = 0 (a constant dimension) must not reach the division:
+      -- Spark non-ANSI yields NULL on x/0 while DuckDB IEEE mode yields
+      -- inf, so an unguarded constant dim would diverge the engines.
+      -- A constant dim quantizes to code 0 with zero error by definition.
       SELECT c.vec_id, c.dim1, c.v, r.scale,
-             FLOOR((c.v - r.mn) / r.scale + 0.5) - 128 AS q,
-             ABS(c.v - (r.mn + (FLOOR((c.v - r.mn) / r.scale + 0.5))
-                               * r.scale)) AS abs_err
+             CASE WHEN r.scale = 0 THEN 0
+                  ELSE FLOOR((c.v - r.mn) / r.scale + 0.5) - 128 END AS q,
+             CASE WHEN r.scale = 0 THEN 0.0
+                  ELSE ABS(c.v - (r.mn
+                           + (FLOOR((c.v - r.mn) / r.scale + 0.5))
+                             * r.scale)) END AS abs_err
       FROM cells c JOIN ranges r ON c.dim1 = r.dim1
     )
     SELECT q.dim1,
