@@ -130,23 +130,31 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "map_functions",
     "nullops_fill_drop",
     "query_recursive_cte",
-    "dedup_simhash",
     "features_quantile_binning",
-    "similarity_topk_bruteforce",
     "similarity_ivf_recall_curve",
     "text_quality_scores",
-    "text_langid_heuristic",
     "events_session_window",
-    "events_tumbling_window",
     "sample_language_temperature",
     "quality_constraint_report",
     "tokens_packing_efficiency",
     "multimodal_decode_jpeg",
     "dedup_embedding_cosine",
-    "events_ordered_funnel",
-    "text_pii_redaction",
-    "pipeline_curation_v2",
-    "window_topk_per_group",
+    # round-10 rotation (VERDICT r9 #3): sample the post-r6 flagship
+    # families in the driver's 50-entry window. Slots were freed from
+    # families with 2+ representatives (events/text/dedup/similarity/
+    # pipeline/window) — NOT from the sole-representative relational
+    # entries the verdict nominated, because the one-per-family coverage
+    # invariant (pinned by tests/test_queries.py) forbids dropping a
+    # family's only flagship. The dropped queries remain fully gated by
+    # the full sweep; only the artifact sampling changed.
+    "dedup_prefix_filter_jaccard",
+    "text_winnowing_fingerprints",
+    "agg_frequent_items_mergeable",
+    "agg_hll_sketch_merge",
+    "join_bloom_filter_pruning",
+    "orders_scd2_asof_lookup",
+    "multimodal_decode_wav",
+    "multimodal_dedup_phash",
 )
 
 

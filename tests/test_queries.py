@@ -111,15 +111,28 @@ def test_fixture_embedding_dim_matches_unrolled_expressions():
         assert lo == hi == EMB_DIM, f"{path}: dims [{lo},{hi}] != {EMB_DIM}"
 
 
-def test_fan_out_cpu_stage_only_when_input_too_coarse(spark):
-    """The codec-stage fan-out must repartition a single-split input up
-    to cluster parallelism, and be a NO-OP (no added shuffle) when the
-    input already has enough splits — the property that makes it safe at
-    100 TB where scans come in with thousands of splits."""
+def test_fan_out_cpu_stage_only_when_input_too_coarse(spark, tmp_path):
+    """The codec-stage fan-out must repartition a one-file scan up to
+    cluster parallelism, and be a NO-OP (no added shuffle) when the scan
+    already has enough files — the property that makes it safe at 100 TB
+    where scans come in with thousands of splits. The gate reads
+    inputFiles(), never .rdd (ADVICE r9: .rdd under AQE eagerly
+    materializes upstream shuffle stages), so scan-less in-memory inputs
+    are left untouched."""
     from bdt_spark.functions.multimodal import _fan_out_cpu_stage
 
     par = spark.sparkContext.defaultParallelism
-    one = spark.range(100).coalesce(1)
+    one_path = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one_path)
+    one = spark.read.parquet(one_path)
+    assert len(one.inputFiles()) == 1
     assert _fan_out_cpu_stage(one).rdd.getNumPartitions() == par
-    many = spark.range(1000).repartition(par + 3)
+
+    many_path = str(tmp_path / "many")
+    spark.range(1000).repartition(par + 3).write.parquet(many_path)
+    many = spark.read.parquet(many_path)
+    assert len(many.inputFiles()) >= par
     assert _fan_out_cpu_stage(many) is many
+
+    inmem = spark.range(100).coalesce(1)
+    assert _fan_out_cpu_stage(inmem) is inmem
