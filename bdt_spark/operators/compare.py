@@ -276,6 +276,148 @@ def _zip_global_index(spark: SparkSession, df):
     return indexed, sdf, acc
 
 
+# A float-tied group larger than this is re-matched approximately never in
+# practice (it means >2000 rows identical on EVERY non-float column whose
+# positional zip failed); past the cap the second-chance pass rejects
+# conservatively rather than running an O(V*E) matching on a huge group.
+_REMATCH_CAP = 2000
+
+
+def _float_tied_rematch(
+    spark: SparkSession, df1, df2, j, bad, float_cols, map_cols, epsilon
+) -> bool:
+    """Second-chance EXACT resolution of the sort-zip residual: rows
+    identical on all exact (non-float, non-map) columns whose eps-close
+    float columns sort in different relative orders on the two sides.
+
+    For a SINGLE float column the canonical sort-zip is already exact (the
+    standard uncrossing argument on a line: if any perfect eps-matching of
+    two sorted sequences exists, the monotone pairing is one). With TWO or
+    more float columns it is not — anti-correlated values cross-zip (e.g.
+    left {(0, 0), (.05, 1)} vs right {(0, 1), (.05, 0)} under eps=.08
+    lexicographically zips (0,0)-(0,1)) — so multiset-vs-multiset epsilon
+    equality within a group is a bipartite matching problem. This pass
+    runs ONLY on the failure path (zero cost on matching files): it takes
+    the exact-column key of every bad zipped pair (both sides — a
+    genuinely mismatched pair contributes two keys whose groups then fail
+    here), pulls each candidate group from both inputs via a null-safe
+    semi-join, and inside one cogrouped applyInPandas runs augmenting-path
+    (Kuhn) maximum matching with the edge predicate mirroring the zip
+    predicate: per float column both-null, both-NaN, bitwise-equal, or
+    |l-r| < eps (nulls tracked as explicit flags — Arrow folds null into
+    NaN for float64, which must NOT make null match NaN); per map column
+    object equality on the Arrow-decoded values. Groups beyond
+    _REMATCH_CAP rows and NaN-valued map entries still reject
+    conservatively (false-reject possible, false-accept never).
+
+    Returns True iff every candidate group admits a perfect matching —
+    i.e. the files are multiset-equal under epsilon. Exactness argument:
+    a zipped pair is good only if its exact columns are null-safe-equal,
+    so good pairs never cross groups; every row of a group with any bad
+    pair participates in that group's rematch, and groups with no bad
+    pairs were already proven pairwise."""
+    from functools import reduce
+    from operator import and_
+
+    exact_cols = [
+        c for c in df1.columns if c not in float_cols and c not in map_cols
+    ]
+
+    def prep(df):
+        # null flags BEFORE Arrow transfer: float64 nulls arrive as NaN
+        cols = list(df.columns) + [
+            F.col(c).isNull().alias(f"__n_{c}") for c in float_cols
+        ]
+        out = df.select(*cols)
+        if not exact_cols:
+            out = out.withColumn("__g", F.lit(1))
+        return out
+
+    p1, p2 = prep(df1), prep(df2.toDF(*df1.columns))
+    gkeys = exact_cols or ["__g"]
+
+    if exact_cols:
+        lk = j.filter(bad).select(*[F.col(c) for c in exact_cols])
+        rk = j.filter(bad).select(
+            *[F.col(f"__r_{c}").alias(c) for c in exact_cols]
+        )
+        keys = (
+            lk.unionByName(rk)
+            .distinct()
+            .select(*[F.col(c).alias(f"__k_{c}") for c in exact_cols])
+        )
+        cond = reduce(
+            and_,
+            [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in exact_cols],
+        )
+        p1 = p1.join(keys, cond, "left_semi")
+        p2 = p2.join(keys, cond, "left_semi")
+
+    fcols, mcols, eps = list(float_cols), list(map_cols), float(epsilon)
+
+    def match_group(left, right):
+        import numpy as np
+        import pandas as pd
+
+        nl, nr = len(left), len(right)
+        if nl != nr or nl > _REMATCH_CAP:
+            return pd.DataFrame({"ok": [False]})
+        lv = {c: left[c].to_numpy(dtype="float64") for c in fcols}
+        rv = {c: right[c].to_numpy(dtype="float64") for c in fcols}
+        ln = {c: left[f"__n_{c}"].to_numpy(dtype=bool) for c in fcols}
+        rn = {c: right[f"__n_{c}"].to_numpy(dtype=bool) for c in fcols}
+        adj = []
+        for i in range(nl):
+            mask = np.ones(nr, dtype=bool)
+            for c in fcols:
+                li, ni = lv[c][i], ln[c][i]
+                both_null = ni & rn[c]
+                with np.errstate(invalid="ignore"):
+                    val_ok = (
+                        (~ni)
+                        & ~rn[c]
+                        & (
+                            (np.abs(lv[c][i] - rv[c]) < eps)
+                            | (np.isnan(li) & np.isnan(rv[c]))
+                            | (rv[c] == li)
+                        )
+                    )
+                mask &= both_null | val_ok
+            if mcols:
+                for k in np.nonzero(mask)[0]:
+                    for c in mcols:
+                        if left[c].iloc[i] != right[c].iloc[int(k)]:
+                            mask[k] = False
+                            break
+            adj.append(np.nonzero(mask)[0].tolist())
+        match_r = [-1] * nr
+
+        def augment(i, seen):
+            for v in adj[i]:
+                if not seen[v]:
+                    seen[v] = True
+                    if match_r[v] == -1 or augment(match_r[v], seen):
+                        match_r[v] = i
+                        return True
+            return False
+
+        import sys as _sys
+
+        _sys.setrecursionlimit(max(10000, 10 * nl))
+        ok = all(augment(i, [False] * nr) for i in range(nl))
+        return pd.DataFrame({"ok": [ok]})
+
+    res = (
+        p1.groupBy(*gkeys)
+        .cogroup(p2.groupBy(*gkeys))
+        .applyInPandas(match_group, "ok boolean")
+    )
+    [r] = res.agg(
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_unmatched")
+    ).collect()
+    return (r.n_unmatched or 0) == 0
+
+
 def _compare_epsilon_sorted(
     spark: SparkSession, df1, df2, epsilon: float
 ) -> ComparisonResult:
@@ -285,16 +427,16 @@ def _compare_epsilon_sorted(
     which misclassified pairs straddling a rounding boundary (0.0014999
     vs 0.0015001 with eps=1e-2 round to different buckets). Cost: one
     range-shuffle sort + one count job per side, then an index equi-join.
-    Caveat (documented): rows whose ONLY distinction is epsilon-close
-    float values can sort in different relative orders on the two sides;
-    pairwise epsilon matching without a shared row order is a bipartite
-    matching problem — this mode pins the order by the exact columns
-    first, which resolves every practical case. The residual (rows
-    identical on ALL non-float columns with anti-correlated eps-close
-    floats) fails CONSERVATIVELY: a false reject is possible, a false
-    accept is not. Both behaviors are pinned by
+    Rows whose ONLY distinction is epsilon-close float values can sort in
+    different relative orders on the two sides; the sort pins the order by
+    the exact columns first (exact for <= 1 float column by the uncrossing
+    argument), and any remaining zip failures go through
+    _float_tied_rematch, which resolves the multi-float-column residual
+    EXACTLY via per-group bipartite matching — so a false reject now
+    requires a group past _REMATCH_CAP or NaN map entries, never merely
+    anti-correlated eps-close floats. Pinned by
     tests/test_compare.py::test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip
-    and ::test_hash_mode_epsilon_float_tied_rows_conservative_reject."""
+    and ::test_hash_mode_epsilon_float_tied_rows_rematch."""
     i1, c1, n1 = _zip_global_index(spark, df1)
     i2, c2, n2 = _zip_global_index(spark, df2.toDF(*df1.columns))
     if n1 != n2:
@@ -344,9 +486,15 @@ def _compare_epsilon_sorted(
             .collect()
         )
         if row.n_bad:
-            # failure path only: fetch the first differing row (canonical
-            # order) and name the offending column, mirroring positional
-            # mode's report shape
+            # Second chance (failure path only): zip failures may be the
+            # multi-float-column cross-zip residual, not real mismatches —
+            # resolve exactly with per-group bipartite matching.
+            if float_cols and _float_tied_rematch(
+                spark, df1, df2, j, bad, float_cols, map_cols, epsilon
+            ):
+                return ComparisonResult(True, "Files match")
+            # fetch the first differing row (canonical order) and name
+            # the offending column, mirroring positional mode's report
             first = j.filter(bad).orderBy("__idx").limit(1).collect()[0]
             detail = ""
             for ci, c in enumerate(df1.columns):

@@ -287,12 +287,13 @@ def test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.01, method="hash").ok
 
 
-def test_hash_mode_epsilon_float_tied_rows_conservative_reject(spark, files):
-    """Residual (documented) ambiguity: rows IDENTICAL on all non-float
-    columns with two anti-correlated float columns. A perfect bipartite
-    matching exists (r1<->s1, r2<->s2), but any sort-based zip pairs
-    r1 with s2 and rejects. Pin the conservative-reject semantics: the
-    mode may false-reject float-only-tied rows, never false-accept."""
+def test_hash_mode_epsilon_float_tied_rows_rematch(spark, files):
+    """The former residual (VERDICT r9 #6): rows IDENTICAL on all
+    non-float columns with two anti-correlated float columns. A perfect
+    bipartite matching exists (r1<->s1, r2<->s2) but any sort-based zip
+    pairs r1 with s2 — the second-chance per-group matching must now
+    resolve it EXACTLY in both directions, and still reject when the
+    matching genuinely does not exist."""
     a = files(
         "ft_a.parquet",
         {"k": [1, 1], "x": [0.00, 0.05], "y": [0.0, 1.0]},
@@ -301,5 +302,96 @@ def test_hash_mode_epsilon_float_tied_rows_conservative_reject(spark, files):
         "ft_b.parquet",
         {"k": [1, 1], "x": [0.05, 0.00], "y": [0.0, 1.0]},
     )
-    res = compare_files(spark, a, b, epsilon=0.08, method="hash")
-    assert not res.ok  # conservative reject, per the documented caveat
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    assert compare_files(spark, b, a, epsilon=0.08, method="hash").ok
+    # negative control: same shape but one float beyond eps — the group
+    # has NO perfect matching and must still reject (both directions)
+    c = files(
+        "ft_c.parquet",
+        {"k": [1, 1], "x": [0.05, 0.20], "y": [0.0, 1.0]},
+    )
+    assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
+    assert not compare_files(spark, c, a, epsilon=0.08, method="hash").ok
+
+
+def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
+    """VERDICT r9 #6 'done' condition: duplicate exact-column prefixes +
+    epsilon floats passing both directions. Three rows share k='dup';
+    the float columns are a cyclic eps-perturbation whose sorted orders
+    differ across sides; a fourth row with a different key pins that
+    cross-group pairs stay impossible."""
+    a = files(
+        "dp_a.parquet",
+        {
+            "k": ["dup", "dup", "dup", "other"],
+            "x": [0.00, 0.05, 0.10, 9.0],
+            "y": [1.0, 0.0, 0.5, 9.0],
+        },
+    )
+    # true pairing: (0.00,1.0)<->(0.06,1.0), (0.05,0.0)<->(0.02,0.0),
+    # (0.10,0.5)<->(0.12,0.5) — all |dx| <= 0.06 < eps. Sorted-by-x zip
+    # instead pairs (0.00,1.0) with (0.02,0.0): y off by 1.0 -> the zip
+    # flags it bad and ONLY the rematch can accept.
+    b = files(
+        "dp_b.parquet",
+        {
+            "k": ["dup", "dup", "dup", "other"],
+            "x": [0.02, 0.06, 0.12, 9.0],
+            "y": [0.0, 1.0, 0.5, 9.0],
+        },
+    )
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    assert compare_files(spark, b, a, epsilon=0.08, method="hash").ok
+    # group-size mismatch inside the tied key must reject: move one
+    # 'dup' row to 'other'
+    c = files(
+        "dp_c.parquet",
+        {
+            "k": ["dup", "dup", "other", "other"],
+            "x": [0.02, 0.06, 0.12, 9.0],
+            "y": [0.0, 1.0, 0.5, 9.0],
+        },
+    )
+    assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
+
+
+def test_hash_mode_epsilon_rematch_null_vs_nan_not_merged(spark, files):
+    """Arrow folds float64 NULL into NaN on the pandas side; the rematch
+    tracks nullness in explicit flags, so a NULL float must still match
+    only NULL and a NaN only NaN — never each other — even inside a
+    float-tied group that goes through the matching pass."""
+    # the anti-correlated (x, y) pair forces a bad zip, so the whole
+    # group — including the null-x row — goes through the matching pass
+    a = files(
+        "nn_a.parquet",
+        {"k": [1, 1, 1], "x": [0.00, 0.05, None], "y": [1.0, 0.0, 5.0]},
+    )
+    b = files(
+        "nn_b.parquet",
+        {"k": [1, 1, 1], "x": [0.04, 0.01, None], "y": [1.0, 0.0, 5.0]},
+    )
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    # same shape but the null becomes a REAL NaN: a's null row has no
+    # partner, so the group has no perfect matching -> reject. A rematch
+    # that let Arrow's null->NaN folding merge the two would
+    # false-accept here.
+    c = files(
+        "nn_c.parquet",
+        {
+            "k": [1, 1, 1],
+            "x": [0.04, 0.01, float("nan")],
+            "y": [1.0, 0.0, 5.0],
+        },
+    )
+    assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
+    assert not compare_files(spark, c, a, epsilon=0.08, method="hash").ok
+    # and NaN itself must still round-trip: NaN matches NaN
+    d = files(
+        "nn_d.parquet",
+        {
+            "k": [1, 1, 1],
+            "x": [0.00, 0.05, float("nan")],
+            "y": [1.0, 0.0, 5.0],
+        },
+    )
+    assert compare_files(spark, c, d, epsilon=0.08, method="hash").ok
