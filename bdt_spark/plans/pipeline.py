@@ -76,6 +76,16 @@ def _duck_shingles(src: str = "text") -> str:
 N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
 
 
+def _word_stream(dialect: str) -> str:
+    """Lower-cased, space-split word-stream expression (one row per word
+    occurrence) — the whitespace tokenizer shared by every word-level
+    text query. One definition per dialect so a query and its oracle can
+    never tokenize differently (r10 consolidation of 7 inline copies)."""
+    if dialect == "spark":
+        return "explode(split(lower(text), ' '))"
+    return "unnest(string_split(lower(text), ' '))"
+
+
 def _md5_cols(dialect: str, k_hash: int = K_HASH) -> str:
     """One md5 digest per (shingle row, seed) — computed once per row, in
     relational (exploded) form so no engine re-evaluates the hash per lane."""
@@ -349,11 +359,10 @@ def _simhash_sql(dialect: str) -> str:
     if spark:
         hexint = "CAST(CONV(SUBSTR(MD5(word), 1, 8), 16, 10) AS BIGINT)"
         shift = lambda b: f"(SHIFTRIGHT(hv, {b}) & 1)"  # noqa: E731
-        explode = "explode(split(lower(text), ' '))"
     else:
         hexint = "CAST('0x' || SUBSTR(MD5(word), 1, 8) AS BIGINT)"
         shift = lambda b: f"((hv >> {b}) & 1)"  # noqa: E731
-        explode = "unnest(string_split(lower(text), ' '))"
+    explode = _word_stream(dialect)
     # votes are weighted by per-doc word count: hashing DISTINCT (doc, word)
     # pairs instead of every occurrence cuts the md5+conv work and the rows
     # entering the 16-column vote aggregate by the repetition factor
@@ -515,12 +524,6 @@ from bdt_spark.operators.dedup import (  # noqa: E402 — geometry lives
 
 # back-compat aliases (tests and older call sites)
 _sparse_planes = sparse_planes
-
-
-def _sparse_dot(dialect: str, plane) -> str:
-    from bdt_spark.operators.dedup import sparse_dot_sql
-
-    return sparse_dot_sql(plane, "embedding", one_based=dialect != "spark")
 
 
 def _sparse_band_bucket(dialect: str, band_planes) -> str:
@@ -1765,11 +1768,7 @@ sql_query(
 
 def _topk_terms_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    words = (
-        "explode(split(lower(text), ' '))"
-        if spark
-        else "unnest(string_split(lower(text), ' '))"
-    )
+    words = _word_stream(dialect)
     return f"""
     WITH w AS (
       SELECT lang, {words} AS word FROM documents
@@ -2127,11 +2126,7 @@ sql_query(
 
 def _repetition_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    words = (
-        "explode(split(lower(text), ' '))"
-        if spark
-        else "unnest(string_split(lower(text), ' '))"
-    )
+    words = _word_stream(dialect)
     return f"""
     WITH w AS (
       SELECT doc_id, {words} AS word FROM documents
@@ -2436,11 +2431,10 @@ def _curation_v2_sql(dialect: str) -> str:
     # explode_outer: see _decontam_sql — plain explode implies a pushed
     # size(arr)>0 scan filter that double-evaluates the shingle expression
     expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
+    words = _word_stream(dialect)
     if spark:
-        words = "explode(split(lower(text), ' '))"
         ws_tokens = "size(split(text, ' '))"
     else:
-        words = "unnest(string_split(lower(text), ' '))"
         ws_tokens = "len(string_split(text, ' '))"
     return f"""
     WITH rep AS (
@@ -2567,11 +2561,7 @@ def tokens_sequence_packing_sharded(spark, sf_dir):
 
 def _unigram_logprob_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    words = (
-        "explode(split(lower(text), ' '))"
-        if spark
-        else "unnest(string_split(lower(text), ' '))"
-    )
+    words = _word_stream(dialect)
     return f"""
     WITH w AS (
       SELECT doc_id, {words} AS word FROM documents
@@ -2799,11 +2789,7 @@ sql_query(
 
 def _idf_rarity_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    words = (
-        "explode(split(lower(text), ' '))"
-        if spark
-        else "unnest(string_split(lower(text), ' '))"
-    )
+    words = _word_stream(dialect)
     return f"""
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
@@ -3020,11 +3006,7 @@ sql_query(
 
 def _nb_langid_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    words = (
-        "explode(split(lower(text), ' '))"
-        if spark
-        else "unnest(string_split(lower(text), ' '))"
-    )
+    words = _word_stream(dialect)
     return f"""
     WITH train_tokens AS (
       SELECT lang, {words} AS word FROM documents WHERE doc_id % 2 = 0
