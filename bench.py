@@ -89,6 +89,9 @@ PIPELINE = [
 # (VERDICT r6 #8: at sf0.1 most queries are sub-second and host noise
 # dominates round-over-round deltas; the sf1 numbers are the trackable
 # ones). Kept small so the per-round bench stays a few minutes.
+# r10 (VERDICT r9 #5): extended with the top of the sf0.1 cost ranking so
+# every one of the 10 most expensive queries has a 10x growth-curve point
+# (the round-9 text algorithms previously had only sf0.1 + sf10 singles).
 SF1_SUBSET = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
@@ -99,6 +102,15 @@ SF1_SUBSET = [
     "similarity_topk_ivf",
     "text_quality_scores",
     "events_asof_join",
+    "text_winnowing_fingerprints",
+    "dedup_prefix_filter_jaccard",
+    "dedup_minhash_lsh_k64",
+    "text_tfidf_topk_similar",
+    "text_pmi_cooccurrence",
+    "text_naive_bayes_langid",
+    "agg_frequent_items_mergeable",
+    "tpch_q3_shipping_priority",
+    "tpch_q21_waiting_supplier",
 ]
 
 
