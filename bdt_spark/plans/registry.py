@@ -18,6 +18,13 @@ outputs with an epsilon compare, compare.rs:31-45; we aim for exact):
 Many queries are written in a *common SQL subset* that parses identically in
 Spark SQL and DuckDB — for those, the oracle string is literally the same
 text (`sql_query`). Dialect-divergent queries carry two texts.
+
+REGISTRATION RULE (adopted round 10, after two rounds of post-close-out
+additions shipping without 100x verification): a query is not "registered"
+until it has BOTH (a) a green sf0.01 oracle row (tools/check_oracle.py)
+AND (b) an sf10 sweep line in SCALE.md (timing + PASS, or a documented
+SKIP for oracle-infeasible forms). Adding the spec here is step one of
+two — run the sf10 sweep for the new name in the same commit series.
 """
 
 from __future__ import annotations
