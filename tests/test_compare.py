@@ -355,6 +355,37 @@ def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
 
 
+def test_hash_mode_epsilon_rematch_group_cap_rejects(spark, files):
+    """A float-tied group past _REMATCH_CAP rows is the one remaining
+    conservative corner: the matching pass refuses the O(V*E) matching
+    and rejects even though a perfect pairing exists. Pin that the cap
+    fails CLOSED (reject), never open (accept)."""
+    from bdt_spark.operators import compare as cmp_mod
+
+    n_fill = cmp_mod._REMATCH_CAP - 1  # group size = cap + 1
+    a = files(
+        "cap_a.parquet",
+        {
+            "k": [1] * (n_fill + 2),
+            "x": [0.00, 0.05] + [9.9] * n_fill,
+            "y": [1.0, 0.0] + [9.9] * n_fill,
+        },
+    )
+    # eps-perturbed anti-correlated pair: a perfect matching exists
+    # ((0.00,1.0)<->(0.04,1.0), (0.05,0.0)<->(0.01,0.0)) but the sorted
+    # zip pairs (0.00,1.0) with (0.01,0.0) -> bad -> rematch -> cap
+    b = files(
+        "cap_b.parquet",
+        {
+            "k": [1] * (n_fill + 2),
+            "x": [0.04, 0.01] + [9.9] * n_fill,
+            "y": [1.0, 0.0] + [9.9] * n_fill,
+        },
+    )
+    res = compare_files(spark, a, b, epsilon=0.08, method="hash")
+    assert not res.ok
+
+
 def test_hash_mode_epsilon_rematch_null_vs_nan_not_merged(spark, files):
     """Arrow folds float64 NULL into NaN on the pandas side; the rematch
     tracks nullness in explicit flags, so a NULL float must still match
