@@ -4274,36 +4274,62 @@ sql_query(
 )
 
 
-sql_query(
-    "features_quantile_binning",
-    """
-    WITH binned AS (
-      SELECT o_orderkey, o_totalprice,
-             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders
-    )
+_QUANTILE_BIN_TAIL = """
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(MIN(o_totalprice), 2) AS lo,
            ROUND(MAX(o_totalprice), 2) AS hi,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
                       AS DOUBLE) / COUNT(*), 6) AS mean_in_bin
-    FROM binned
+    FROM {binned}
     GROUP BY decile
     ORDER BY decile
-    """,
+    """
+
+
+@query(
+    "features_quantile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    """
+    + _QUANTILE_BIN_TAIL.format(binned="binned"),
     tags=("features", "binning", "quantile"),
     doc="Equi-depth decile binning of a continuous feature — the "
     "feature-engineering discretizer AND the boundary planner behind "
     "repartitionByRange (the lo/hi fences of each bin are exactly the "
     "range-partition split points that balance a skewed write). NTILE "
-    "over a TOTAL order (price, orderkey) is deterministic in both "
-    "engines down to the row — identical bin populations, not just "
-    "similar fences. The single global sort is the scale cost; a "
-    "production planner samples instead (as repartitionByRange "
-    "itself does) — this query IS the exact ground truth such "
-    "sampling approximates. Bin means decimal-pinned.",
+    "over a TOTAL order (price, orderkey) is deterministic down to the "
+    "row — identical bin populations, not just similar fences. r10: the "
+    "Spark side no longer pays a single-partition global window — "
+    "operators/globalorder.py range-partitions on the total order, "
+    "row-numbers within partitions, adds broadcast offsets, and derives "
+    "NTILE arithmetically from the global index (exact same tiling as "
+    "the oracle's NTILE by the standard first-r-tiles-get-one-extra "
+    "rule). The bin aggregation tail is the same SQL text the oracle "
+    "runs. Bin means decimal-pinned.",
 )
+def features_quantile_binning(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.operators.globalorder import (
+        ntile_from_index,
+        with_global_order,
+    )
+
+    t = load_fixture_tables(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_totalprice")
+    ordered, _, n = with_global_order(
+        base,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        index_col="__rn",
+    )
+    binned = ordered.withColumn("decile", ntile_from_index("__rn", n, 10))
+    binned.createOrReplaceTempView("__go_quantile_binned")
+    out = spark.sql(_QUANTILE_BIN_TAIL.format(binned="__go_quantile_binned"))
+    return transfer_ownership(out, ordered)
 
 
 def _time_grain_rollup_sql(dialect: str) -> str:
@@ -4456,15 +4482,28 @@ sql_query(
 )
 
 
-sql_query(
-    "text_feature_auc_mann_whitney",
-    """
-    WITH scored AS (
+_AUC_SCORED = """
       SELECT doc_id,
              CAST(CAST(lang = 'fr' AS INT) AS BIGINT) AS is_pos,
              CAST(LENGTH(text) AS DOUBLE) AS score
       FROM documents
-    ),
+    """
+
+_AUC_FINAL = """
+    SELECT n_pos, n_neg,
+           ROUND((CAST(twice_ranksum_pos AS DOUBLE) / 2.0
+                  - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1)
+                    / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+             AS auc
+    FROM {sums}
+    """
+
+
+@query(
+    "text_feature_auc_mann_whitney",
+    oracle=f"""
+    WITH scored AS ({_AUC_SCORED}),
     ranked AS (
       SELECT is_pos,
              RANK() OVER (ORDER BY score) AS r,
@@ -4479,14 +4518,8 @@ sql_query(
              CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg
       FROM ranked
     )
-    SELECT n_pos, n_neg,
-           ROUND((CAST(twice_ranksum_pos AS DOUBLE) / 2.0
-                  - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1)
-                    / 2.0)
-                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
-             AS auc
-    FROM sums
-    """,
+    """
+    + _AUC_FINAL.format(sums="sums"),
     tags=("text", "metrics", "auc", "evaluation"),
     doc="Exact ROC-AUC via the Mann-Whitney rank identity — classifier/"
     "feature evaluation WITHOUT materializing a threshold sweep: "
@@ -4498,10 +4531,49 @@ sql_query(
     "LENGTH(text) against lang='fr': a weak-but-real separator on "
     "this fixture (fr docs run ~9% longer; measured AUC ~0.557 — an "
     "honest small-signal value, the machinery is the deliverable). "
-    "One global ranking window is the scale cost; per-model/segment "
-    "AUC at scale partitions the window by key. Common-subset SQL, "
-    "oracle is the same text.",
+    "r10: the Spark side needs NO per-row ranking window at all — "
+    "RANK's min-rank for a tie group at score s is 1 + (count of "
+    "rows below s), so grouping by distinct score (cnt, pos_cnt) "
+    "and prefix-summing cnt via operators/globalorder.py gives the "
+    "per-group positive contribution pos_cnt*(2C + cnt + 1) "
+    "(= pos_cnt rows each contributing r*2 + tie_n - 1), summed to "
+    "the identical BIGINT rank sum. Distinct scores can approach "
+    "row cardinality for a continuous model score, hence the "
+    "distributed prefix rather than an ordered window; the oracle "
+    "keeps the classic two-window form, so two structurally "
+    "different algorithms must agree bit-for-bit.",
 )
+def text_feature_auc_mann_whitney(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.operators.globalorder import with_global_order
+
+    load_fixture_tables(spark, sf_dir)
+    per_score = spark.sql(
+        f"""
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(is_pos) AS BIGINT) AS pos_cnt
+        FROM ({_AUC_SCORED}) scored
+        GROUP BY score
+        """
+    )
+    go_res, _, _ = with_global_order(
+        per_score, [F.col("score").asc()], running={"cum_cnt": "cnt"}
+    )
+    go_res.createOrReplaceTempView("__go_auc_scores")
+    out = spark.sql(
+        """
+        WITH sums AS (
+          SELECT CAST(SUM(pos_cnt * (2 * (cum_cnt - cnt) + cnt + 1))
+                      AS BIGINT) AS twice_ranksum_pos,
+                 CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+                 CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg
+          FROM __go_auc_scores
+        )
+        """
+        + _AUC_FINAL.format(sums="sums")
+    )
+    return transfer_ownership(out, go_res)
 
 
 def _ewma_sql(dialect: str) -> str:
@@ -4830,33 +4902,22 @@ sql_query(
 )
 
 
-sql_query(
-    "quality_split_drift_ks",
-    """
-    WITH tagged AS (
-      SELECT o_totalprice AS v, CAST(o_orderkey % 2 AS INT) AS split
-      FROM orders
-    ),
-    pts AS (
+_KS_PTS = """
       SELECT v,
              CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS d1,
              CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS d2
-      FROM tagged GROUP BY v
-    ),
-    cdf AS (
-      SELECT v,
-             CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
-             CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2,
-             CAST(SUM(d1) OVER () AS BIGINT) AS n1,
-             CAST(SUM(d2) OVER () AS BIGINT) AS n2
-      FROM pts
-    ),
-    gaps AS (
+      FROM (SELECT o_totalprice AS v, CAST(o_orderkey % 2 AS INT) AS split
+            FROM orders) tagged
+      GROUP BY v
+    """
+
+_KS_TAIL = """
+    WITH gaps AS (
       SELECT n1, n2,
              ABS(c1 * n2 - c2 * n1) AS gap_num
-      FROM cdf
+      FROM {cdf}
     )
     SELECT MAX(n1) AS n1, MAX(n2) AS n2,
            ROUND(CAST(MAX(gap_num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 8)
@@ -4866,7 +4927,23 @@ sql_query(
                                / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)))
                 AS BOOLEAN) AS no_drift_at_1pct
     FROM gaps
-    """,
+    """
+
+
+@query(
+    "quality_split_drift_ks",
+    oracle=f"""
+    WITH pts AS ({_KS_PTS}),
+    cdf AS (
+      SELECT v,
+             CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+             CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2,
+             CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(d2) OVER () AS BIGINT) AS n2
+      FROM pts
+    ),
+    """
+    + _KS_TAIL.format(cdf="cdf").lstrip().removeprefix("WITH"),
     tags=("quality", "drift", "statistics", "ks-test"),
     doc="Two-sample Kolmogorov-Smirnov drift check on a CONTINUOUS "
     "feature across the hash split — the companion to the chi-square "
@@ -4879,8 +4956,32 @@ sql_query(
     "is exact — the CDF gap is constant between them). "
     "no_drift_at_1pct uses the standard large-sample critical value "
     "c(0.01)=1.628 (Smirnov asymptotic, public tables). A sound "
-    "orderkey%2 split must pass at any sf. Common-subset SQL.",
+    "orderkey%2 split must pass at any sf. r10: the Spark side's "
+    "cumulative counts come from operators/globalorder.py (range-"
+    "partitioned prefix sums; distinct prices can approach row "
+    "cardinality on a continuous feature, so the former global "
+    "ordered window was a corpus-sized single partition) and the "
+    "n1/n2 totals are grand-total literals from the same stats job; "
+    "the oracle keeps the classic windowed form.",
 )
+def quality_split_drift_ks(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.operators.globalorder import with_global_order
+
+    load_fixture_tables(spark, sf_dir)
+    pts = spark.sql(f"SELECT * FROM ({_KS_PTS})")
+    go_res, totals, _ = with_global_order(
+        pts, [F.col("v").asc()], running={"c1": "d1", "c2": "d2"}
+    )
+    cdf = (
+        go_res.withColumn("c1", F.col("c1").cast("bigint"))
+        .withColumn("c2", F.col("c2").cast("bigint"))
+        .withColumn("n1", F.lit(totals["c1"]).cast("bigint"))
+        .withColumn("n2", F.lit(totals["c2"]).cast("bigint"))
+    )
+    cdf.createOrReplaceTempView("__go_ks_cdf")
+    out = spark.sql(_KS_TAIL.format(cdf="__go_ks_cdf"))
+    return transfer_ownership(out, go_res)
 
 
 def _winnowing_sql(dialect: str) -> str:
@@ -5079,24 +5180,16 @@ sql_query(
 )
 
 
-sql_query(
-    "customer_rfm_segmentation",
-    """
-    WITH per_cust AS (
+_RFM_PER_CUST = """
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
                   AS DECIMAL(30,8)) AS monetary
       FROM orders GROUP BY o_custkey
-    ),
-    scored AS (
-      SELECT o_custkey,
-             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
-             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
-             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
-      FROM per_cust
-    )
+    """
+
+_RFM_TAIL = """
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
@@ -5104,33 +5197,108 @@ sql_query(
                 WHEN r_score = 1 AND f_score >= 3 THEN 'at_risk'
                 WHEN r_score >= 3 AND f_score <= 2 THEN 'promising'
                 ELSE 'regular' END AS segment
-    FROM scored
+    FROM {scored}
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
-    """,
+    """
+
+
+@query(
+    "customer_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS ({_RFM_PER_CUST}),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM per_cust
+    )
+    """
+    + _RFM_TAIL.format(scored="scored"),
     tags=("features", "rfm", "segmentation"),
     doc="RFM (recency / frequency / monetary) customer segmentation — "
     "the classic lifecycle-marketing scoring, as one declarative "
     "plan: per-customer aggregates (one shuffle, partial map-side; "
     "monetary decimal-pinned), then three NTILE(4) quartile scores "
-    "over TOTAL orders (each ordering tie-broken by custkey, so bin "
-    "populations are deterministic to the row — same guarantee as "
+    "(each ordering tie-broken by custkey, so bin populations are "
+    "deterministic to the row — same guarantee as "
     "features_quantile_binning), folded into the 64-cell RFM cube "
-    "with named segments. The three global sorts run over the "
-    "per-customer rollup (distinct customers, not orders) — at "
-    "100 TB that is the small table. Common-subset SQL.",
+    "with named segments. The three orderings run over the "
+    "per-customer rollup (distinct customers, not orders) — still "
+    "billions of rows at 100 TB, so r10 replaces the three "
+    "single-partition NTILE windows with three chained "
+    "operators/globalorder.py passes (range partition + local row "
+    "numbers + broadcast offsets, NTILE derived arithmetically from "
+    "the global index); the oracle keeps the classic windowed form. "
+    "The segment fold tail is the same SQL text the oracle runs.",
 )
+def customer_rfm_segmentation(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.operators.globalorder import (
+        ntile_from_index,
+        with_global_order,
+    )
+
+    load_fixture_tables(spark, sf_dir)
+    cur = spark.sql(f"SELECT * FROM ({_RFM_PER_CUST})")
+    owned = []
+    for score, key in (
+        ("r_score", "last_order"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary"),
+    ):
+        go_res, _, n = with_global_order(
+            cur,
+            [F.col(key).asc(), F.col("o_custkey").asc()],
+            index_col="__rn",
+        )
+        owned.append(go_res)
+        cur = go_res.withColumn(
+            score, ntile_from_index("__rn", n, 4)
+        ).drop("__rn")
+    cur.createOrReplaceTempView("__go_rfm_scored")
+    out = spark.sql(_RFM_TAIL.format(scored="__go_rfm_scored"))
+    return transfer_ownership(out, *owned)
 
 
-sql_query(
-    "lineitem_pareto_abc",
-    """
-    WITH part_rev AS (
+_PARETO_PART_REV = """
       SELECT l_partkey,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                            AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS rev
       FROM lineitem GROUP BY l_partkey
-    ),
+    """
+
+_PARETO_CLASS_CASE = """
+             CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+    """
+
+# Spark tail: total_rev is a per-row literal (grand total from the
+# globalorder stats job), so no join is needed to recover it — the
+# oracle's CROSS JOIN against DISTINCT total_rev exists only because
+# the windowed form has no literal to hand.
+_PARETO_SPARK_TAIL = f"""
+    WITH classed AS (
+      SELECT l_partkey, rev, total_rev, {_PARETO_CLASS_CASE}
+      FROM {{ranked}}
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(MAX(total_rev) AS DOUBLE), 6) AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """
+
+
+@query(
+    "lineitem_pareto_abc",
+    oracle=f"""
+    WITH part_rev AS ({_PARETO_PART_REV}),
     ranked AS (
       SELECT l_partkey, rev,
              CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
@@ -5139,10 +5307,7 @@ sql_query(
       FROM part_rev
     ),
     classed AS (
-      SELECT l_partkey, rev,
-             CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
-                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
-                  ELSE 'C' END AS abc_class
+      SELECT l_partkey, rev, {_PARETO_CLASS_CASE}
       FROM ranked
     )
     SELECT abc_class,
@@ -5165,11 +5330,35 @@ sql_query(
     "compare DECIMAL cumulative sums by integer-scaled "
     "cross-multiplication (cum*10 <= total*8), exact in both "
     "engines, so a part straddling the 80% line lands in the same "
-    "class everywhere. One shuffle for the per-part rollup "
-    "(decimal-pinned revenue), one ordered window over distinct "
-    "parts. Deterministic under revenue ties (partkey tie-break in "
-    "the cumulative ordering). Common-subset SQL.",
+    "class everywhere. Deterministic under revenue ties (partkey "
+    "tie-break in the cumulative ordering). r10: the Spark side's "
+    "cumulative sum comes from operators/globalorder.py (range-"
+    "partitioned local prefixes + broadcast per-partition offsets — "
+    "decimal addition is associative so the distributed prefix is "
+    "bit-exact) and SUM(rev) OVER () becomes the grand-total "
+    "LITERAL from the same one stats job — no single-partition "
+    "window anywhere; the oracle keeps the classic windowed form, "
+    "so two structurally different algorithms must agree.",
 )
+def lineitem_pareto_abc(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.operators.globalorder import with_global_order
+
+    load_fixture_tables(spark, sf_dir)
+    part_rev = spark.sql(f"SELECT * FROM ({_PARETO_PART_REV})")
+    go_res, totals, _ = with_global_order(
+        part_rev,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        running={"cum_rev": "rev"},
+    )
+    ranked = go_res.withColumn(
+        "cum_rev", F.col("cum_rev").cast("decimal(38,8)")
+    ).withColumn(
+        "total_rev", F.lit(totals["cum_rev"]).cast("decimal(38,8)")
+    )
+    ranked.createOrReplaceTempView("__go_pareto_ranked")
+    out = spark.sql(_PARETO_SPARK_TAIL.format(ranked="__go_pareto_ranked"))
+    return transfer_ownership(out, go_res)
 
 
 def _centroid_drift_sql(dialect: str) -> str:
