@@ -49,7 +49,26 @@ AUDITED = [
     "tokens_bpe_merge_candidates",
     "multimodal_dedup_phash",
     "orders_scd2_asof_lookup",
+    # round-10 globalorder rewrites (formerly single-partition windows)
+    "features_quantile_binning",
+    "customer_rfm_segmentation",
+    "lineitem_pareto_abc",
+    "quality_split_drift_ks",
+    "text_feature_auc_mann_whitney",
 ]
+
+# Unpartitioned-window queries whose window input is BOUNDED by
+# construction (per-language/per-day rollups, <=31 sketch items, a
+# pre-filtered conformance demo) — their SinglePartition-over-Project is
+# a few-row exchange, not a corpus sort. Audited r10; anything NEW that
+# trips the single-partition check must either be rewritten on
+# operators/globalorder.py or justified here.
+BOUNDED_SINGLE_PARTITION = {
+    "sample_language_temperature",
+    "agg_frequent_items_mergeable",
+    "window_range_frame",
+    "events_daily_growth_accounting",
+}
 
 
 def plan_text(df) -> str:
@@ -75,6 +94,26 @@ def audit(name: str, text: str) -> list[str]:
     return flags
 
 
+def single_partition_flags(name: str, tree: str) -> list[str]:
+    """Flag Exchange SinglePartition over anything but a partial
+    aggregate's final merge (r10): a one-task stage over data rows is
+    the structural cliff operators/globalorder.py removes. Queries in
+    BOUNDED_SINGLE_PARTITION are documented few-row exceptions."""
+    if name in BOUNDED_SINGLE_PARTITION:
+        return []
+    flags = []
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1].strip() if i + 1 < len(lines) else ""
+        if "Aggregate" not in child:
+            flags.append(
+                f"SinglePartition over non-aggregate: {child[:70]}"
+            )
+    return flags
+
+
 def main() -> None:
     only = sys.argv[1:] or AUDITED
     spark = get_spark("explain_audit")
@@ -83,7 +122,8 @@ def main() -> None:
         spec = plans.get_query(name)
         df = spec.fn(spark, sf_dir)
         text = plan_text(df)
-        flags = audit(name, text)
+        tree = df._jdf.queryExecution().executedPlan().toString()
+        flags = audit(name, text) + single_partition_flags(name, tree)
         print(f"\n===== {name} =====")
         status = "; ".join(flags) if flags else "clean"
         print(f"audit: {status}")
