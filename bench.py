@@ -83,6 +83,12 @@ PIPELINE = [
     "text_winnowing_fingerprints",
     "tokens_bpe_merge_candidates",
     "dedup_prefix_filter_jaccard",
+    # round-10: globalorder rewrites (track the distributed-prefix plans)
+    "features_quantile_binning",
+    "customer_rfm_segmentation",
+    "lineitem_pareto_abc",
+    "quality_split_drift_ks",
+    "text_feature_auc_mann_whitney",
 ]
 
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
