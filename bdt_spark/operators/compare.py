@@ -227,17 +227,20 @@ def _hash_diff_stats(df1, df2):
 
 
 def _zip_global_index(spark: SparkSession, df):
-    """Attach a dense global row index following a canonical sort, fully
-    JVM-side and without collapsing to one partition (`row_number() OVER
-    (ORDER BY ...)` with an empty partition spec is a single-task
-    reduction; `rdd.zipWithIndex` pipes every row through Python):
-    range-repartition on the sort keys (ordered partitions), sort within
-    partitions, per-partition `row_number`, then add broadcast
-    per-partition offsets from one tiny count job. Map columns are
-    excluded from the sort key (Spark defines no ordering for maps);
-    float columns sort LAST so ties on exact columns are broken by the
-    (possibly epsilon-noisy) floats only when nothing else distinguishes
-    the rows."""
+    """Attach a dense 0-based global row index following a canonical
+    sort, via operators/globalorder.py (range-repartition + local row
+    numbers + broadcast offsets — fully JVM-side, no single-partition
+    stage, no Python round-trip; r10 consolidation of the previously
+    inlined copy of the same technique). Map columns are excluded from
+    the sort key (Spark defines no ordering for maps); float columns
+    sort LAST so ties on exact columns are broken by the (possibly
+    epsilon-noisy) floats only when nothing else distinguishes the
+    rows. Returns (indexed, handle, n): release(handle) frees the
+    sorted layout once the caller's actions complete; n is the side's
+    total row count (the offsets job already paid for it, so callers
+    need no separate count scan)."""
+    from bdt_spark.operators.globalorder import with_global_order
+
     floats = [c for c, t in df.dtypes if t in ("float", "double")]
     unsortable = {
         f.name for f in df.schema.fields if f.dataType.typeName() == "map"
@@ -247,33 +250,11 @@ def _zip_global_index(spark: SparkSession, df):
     if not keys:
         keys = list(df.columns)
     order = [F.col(c).asc_nulls_first() for c in keys]
-    sdf = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # the sorted layout is computed once: offsets job + the index pass
-    # both read it from cache, and the partitioning/order survive into
-    # the downstream index join; the caller unpersists the returned
-    # handle once its action completes
-    sdf = sdf.persist()
-    counts = {r["__pid"]: r["cnt"] for r in
-              sdf.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = [], 0
-    for pid in sorted(counts):  # range partitions are globally ordered
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*order)
-    indexed = (
-        sdf.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "__pid")
-        .withColumn("__idx", F.col("__off") + F.col("__rn") - F.lit(1))
-        .drop("__pid", "__rn", "__off")
-    )
-    # acc is the side's total row count — the offsets job already paid
-    # for it, so callers need no separate df.count() scan
-    return indexed, sdf, acc
+    res, _, n = with_global_order(df, order, index_col="__idx1")
+    indexed = res.withColumn(
+        "__idx", F.col("__idx1") - F.lit(1)
+    ).drop("__idx1")
+    return indexed, res, n
 
 
 # A float-tied group larger than this is re-matched approximately never in
@@ -437,11 +418,13 @@ def _compare_epsilon_sorted(
     anti-correlated eps-close floats. Pinned by
     tests/test_compare.py::test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip
     and ::test_hash_mode_epsilon_float_tied_rows_rematch."""
+    from bdt_spark.operators.cacheutil import release
+
     i1, c1, n1 = _zip_global_index(spark, df1)
     i2, c2, n2 = _zip_global_index(spark, df2.toDF(*df1.columns))
     if n1 != n2:
-        c1.unpersist()
-        c2.unpersist()
+        release(c1)
+        release(c2)
         return ComparisonResult(
             False, f"Row counts do not match: {n1} != {n2}"
         )
@@ -522,8 +505,8 @@ def _compare_epsilon_sorted(
             )
         return ComparisonResult(True, "Files match")
     finally:
-        c1.unpersist()
-        c2.unpersist()
+        release(c1)
+        release(c2)
 
 
 def _compare_hash(
