@@ -76,6 +76,19 @@ def _duck_shingles(src: str = "text") -> str:
 N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
 
 
+def _shingles(dialect: str) -> str:
+    return _spark_shingles() if dialect == "spark" else _duck_shingles()
+
+
+def _shingle_stream(dialect: str) -> str:
+    """explode_OUTER, not explode: plain explode implies a size(arr)>0
+    filter that Catalyst pushes into the scan — re-evaluating the whole
+    interpreted shingle expression a second time per row (measured 2x
+    the query cost at sf1). The outer form's empty-array NULL rows never
+    survive the downstream equi joins, so results are identical."""
+    return "explode_outer(shingles)" if dialect == "spark" else "unnest(shingles)"
+
+
 def _word_stream(dialect: str) -> str:
     """Lower-cased, space-split word-stream expression (one row per word
     occurrence) — the whitespace tokenizer shared by every word-level
@@ -129,7 +142,7 @@ def _minhash_lsh_sql(
     """Full MinHash-LSH near-dup pair detection, one SQL text per dialect,
     generated for any (k_hash, n_bands) geometry from the same template."""
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
+    shingles = _shingles(dialect)
     bkeys = _band_keys(dialect, k_hash, n_bands)
     explode = f"explode({bkeys})" if spark else f"unnest({bkeys})"
     if spark:
@@ -414,7 +427,7 @@ sql_query(
 
 def _ngram_jaccard_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
+    shingles = _shingles(dialect)
     if spark:
         jac = (
             "ROUND(size(array_intersect(a.shingles, b.shingles)) /"
@@ -972,7 +985,7 @@ sql_query(
 
 def _fingerprint_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
+    shingles = _shingles(dialect)
     if spark:
         norm = "regexp_replace(lower(text), ' +', ' ')"
         winnow = "array_min(transform(shingles, s -> md5(s)))"
@@ -2168,13 +2181,8 @@ sql_query(
 
 def _decontam_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
-    # explode_OUTER, not explode: plain explode implies a size(arr)>0
-    # filter that Catalyst pushes into the scan — re-evaluating the whole
-    # interpreted shingle expression a second time per row (measured 2x
-    # the query cost at sf1). The outer form's empty-array NULL rows
-    # never survive the equi join, so results are identical.
-    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
+    shingles = _shingles(dialect)
+    expl = _shingle_stream(dialect)
     return f"""
     WITH ex AS (
       SELECT doc_id, {expl} AS shingle
@@ -2265,11 +2273,8 @@ sql_query(
 
 def _dup_span_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
-    # explode_outer: see _decontam_sql — avoids the pushed size(arr)>0
-    # scan filter that re-evaluates the shingle expression per row; the
-    # NULL rows from empty arrays are dropped by the g.s = f.s equi join
-    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
+    shingles = _shingles(dialect)
+    expl = _shingle_stream(dialect)
     return f"""
     WITH grams AS (
       SELECT doc_id, {expl} AS s
@@ -2427,10 +2432,8 @@ def _curation_v2_sql(dialect: str) -> str:
     """Round-2 curation: repetition filter + decontamination + per-lang
     packing stats on top of the v1 quality/dedup gates."""
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
-    # explode_outer: see _decontam_sql — plain explode implies a pushed
-    # size(arr)>0 scan filter that double-evaluates the shingle expression
-    expl = "explode_outer(shingles)" if spark else "unnest(shingles)"
+    shingles = _shingles(dialect)
+    expl = _shingle_stream(dialect)
     words = _word_stream(dialect)
     if spark:
         ws_tokens = "size(split(text, ' '))"
@@ -2922,7 +2925,7 @@ sql_query(
 
 def _tfidf_cosine_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    sh = _spark_shingles() if spark else _duck_shingles()
+    sh = _shingles(dialect)
     feats = f"explode({sh})" if spark else f"unnest({sh})"
     return f"""
     WITH feat AS (
@@ -4430,7 +4433,7 @@ sql_query(
 
 def _containment_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    shingles = _spark_shingles() if spark else _duck_shingles()
+    shingles = _shingles(dialect)
     if spark:
         inter = "size(array_intersect(a.shingles, b.shingles))"
         sz = "size({}.shingles)"
