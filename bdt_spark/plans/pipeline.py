@@ -1780,7 +1780,6 @@ sql_query(
 
 
 def _topk_terms_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     words = _word_stream(dialect)
     return f"""
     WITH w AS (
@@ -2138,7 +2137,6 @@ sql_query(
 
 
 def _repetition_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     words = _word_stream(dialect)
     return f"""
     WITH w AS (
@@ -2180,7 +2178,6 @@ sql_query(
 
 
 def _decontam_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     shingles = _shingles(dialect)
     expl = _shingle_stream(dialect)
     return f"""
@@ -2272,7 +2269,6 @@ sql_query(
 
 
 def _dup_span_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     shingles = _shingles(dialect)
     expl = _shingle_stream(dialect)
     return f"""
@@ -2563,7 +2559,6 @@ def tokens_sequence_packing_sharded(spark, sf_dir):
 
 
 def _unigram_logprob_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     words = _word_stream(dialect)
     return f"""
     WITH w AS (
@@ -2791,7 +2786,6 @@ sql_query(
 
 
 def _idf_rarity_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     words = _word_stream(dialect)
     return f"""
     WITH w AS (
@@ -3008,7 +3002,6 @@ sql_query(
 
 
 def _nb_langid_sql(dialect: str) -> str:
-    spark = dialect == "spark"
     words = _word_stream(dialect)
     return f"""
     WITH train_tokens AS (
