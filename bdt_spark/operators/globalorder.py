@@ -136,11 +136,15 @@ def with_global_order(
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for out, src in running.items():
         local = F.sum(src).over(wsum)
+        off = F.col(f"__go_off_{out}")
+        # SUM ignores NULLs: a NULL local prefix (all values so far in this
+        # range partition are NULL) must not null out a non-NULL offset, and
+        # vice versa — only both-NULL yields NULL, matching SUM(x) OVER ().
         result = result.withColumn(
             out,
-            F.when(
-                F.col(f"__go_off_{out}").isNull(), local
-            ).otherwise(local + F.col(f"__go_off_{out}")),
+            F.when(off.isNull(), local)
+            .when(local.isNull(), off)
+            .otherwise(local + off),
         )
     drop = [_PID, "__go_off_cnt"] + [f"__go_off_{out}" for out in running]
     return transfer_ownership(result.drop(*drop), sdf), totals, n_rows

@@ -1,0 +1,79 @@
+"""Physical-plan tree inspection shared by tools/explain_audit.py and
+tests/test_globalorder.py.
+
+The r10 versions classified `Exchange SinglePartition` children by
+substring-matching the NEXT line of the plan's toString — fragile when a
+WholeStageCodegen / InputAdapter wrapper (or a multi-line operator) sits
+between the exchange and its real child (r10 advice item). This walks the
+actual JVM plan tree via py4j instead: unwrap AdaptiveSparkPlanExec to its
+current physical plan, find every shuffle exchange whose output
+partitioning is SinglePartition, then descend through codegen wrappers to
+the first substantive child and report its node name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Pass-through nodes between an exchange and its substantive child.
+_WRAPPERS = ("WholeStageCodegen", "InputAdapter", "AQEShuffleRead",
+             "ShuffleQueryStage", "ReusedExchange")
+
+
+def _unwrap_adaptive(node):
+    # AdaptiveSparkPlanExec is a leaf node-wise; its real tree hangs off
+    # executedPlan() (the current physical plan).
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return _unwrap_adaptive(node.executedPlan())
+    return node
+
+
+def _children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _walk(node):
+    node = _unwrap_adaptive(node)
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _substantive_child(node):
+    """First descendant that is not a codegen/AQE wrapper."""
+    kids = _children(_unwrap_adaptive(node))
+    while kids:
+        c = _unwrap_adaptive(kids[0])
+        name = c.nodeName()
+        if any(name.startswith(w) for w in _WRAPPERS):
+            kids = _children(c)
+            continue
+        return c
+    return None
+
+
+def single_partition_children(df: DataFrame) -> list[str]:
+    """Node names of the substantive child under every SinglePartition
+    shuffle exchange in df's executed plan (triggers plan compilation,
+    not execution). An 'Aggregate' child means the exchange is a final
+    merge of per-partition partials — bounded by partition count; any
+    other child is a one-task stage over data rows."""
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for node in _walk(root):
+        if not node.nodeName().startswith("Exchange"):
+            continue
+        if "SinglePartition" not in node.outputPartitioning().toString():
+            continue
+        child = _substantive_child(node)
+        out.append(child.nodeName() if child is not None else "<leaf>")
+    return out
+
+
+def single_partition_violations(df: DataFrame) -> list[str]:
+    """SinglePartition exchanges whose substantive child is NOT an
+    aggregate — the structural cliff operators/globalorder.py removes."""
+    return [
+        c for c in single_partition_children(df) if "Aggregate" not in c
+    ]

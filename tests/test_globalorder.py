@@ -61,6 +61,48 @@ def test_decimal_running_sum_exact(spark):
     release(res)
 
 
+def test_running_sum_with_nulls_matches_window(spark):
+    """SUM OVER ignores NULLs: partitions whose prefix is all-NULL must
+    inherit the broadcast offset, not null it out (r10 advice item)."""
+    # vals NULL for the whole first third of the order → early range
+    # partitions have NULL local prefixes while later offsets are non-NULL,
+    # and (reversed) non-NULL locals meet a NULL offset in partition 0.
+    df = spark.range(0, 9_000).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") >= 3_000, (F.col("id") % 7).cast("long")).alias(
+            "val"
+        ),
+    )
+    for order in ([F.col("tie").asc()], [F.col("tie").desc()]):
+        res, totals, n = with_global_order(df, order, running={"cum": "val"})
+        assert n == 9_000
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = df.withColumn("ref_cum", F.sum("val").over(w))
+        bad = (
+            res.join(ref.select("tie", "ref_cum"), "tie", "full")
+            .filter(~F.col("cum").eqNullSafe(F.col("ref_cum")))
+            .count()
+        )
+        assert bad == 0
+        assert totals["cum"] == sum(i % 7 for i in range(3_000, 9_000))
+        release(res)
+
+
+def test_running_sum_all_null(spark):
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("tie"),
+        F.lit(None).cast("long").alias("val"),
+    )
+    res, totals, n = with_global_order(
+        df, [F.col("tie").asc()], running={"cum": "val"}
+    )
+    assert n == 2_000 and totals["cum"] is None
+    assert res.filter(F.col("cum").isNotNull()).count() == 0
+    release(res)
+
+
 @pytest.mark.parametrize("n_rows,k", [(100, 4), (103, 4), (7, 10), (1, 3)])
 def test_ntile_formula_matches_window_ntile(spark, n_rows, k):
     df = spark.range(n_rows).select(F.col("id").alias("tie"))
@@ -99,6 +141,7 @@ def test_rewritten_queries_have_no_single_partition_window(spark, sf_dir):
     direct child must be a partial aggregate, never a scan/sort/window/
     project over data rows."""
     import bdt_spark.plans as plans
+    from bdt_spark.planaudit import single_partition_violations
 
     for name in (
         "features_quantile_binning",
@@ -108,15 +151,8 @@ def test_rewritten_queries_have_no_single_partition_window(spark, sf_dir):
         "text_feature_auc_mann_whitney",
     ):
         df = plans.get_query(name).fn(spark, sf_dir)
-        lines = (
-            df._jdf.queryExecution().executedPlan().toString().splitlines()
+        bad = single_partition_violations(df)
+        assert not bad, (
+            f"{name}: SinglePartition over non-aggregate children: {bad}"
         )
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            child = lines[i + 1] if i + 1 < len(lines) else ""
-            assert "Aggregate" in child, (
-                f"{name}: SinglePartition over non-aggregate child: "
-                f"{child.strip()[:90]}"
-            )
         release(df)

@@ -94,24 +94,21 @@ def audit(name: str, text: str) -> list[str]:
     return flags
 
 
-def single_partition_flags(name: str, tree: str) -> list[str]:
+def single_partition_flags(name: str, df) -> list[str]:
     """Flag Exchange SinglePartition over anything but a partial
     aggregate's final merge (r10): a one-task stage over data rows is
     the structural cliff operators/globalorder.py removes. Queries in
-    BOUNDED_SINGLE_PARTITION are documented few-row exceptions."""
+    BOUNDED_SINGLE_PARTITION are documented few-row exceptions.
+    Walks the JVM plan tree (bdt_spark.planaudit) rather than matching
+    adjacent toString lines (r10 advice item)."""
     if name in BOUNDED_SINGLE_PARTITION:
         return []
-    flags = []
-    lines = tree.splitlines()
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
-            continue
-        child = lines[i + 1].strip() if i + 1 < len(lines) else ""
-        if "Aggregate" not in child:
-            flags.append(
-                f"SinglePartition over non-aggregate: {child[:70]}"
-            )
-    return flags
+    from bdt_spark.planaudit import single_partition_violations
+
+    return [
+        f"SinglePartition over non-aggregate: {child}"
+        for child in single_partition_violations(df)
+    ]
 
 
 def main() -> None:
@@ -122,8 +119,7 @@ def main() -> None:
         spec = plans.get_query(name)
         df = spec.fn(spark, sf_dir)
         text = plan_text(df)
-        tree = df._jdf.queryExecution().executedPlan().toString()
-        flags = audit(name, text) + single_partition_flags(name, tree)
+        flags = audit(name, text) + single_partition_flags(name, df)
         print(f"\n===== {name} =====")
         status = "; ".join(flags) if flags else "clean"
         print(f"audit: {status}")
