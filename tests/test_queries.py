@@ -33,6 +33,25 @@ def test_query_runs(spark, sf_dir, name):
     )
 
 
+def test_bench_stable_set_frozen():
+    """bench.py's STABLE_SET is the frozen r01 23-metric comparison set
+    (VERDICT r10 #1). Cross-round `stable_set_total` numbers are only
+    comparable if this list NEVER changes — pin its exact content. If
+    this test fails, you edited STABLE_SET: revert; new queries belong
+    in HEADLINE/PIPELINE, which feed the growing full total."""
+    import hashlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import STABLE_SET
+
+    assert len(STABLE_SET) == 23
+    digest = hashlib.sha256("\n".join(STABLE_SET).encode()).hexdigest()
+    assert digest == (
+        "eca19c14c92d8a8be52d5d652556b515b1c4d956fd50d9d1ae1d9832a5617f60"
+    ), "STABLE_SET content changed — it must stay the frozen r01 list"
+
+
 def test_oracle_coverage():
     specs = plans.all_queries()
     no_oracle = [n for n, s in specs.items() if s.oracle is None]
