@@ -259,8 +259,11 @@ def _zip_global_index(spark: SparkSession, df):
 
 # A float-tied group larger than this is re-matched approximately never in
 # practice (it means >2000 rows identical on EVERY non-float column whose
-# positional zip failed); past the cap the second-chance pass rejects
-# conservatively rather than running an O(V*E) matching on a huge group.
+# positional zip failed); past the cap the second-chance pass raises a
+# LOUD ValueError rather than running an O(V*E) matching on a huge group —
+# never a silent verdict in either direction (a chunked matching cannot be
+# exact: eps-edges cross any fixed chunk boundary, so the honest options
+# are run-it or refuse-to-certify, and we refuse with a diagnosis).
 _REMATCH_CAP = 2000
 
 
@@ -286,27 +289,42 @@ def _float_tied_rematch(
     (Kuhn) maximum matching with the edge predicate mirroring the zip
     predicate: per float column both-null, both-NaN, bitwise-equal, or
     |l-r| < eps (nulls tracked as explicit flags — Arrow folds null into
-    NaN for float64, which must NOT make null match NaN); per map column
-    object equality on the Arrow-decoded values. Groups beyond
-    _REMATCH_CAP rows and NaN-valued map entries still reject
-    conservatively (false-reject possible, false-accept never).
+    NaN for float64, which must NOT make null match NaN). Map columns are
+    canonicalized Spark-side to `array_sort(map_entries(m))` and folded
+    into the GROUP KEY itself: maps compare exactly (no epsilon inside a
+    map), so two rows whose maps differ can never match and grouping by
+    the canonical entries expresses that with Spark's own grouping
+    equality — the same NaN==NaN / -0.0==0.0 normalization the zip
+    predicate's eqNullSafe applies, entry-order-insensitive, and no
+    Arrow-decoded object comparison in pandas (the r10 version compared
+    decoded map objects, which was entry-order-sensitive and rejected
+    NaN-valued entries that Spark equality accepts).
+
+    Groups beyond _REMATCH_CAP rows raise ValueError (refuse-to-certify —
+    never a silent accept OR reject; the pre-r11 silent reject reported
+    "files differ" for files that may match).
 
     Returns True iff every candidate group admits a perfect matching —
     i.e. the files are multiset-equal under epsilon. Exactness argument:
-    a zipped pair is good only if its exact columns are null-safe-equal,
-    so good pairs never cross groups; every row of a group with any bad
-    pair participates in that group's rematch, and groups with no bad
-    pairs were already proven pairwise."""
+    a zipped pair is good only if its exact columns (including canonical
+    map entries) are null-safe-equal, so good pairs never cross groups;
+    every row of a group with any bad pair participates in that group's
+    rematch, and groups with no bad pairs were already proven pairwise."""
     from functools import reduce
     from operator import and_
 
-    exact_cols = [
-        c for c in df1.columns if c not in float_cols and c not in map_cols
-    ]
+    # Maps join the exact/group key as canonical sorted entry arrays
+    # (see docstring); only float columns stay pandas-side.
+    exact_cols = [c for c in df1.columns if c not in float_cols]
+
+    def canon(col, name):
+        if name in map_cols:
+            return F.array_sort(F.map_entries(col)).alias(name)
+        return col.alias(name)
 
     def prep(df):
         # null flags BEFORE Arrow transfer: float64 nulls arrive as NaN
-        cols = list(df.columns) + [
+        cols = [canon(F.col(c), c) for c in df.columns] + [
             F.col(c).isNull().alias(f"__n_{c}") for c in float_cols
         ]
         out = df.select(*cols)
@@ -318,9 +336,11 @@ def _float_tied_rematch(
     gkeys = exact_cols or ["__g"]
 
     if exact_cols:
-        lk = j.filter(bad).select(*[F.col(c) for c in exact_cols])
+        lk = j.filter(bad).select(
+            *[canon(F.col(c), c) for c in exact_cols]
+        )
         rk = j.filter(bad).select(
-            *[F.col(f"__r_{c}").alias(c) for c in exact_cols]
+            *[canon(F.col(f"__r_{c}"), c) for c in exact_cols]
         )
         keys = (
             lk.unionByName(rk)
@@ -334,15 +354,17 @@ def _float_tied_rematch(
         p1 = p1.join(keys, cond, "left_semi")
         p2 = p2.join(keys, cond, "left_semi")
 
-    fcols, mcols, eps = list(float_cols), list(map_cols), float(epsilon)
+    fcols, eps = list(float_cols), float(epsilon)
 
     def match_group(left, right):
         import numpy as np
         import pandas as pd
 
         nl, nr = len(left), len(right)
-        if nl != nr or nl > _REMATCH_CAP:
-            return pd.DataFrame({"ok": [False]})
+        if nl != nr:
+            return pd.DataFrame({"ok": [False], "reason": ["size"]})
+        if nl > _REMATCH_CAP:
+            return pd.DataFrame({"ok": [False], "reason": [f"cap:{nl}"]})
         lv = {c: left[c].to_numpy(dtype="float64") for c in fcols}
         rv = {c: right[c].to_numpy(dtype="float64") for c in fcols}
         ln = {c: left[f"__n_{c}"].to_numpy(dtype=bool) for c in fcols}
@@ -364,12 +386,6 @@ def _float_tied_rematch(
                         )
                     )
                 mask &= both_null | val_ok
-            if mcols:
-                for k in np.nonzero(mask)[0]:
-                    for c in mcols:
-                        if left[c].iloc[i] != right[c].iloc[int(k)]:
-                            mask[k] = False
-                            break
             adj.append(np.nonzero(mask)[0].tolist())
         match_r = [-1] * nr
 
@@ -386,16 +402,30 @@ def _float_tied_rematch(
 
         _sys.setrecursionlimit(max(10000, 10 * nl))
         ok = all(augment(i, [False] * nr) for i in range(nl))
-        return pd.DataFrame({"ok": [ok]})
+        return pd.DataFrame(
+            {"ok": [ok], "reason": [None if ok else "nomatch"]}
+        )
 
     res = (
         p1.groupBy(*gkeys)
         .cogroup(p2.groupBy(*gkeys))
-        .applyInPandas(match_group, "ok boolean")
+        .applyInPandas(match_group, "ok boolean, reason string")
     )
     [r] = res.agg(
-        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_unmatched")
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_unmatched"),
+        F.max(
+            F.when(F.col("reason").startswith("cap:"), F.col("reason"))
+        ).alias("cap"),
     ).collect()
+    if r.cap:
+        raise ValueError(
+            f"compare --epsilon cannot certify these files: a float-tied "
+            f"group of {r.cap.split(':', 1)[1]} rows (identical on every "
+            f"non-float column) exceeds the bipartite-rematch cap "
+            f"_REMATCH_CAP={_REMATCH_CAP}. The files may or may not match "
+            f"within epsilon; rerun with exact comparison (no --epsilon) "
+            f"or add a distinguishing exact column."
+        )
     return (r.n_unmatched or 0) == 0
 
 
@@ -413,9 +443,10 @@ def _compare_epsilon_sorted(
     the exact columns first (exact for <= 1 float column by the uncrossing
     argument), and any remaining zip failures go through
     _float_tied_rematch, which resolves the multi-float-column residual
-    EXACTLY via per-group bipartite matching — so a false reject now
-    requires a group past _REMATCH_CAP or NaN map entries, never merely
-    anti-correlated eps-close floats. Pinned by
+    EXACTLY via per-group bipartite matching (maps fold into the group
+    key via canonical sorted entries) — the only non-exact outcome left
+    is a group past _REMATCH_CAP, which raises a loud ValueError instead
+    of delivering a verdict. Pinned by
     tests/test_compare.py::test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip
     and ::test_hash_mode_epsilon_float_tied_rows_rematch."""
     from bdt_spark.operators.cacheutil import release

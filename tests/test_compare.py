@@ -355,11 +355,13 @@ def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
 
 
-def test_hash_mode_epsilon_rematch_group_cap_rejects(spark, files):
+def test_hash_mode_epsilon_rematch_group_cap_raises(spark, files):
     """A float-tied group past _REMATCH_CAP rows is the one remaining
-    conservative corner: the matching pass refuses the O(V*E) matching
-    and rejects even though a perfect pairing exists. Pin that the cap
-    fails CLOSED (reject), never open (accept)."""
+    non-exact corner. The matching pass refuses the O(V*E) matching and
+    must REFUSE TO CERTIFY with a loud ValueError naming the cap — never
+    a silent accept, and (since r11) never a silent reject either: the
+    pre-r11 silent reject reported "files differ" for files that in this
+    very construction DO match within epsilon."""
     from bdt_spark.operators import compare as cmp_mod
 
     n_fill = cmp_mod._REMATCH_CAP - 1  # group size = cap + 1
@@ -382,8 +384,8 @@ def test_hash_mode_epsilon_rematch_group_cap_rejects(spark, files):
             "y": [1.0, 0.0] + [9.9] * n_fill,
         },
     )
-    res = compare_files(spark, a, b, epsilon=0.08, method="hash")
-    assert not res.ok
+    with pytest.raises(ValueError, match="_REMATCH_CAP"):
+        compare_files(spark, a, b, epsilon=0.08, method="hash")
 
 
 def test_hash_mode_epsilon_rematch_null_vs_nan_not_merged(spark, files):
@@ -426,3 +428,87 @@ def test_hash_mode_epsilon_rematch_null_vs_nan_not_merged(spark, files):
         },
     )
     assert compare_files(spark, c, d, epsilon=0.08, method="hash").ok
+
+
+def _map_table(x, y, entries, value_type=pa.int64()):
+    return pa.table(
+        {
+            "x": pa.array(x, type=pa.float64()),
+            "y": pa.array(y, type=pa.float64()),
+            "m": pa.array(entries, type=pa.map_(pa.string(), value_type)),
+        }
+    )
+
+
+def test_hash_mode_epsilon_rematch_map_entry_order(spark, files, tmp_path):
+    """Maps inside a float-tied group fold into the rematch group key as
+    canonical sorted entries (r10 advice item): equal maps stored with
+    different physical entry order must match, and genuinely different
+    maps must still reject. The anti-correlated (x, y) pair forces every
+    row through the matching pass."""
+    cross_x, cross_y = [0.00, 0.05], [1.0, 0.0]
+
+    def write(name, entries):
+        p = str(tmp_path / name)
+        pq.write_table(_map_table(cross_x, cross_y, entries), p)
+        return p
+
+    a = write("mo_a.parquet", [[("a", 1), ("b", 2)], [("a", 1), ("b", 2)]])
+    # same maps, reversed entry order; floats eps-swapped to force rematch
+    b = str(tmp_path / "mo_b.parquet")
+    pq.write_table(
+        _map_table(
+            [0.04, 0.01],
+            [1.0, 0.0],
+            [[("b", 2), ("a", 1)], [("b", 2), ("a", 1)]],
+        ),
+        b,
+    )
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    # genuinely different map values must still reject
+    c = str(tmp_path / "mo_c.parquet")
+    pq.write_table(
+        _map_table(
+            [0.04, 0.01],
+            [1.0, 0.0],
+            [[("b", 9), ("a", 1)], [("b", 2), ("a", 1)]],
+        ),
+        c,
+    )
+    assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
+
+
+def test_hash_mode_epsilon_rematch_nan_map_entries(spark, files, tmp_path):
+    """NaN-valued map entries were a documented fail-closed corner of the
+    r10 rematch (pandas object equality: NaN != NaN). With maps in the
+    Spark group key, NaN map values follow Spark's grouping equality
+    (NaN == NaN), matching the zip predicate's eqNullSafe on sorted
+    entries — so equal-up-to-NaN maps now certify instead of
+    false-rejecting, and a NaN-vs-number difference still rejects."""
+    nan = float("nan")
+
+    def write(name, x, y, entries):
+        p = str(tmp_path / name)
+        pq.write_table(_map_table(x, y, entries, pa.float64()), p)
+        return p
+
+    a = write(
+        "nm_a.parquet",
+        [0.00, 0.05],
+        [1.0, 0.0],
+        [[("a", nan), ("b", 2.0)], [("a", nan), ("b", 2.0)]],
+    )
+    b = write(
+        "nm_b.parquet",
+        [0.04, 0.01],
+        [1.0, 0.0],
+        [[("b", 2.0), ("a", nan)], [("b", 2.0), ("a", nan)]],
+    )
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    c = write(
+        "nm_c.parquet",
+        [0.04, 0.01],
+        [1.0, 0.0],
+        [[("b", 2.0), ("a", 3.0)], [("b", 2.0), ("a", nan)]],
+    )
+    assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
