@@ -157,7 +157,16 @@ def _fan_out_cpu_stage(df: DataFrame) -> DataFrame:
     round-robin shuffle of the narrow (doc_id, text) projection, never a
     lost fan-out at scale. Scan-less inputs (in-memory relations) report
     zero files and are left untouched — createDataFrame already spreads
-    its slices across defaultParallelism."""
+    its slices across defaultParallelism.
+
+    CONTRACT (r10 advice): the gate assumes the input's CURRENT
+    partitioning comes from its file leaves. An input whose plan has many
+    file leaves but was collapsed by an upstream coalesce(1)/shuffle-to-few
+    would report many files and be left un-fanned. Every call site in this
+    repo (`_encode_docs`, i.e. the encode_doc_* family) passes a direct
+    projection of a table read, never a post-shuffle frame; a new caller
+    with shuffled input should `.repartition(...)` explicitly before the
+    encode stage."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
@@ -175,7 +184,9 @@ def _encode_docs(df: DataFrame, text_col: str, encoder, pixels_fn=None) -> DataF
     per-pixel formula; the JPEG path passes the flat-tile grayscale
     variant); the None/empty-text skip, batching, fan-out, and output
     schema live HERE once so the BMP/PPM, PNG, and JPEG paths cannot
-    drift apart."""
+    drift apart. Callers must pass `df` as a (projection of a) table
+    read, not a post-shuffle frame — see the _fan_out_cpu_stage gate
+    contract."""
     pixels_fn = pixels_fn or _doc_pixels
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
