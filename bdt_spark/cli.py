@@ -53,10 +53,17 @@ def cmd_count(args) -> None:
 def cmd_query(args) -> None:
     # main.rs:60-81, 146-225
     spark = get_spark("bdt_query")
+
+    def announce(name: str, path: str) -> None:
+        # main.rs:163,174 — the README's documented registration lines
+        print(f"Registering table '{name}' for {path}")
+
     if args.tables_dir:
-        register_dir(spark, args.tables_dir)
+        register_dir(spark, args.tables_dir, announce=announce)
     for path in args.table or []:
-        register_table(spark, table_name_from_path(path), path)
+        name = table_name_from_path(path)
+        announce(name, path)
+        register_table(spark, name, path)
     if args.sql and args.sql_file:
         raise SystemExit("provide either --sql or --sql-file, not both")
     if args.sql_file:

@@ -367,8 +367,13 @@ def register_dir(
     directory: str,
     *,
     skip_unsupported: bool = False,
+    announce=None,
 ) -> dict[str, DataFrame]:
     """Register every file in a directory (main.rs:154-166).
+
+    `announce(name, path)`, if given, is called per registered table —
+    the CLI uses it for the reference's "Registering table '<name>' for
+    <path>" lines (main.rs:163,174) without the library printing.
 
     Like the reference, an unsupported extension is an ERROR, not a silent
     skip — main.rs registers every entry and fails on unknown extensions.
@@ -395,6 +400,8 @@ def register_dir(
                 f"{', '.join(sorted(EXTENSION_FORMATS))})"
             ) from None
         name = table_name_from_path(full)
+        if announce is not None:
+            announce(name, full)
         out[name] = register_table(spark, name, full)
     return out
 

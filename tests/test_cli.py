@@ -225,3 +225,81 @@ def test_cli_upsert_init_rejects_duplicate_keys(tmp_path, spark):
     assert not os.path.exists(fresh)  # nothing written
     vroot = str(tmp_path / "vtbl")
     assert main(["upsert", vroot, dup_delta, "--keys", "k", "--versioned"]) != 0
+
+
+def test_readme_documented_ux_contract(tmp_path, capsys):
+    """Golden replay of the reference README's demos (README.md:54-140) —
+    the documented UX a reference user expects after switching: schema's
+    (column_name, data_type, is_nullable) listing, view's --limit row
+    semantics, count's bare number, and query's "Registering table ..."
+    lines (main.rs:163,174) for both --table and --tables before the
+    result grid. Asserts SHAPE (columns, row counts, messages), not
+    engine-specific type spellings."""
+    # --- bdt schema <file> (README.md:56-88) ---
+    assert main(["schema", f"{SF_DIR}/region.parquet"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines[0].split() == ["column_name", "data_type", "is_nullable"]
+    listed = {ln.split()[0]: ln.split()[2] for ln in lines[1:]}
+    assert listed == {"r_regionkey": "YES", "r_name": "YES"}
+
+    # --- bdt view <file> --limit N (README.md:90-112) ---
+    assert main(["view", f"{SF_DIR}/region.parquet", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    data_rows = [
+        ln
+        for ln in out.splitlines()
+        if ln.startswith("|") and "r_name" not in ln
+    ]
+    assert len(data_rows) == 3  # --limit bounds the grid exactly
+    # default limit is 10 (main.rs:30-36); region has 5 rows, all shown
+    assert main(["view", f"{SF_DIR}/region.parquet"]) == 0
+    out = capsys.readouterr().out
+    data_rows = [
+        ln
+        for ln in out.splitlines()
+        if ln.startswith("|") and "r_name" not in ln
+    ]
+    assert len(data_rows) == 5
+
+    # --- bdt count --table <file> ---
+    assert main(["count", "--table", f"{SF_DIR}/region.parquet"]) == 0
+    assert capsys.readouterr().out.strip() == "5"
+
+    # --- bdt query --table ... --sql "SELECT COUNT(*) ..." (README.md:114-126) ---
+    assert (
+        main(
+            [
+                "query",
+                "--table",
+                f"{SF_DIR}/nation.parquet",
+                "--sql",
+                "SELECT COUNT(*) AS n FROM nation",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert (
+        f"Registering table 'nation' for {SF_DIR}/nation.parquet" in out
+    )
+    assert out.index("Registering") < out.index("25")  # message precedes grid
+
+    # --- bdt query --tables <dir> --sql-file <q> (README.md:128-140) ---
+    qfile = tmp_path / "q.sql"
+    qfile.write_text("SELECT r_name FROM region ORDER BY r_name")
+    assert (
+        main(["query", "--tables", SF_DIR, "--sql-file", str(qfile)]) == 0
+    )
+    out = capsys.readouterr().out
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        assert f"Registering table '{t}' for {SF_DIR}/{t}.parquet" in out
+    assert "AFRICA" in out and "EUROPE" in out
