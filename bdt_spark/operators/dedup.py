@@ -1,9 +1,9 @@
 """Reusable dedup operators over arbitrary (id, text) tables.
 
-The oracled queries in plans/pipeline.py pin these semantics against
+The oracled queries in plans/pipeline_dedup.py pin these semantics against
 DuckDB on the fixture `documents` table; this module is the same logic
 parameterized by column names so the CLI (and any caller) can dedup any
-table. plans/pipeline.py delegates its Spark side here — one
+table. plans/pipeline_dedup.py delegates its Spark side here — one
 implementation, two consumers.
 
 Scale summary (same as the query docstrings): shingling is map-only;
@@ -190,7 +190,7 @@ def minhash_pairs(
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
     Exact transplant of the oracled `dedup_minhash_lsh` plan (see
-    plans/pipeline.py for the DuckDB oracle pinning these semantics),
+    plans/pipeline_dedup.py for the DuckDB oracle pinning these semantics),
     parameterized by column names. The oracle models the hot-bucket cap
     at its DEFAULT value, so the gate holds even on corpora where the
     cap triggers; callers overriding `hot_bucket_cap` diverge from the
@@ -327,7 +327,7 @@ def minhash_pairs(
 # Embedding near-dup: sparse sign-LSH buckets + in-bucket spanning window
 # ---------------------------------------------------------------------------
 
-# Default geometry, shared with the oracled queries (plans/pipeline.py
+# Default geometry, shared with the oracled queries (plans/pipeline_dedup.py
 # generates BOTH dialects' SQL from these same constants/planes, so an
 # edit here re-parameterizes the Spark operator AND the DuckDB oracle
 # together). Measured on the 210k-vector sf10 corpus: candidate precision
@@ -451,7 +451,7 @@ def embedding_neardup_pairs(
     buckets and an in-bucket spanning window + log rungs.
 
     Same semantics as the oracled dedup_embedding_cosine query
-    (plans/pipeline.py generates the DuckDB oracle from the same plane
+    (plans/pipeline_dedup.py generates the DuckDB oracle from the same plane
     table), but as a DataFrame plan with ONE materialization of the
     bucketed/normed projection: the SQL-CTE form re-plans that subtree
     for every consumer (~45 exchanges at sf0.1); here `v` is persisted

@@ -1,6 +1,6 @@
 """Streaming event-time operators over the `events` table.
 
-Design (matches the batch queries in plans/pipeline.py so streaming and
+Design (matches the batch queries in the plans/pipeline_* family modules so streaming and
 batch results can be cross-checked — the Kappa-architecture property):
 
 - `read_events_stream`: file-source stream over the fixture parquet. The
@@ -586,7 +586,7 @@ MG_STATE_SCHEMA = StructType(
 def streaming_frequent_items(events: DataFrame, k: int = 12) -> DataFrame:
     """Streaming Misra-Gries heavy hitters via applyInPandasWithState —
     the incremental mirror of the batch `agg_frequent_items_mergeable`
-    query (plans/pipeline.py): per-shard state is AT MOST k weighted
+    query (plans/pipeline_features.py): per-shard state is AT MOST k weighted
     counters plus one error scalar, regardless of how many micro-batches
     or rows flow through. Each batch folds its exact item counts into
     the counters and re-applies the canonical MG prune (subtract the
