@@ -40,6 +40,7 @@ incremental-pipeline writeback the brief's 100 TB scenario needs.
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 import uuid
@@ -136,47 +137,106 @@ def _is_already_exists(e: Exception) -> bool:
     )
 
 
+def _local_path(p: str) -> str:
+    """Strip a file-scheme prefix down to the OS path."""
+    if p.startswith("file://"):
+        return p[7:] or "/"
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 def _commit_manifest(
     spark: SparkSession, root: str, version: int, meta: dict
 ) -> None:
-    """The atomic commit point: exclusive create of the manifest object,
-    then a read-back verification.
+    """The atomic commit point, then a read-back verification.
 
-    The exclusive create is atomic on local FS and HDFS, and maps to a
-    conditional PUT on object stores that support it (S3 If-None-Match
-    needs Hadoop 3.4.1+ with fs.s3a.create.conditional.enabled; GCS
-    preconditions are native) — on those stores the commit IS exclusive.
-    On an S3A stack WITHOUT conditional create, create(overwrite=False)
-    degrades to HEAD-then-PUT and two racing writers can both "succeed"
-    with the last PUT winning. The attempt-token read-backs below are a
-    NARROWED-WINDOW MITIGATION for that stack, not a guarantee: each
-    writer re-reads the manifest (twice, the second after a short delay)
-    and fails with ConcurrentCommitError unless it still sees its own
-    token — this catches any rival PUT that lands before the final
-    read-back, but a rival landing after it is undetectable by reading.
-    Stores without conditional PUT that need hard exclusivity should
-    front the manifest write with an external lock (e.g. DynamoDB, the
-    standard S3 answer before If-None-Match).
+    A manifest must become VISIBLE to readers atomically with its FULL
+    content. A plain exclusive create() is the wrong primitive for that
+    on streaming filesystems: the file becomes visible EMPTY at create
+    time and fills on write/close, so a reader listing the manifest dir
+    in that window json-parses a torn manifest — and a writer crashing
+    mid-stream leaves a permanently empty manifest that current_version
+    points at (r11; the committers-race test's polling reader could hit
+    the window). Per scheme:
+
+    - file/local: write a hidden tmp file, fsync, then hard-LINK it to
+      the manifest name — link(2) is atomic and fails EEXIST, so
+      visibility==content AND exclusivity are one syscall; a crashed
+      writer leaves only tmp garbage, which table_versions' name filter
+      ignores and vacuum can sweep.
+    - hdfs/viewfs: write tmp via the FS API, then fs.rename(tmp, target)
+      — a namenode-atomic metadata op that returns false when the
+      destination exists (the FileSystem rename contract).
+    - object stores: create(overwrite=False) unchanged — a PUT is
+      content-atomic (no partial object is ever readable), and it maps
+      to a conditional PUT where the stack supports it (S3 If-None-Match
+      needs Hadoop 3.4.1+ with fs.s3a.create.conditional.enabled; GCS
+      preconditions are native). On an S3A stack WITHOUT conditional
+      create it degrades to HEAD-then-PUT where two racing writers can
+      both "succeed" with the last PUT winning; the attempt-token
+      read-backs below are a NARROWED-WINDOW MITIGATION for that stack,
+      not a guarantee — each writer re-reads the manifest (twice, the
+      second after a short delay) and fails with ConcurrentCommitError
+      unless it still sees its own token. Stores without conditional PUT
+      that need hard exclusivity should front the manifest write with an
+      external lock (e.g. DynamoDB, the standard S3 answer before
+      If-None-Match).
     """
     fs = _fs(spark, root)
     fs.mkdirs(_jpath(spark, f"{root}/_manifests"))
-    target = _jpath(spark, f"{root}/_manifests/v{version:08d}.json")
+    target_name = f"v{version:08d}.json"
     meta = dict(meta, attempt=uuid.uuid4().hex)
-    try:
-        out = fs.create(target, False)  # overwrite=False -> exclusive
-    except Exception as e:
-        if _is_already_exists(e):
+    payload = json.dumps(meta, sort_keys=True).encode()
+    scheme = root.split("://", 1)[0].lower() if "://" in root else "file"
+    if scheme in ("file", "local"):
+        mdir = _local_path(f"{root}/_manifests")
+        tmp = os.path.join(mdir, f".tmp-{target_name}-{meta['attempt']}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(mdir, target_name))
+        except FileExistsError as e:
             raise ConcurrentCommitError(
                 f"version {version} already committed under {root!r}"
             ) from e
-        raise  # permission / transient IO: surface the real error
-    try:
-        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
-    finally:
-        out.close()
+        finally:
+            os.unlink(tmp)
+    elif scheme in ("hdfs", "viewfs"):
+        tmp_p = _jpath(
+            spark, f"{root}/_manifests/.tmp-{target_name}-{meta['attempt']}"
+        )
+        out = fs.create(tmp_p, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        if not fs.rename(
+            tmp_p, _jpath(spark, f"{root}/_manifests/{target_name}")
+        ):
+            fs.delete(tmp_p, False)
+            raise ConcurrentCommitError(
+                f"version {version} already committed under {root!r}"
+            )
+    else:
+        target = _jpath(spark, f"{root}/_manifests/{target_name}")
+        try:
+            out = fs.create(target, False)  # overwrite=False -> exclusive
+        except Exception as e:
+            if _is_already_exists(e):
+                raise ConcurrentCommitError(
+                    f"version {version} already committed under {root!r}"
+                ) from e
+            raise  # permission / transient IO: surface the real error
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
     # Second, delayed read-back narrows the both-writers-verify-early race
     # window — only worth the fixed sleep on stores whose exclusive create
-    # may be non-atomic (object-store schemes); local FS/HDFS creates are
+    # may be non-atomic (object-store schemes); local FS/HDFS commits are
     # atomic, so one immediate read-back is already just a sanity check
     # and a per-commit sleep would tax every micro-batch for nothing.
     delays = (0.0,) if _scheme_create_is_atomic(root) else (0.0, 0.2)

@@ -477,3 +477,41 @@ def test_lease_nonprotocol_failure_mid_settle_drops_own_candidate(
     # and the version is immediately retryable — no TTL wait
     tok = acquire_commit_lease(spark, root, version=2, settle_s=0.1)
     assert tok
+
+
+def test_commit_visibility_is_atomic_with_content(spark, root):
+    """r11: the commit point must never expose a manifest whose name is
+    visible but whose content is incomplete. On local FS the commit is
+    tmp-write + hardlink, so: (a) the committed manifest parses and
+    carries its payload immediately, (b) no tmp residue survives a
+    successful commit, (c) a crashed writer's tmp garbage (simulated) is
+    invisible to table_versions/current_version and does not block the
+    next commit."""
+    import os
+
+    from bdt_spark.operators.versioned import _commit_manifest, read_manifest
+
+    mdir = os.path.join(root, "_manifests")
+    # (c) simulate a writer that died after tmp-write, before link
+    orphan = os.path.join(mdir, ".tmp-v00000002.json-deadbeef")
+    with open(orphan, "w") as f:
+        f.write("")  # even an EMPTY tmp (crashed pre-payload) must be inert
+    assert table_versions(spark, root) == [1]
+    assert current_version(spark, root) == 1
+
+    _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data-x"})
+    # (a) visible AND complete in one step
+    m = read_manifest(spark, root, 2)
+    assert m["data_dir"] == "data-x" and "attempt" in m
+    assert current_version(spark, root) == 2
+    # (b) the commit's own tmp is gone; only the orphan we planted remains
+    residue = [p for p in os.listdir(mdir) if p.startswith(".tmp-")]
+    assert residue == [".tmp-v00000002.json-deadbeef"]
+
+    # duplicate version -> ConcurrentCommitError, loser leaves no residue
+    # and does NOT clobber the winner's content
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data-y"})
+    assert read_manifest(spark, root, 2)["data_dir"] == "data-x"
+    residue = [p for p in os.listdir(mdir) if p.startswith(".tmp-")]
+    assert residue == [".tmp-v00000002.json-deadbeef"]
