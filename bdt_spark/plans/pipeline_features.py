@@ -314,7 +314,12 @@ _MG_TAIL_SQL = """
       FROM ({items}) i GROUP BY item
     ),
     scored AS (
-      SELECT e.item, e.c, s.est,
+      -- survivors is <= k+1 rows by construction; the local-relation
+      -- summaries give Catalyst no stats, so without the hint this
+      -- planned as a sort-merge join (r11 explain_audit flag). DuckDB
+      -- lexes the hint away as a comment, so the shared tail stays one
+      -- text.
+      SELECT /*+ BROADCAST(s) */ e.item, e.c, s.est,
              CAST(SUM(e.c) OVER () AS BIGINT) AS n
       FROM exact e LEFT JOIN survivors s ON e.item = s.item
     ),
