@@ -2,12 +2,18 @@
 queries from a template grammar, run them on Spark AND DuckDB over the
 same parquet fixtures, and compare results exactly.
 
-This generalizes the per-query oracle gate: instead of 130 hand-written
+This generalizes the per-query oracle gate: instead of the hand-written
 pairs, it samples the (predicate x grouping x aggregate x ordering)
-space. The grammar deliberately stays inside the engines' common
-deterministic subset (cookbook rules): integer/string/date columns,
-decimal-cast sums for anything summed, canonical ORDER BY with explicit
-NULLS ordering, no floats except through ROUND(decimal-cast).
+space plus joins (two- and three-table chains, FULL OUTER), window
+functions (named windows, explicit ROWS/RANGE bounded frames,
+FIRST/NTH_VALUE), set ops, scalar pipelines, date-part grouping,
+IN/EXISTS/scalar subqueries, HAVING, CASE/NULLIF nests, GROUP BY ROLLUP
+with GROUPING() flags, and LIMIT under a unique total order. The grammar
+deliberately stays inside the engines' common deterministic subset
+(cookbook rules): integer/string/date columns, decimal-cast sums for
+anything summed, canonical ORDER BY with explicit NULLS ordering and a
+unique key before any LIMIT, no floats except through
+ROUND(decimal-cast).
 
 Usage: python tools/fuzz_conformance.py [n_cases] [seed]
 Exit 1 on the first mismatching case, printing the SQL for repro.
@@ -228,24 +234,113 @@ def gen_case_projection_query(rng: random.Random) -> str:
     )
 
 
+def gen_threeway_rollup_query(rng: random.Random) -> str:
+    """customer x orders x lineitem chain join under GROUP BY ROLLUP —
+    exercises join reordering across three tables plus the grouping-set
+    null rows both engines must emit identically (GROUPING() flags make
+    a real NULL group distinguishable from a rollup subtotal)."""
+    lim = rng.randint(500, 4000)
+    g1 = rng.choice(["c_mktsegment", "c_nationkey % 5"])
+    g2 = rng.choice(["o_orderstatus", "l_returnflag"])
+    aggs = rng.sample(
+        [
+            "COUNT(*) AS cnt",
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sq",
+            "CAST(MIN(l_orderkey) AS BIGINT) AS mn",
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dc",
+        ],
+        k=rng.randint(2, 3),
+    )
+    return (
+        f"SELECT CAST({g1} AS STRING) AS g1, {g2} AS g2, "
+        f"CAST(GROUPING({g1}) AS BIGINT) AS gf1, "
+        f"CAST(GROUPING({g2}) AS BIGINT) AS gf2, {', '.join(aggs)} "
+        f"FROM customer JOIN orders ON c_custkey = o_custkey "
+        f"JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE o_orderkey <= {lim} "
+        f"GROUP BY ROLLUP({g1}, {g2}) "
+        f"ORDER BY gf1, gf2, g1 NULLS FIRST, g2 NULLS FIRST"
+    )
+
+
+def gen_frame_window_query(rng: random.Random) -> str:
+    """Explicit bounded window frames (ROWS and RANGE, preceding and
+    following) plus FIRST_VALUE/NTH_VALUE — the frame-boundary semantics
+    corner. o_orderkey is unique, so every frame is deterministic."""
+    part = rng.choice(["o_orderstatus", "o_custkey % 7"])
+    lim = rng.randint(150, 900)
+    p, f = rng.randint(1, 5), rng.randint(0, 3)
+    rng_w = rng.randint(2, 40)
+    wfn = rng.sample(
+        [
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER "
+            f"(PARTITION BY {part} ORDER BY o_orderkey "
+            f"ROWS BETWEEN {p} PRECEDING AND {f} FOLLOWING) AS DOUBLE) AS ws",
+            f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY o_orderkey "
+            f"RANGE BETWEEN {rng_w} PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS rc",
+            "CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS fv",
+            "CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS nv",
+            f"CAST(MAX(o_orderkey) OVER (PARTITION BY {part} "
+            f"ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"{f} FOLLOWING) AS BIGINT) AS mx",
+        ],
+        k=rng.randint(2, 3),
+    )
+    return (
+        f"SELECT o_orderkey, {', '.join(sorted(wfn))} FROM orders "
+        f"WHERE o_orderkey <= {lim} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"ORDER BY o_orderkey NULLS FIRST"
+    )
+
+
+def gen_fullouter_limit_query(rng: random.Random) -> str:
+    """FULL OUTER JOIN with per-side unmatched rows, then a LIMIT under a
+    total order (unique key -> deterministic LIMIT in both engines)."""
+    lim_o = rng.randint(500, 4000)
+    lim_c = rng.randint(200, 1500)
+    mod = rng.randint(2, 5)
+    n = rng.randint(20, 200)
+    return (
+        f"SELECT CAST(COALESCE(c_custkey, o_custkey) AS BIGINT) AS k, "
+        f"CAST(c_custkey IS NULL AS BOOLEAN) AS only_o, "
+        f"CAST(o_custkey IS NULL AS BOOLEAN) AS only_c, "
+        f"CAST(COALESCE(o_cnt, 0) AS BIGINT) AS oc "
+        f"FROM (SELECT o_custkey, COUNT(*) AS o_cnt FROM orders "
+        f"      WHERE o_orderkey <= {lim_o} GROUP BY o_custkey) o "
+        f"FULL JOIN (SELECT c_custkey FROM customer "
+        f"      WHERE c_custkey % {mod} = 0 AND c_custkey <= {lim_c}) c "
+        f"ON c_custkey = o_custkey "
+        f"ORDER BY k NULLS FIRST LIMIT {n}"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     r = rng.random()
     if r < 0.1:
         return gen_subquery_query(rng)
-    if r < 0.2:
+    if r < 0.18:
         return gen_date_query(rng)
-    if r < 0.3:
+    if r < 0.26:
         return gen_join_query(rng)
-    if r < 0.4:
+    if r < 0.34:
         return gen_window_query(rng)
-    if r < 0.48:
+    if r < 0.42:
         return gen_setop_query(rng)
-    if r < 0.56:
+    if r < 0.48:
         return gen_scalar_query(rng)
-    if r < 0.62:
+    if r < 0.54:
         return gen_having_query(rng)
-    if r < 0.68:
+    if r < 0.60:
         return gen_case_projection_query(rng)
+    if r < 0.68:
+        return gen_threeway_rollup_query(rng)
+    if r < 0.76:
+        return gen_frame_window_query(rng)
+    if r < 0.82:
+        return gen_fullouter_limit_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
     gcol = rng.choice(cols["str"] + cols["int"])
