@@ -33,6 +33,7 @@ def test_parse_width_roundtrip(n, unit):
 
 @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
                           width=32), min_size=1, max_size=20))
+@settings(deadline=None)  # first call pays arrow/fs warm-up latency
 def test_compare_file_equals_itself(tmp_path_factory, xs):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -85,7 +86,17 @@ def test_asof_matches_bruteforce(spark, case):
             (rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t
         ]
         if matches:
-            exp_t, exp_v = max(matches, key=lambda m: m[0])
+            # mirror the operator's DOCUMENTED tie-break (asof.py): among
+            # right rows sharing the max ts, the greatest payload struct
+            # wins, with NULL ordering below any value. Python's max()
+            # alone would break ties by input order — an over-specified
+            # oracle for an underdetermined input (caught by a fresh
+            # hypothesis draw in r11).
+            exp_t, exp_v = max(
+                matches,
+                key=lambda m: (m[0], m[1] is not None,
+                               m[1] if m[1] is not None else 0.0),
+            )
             assert got[lid] == (to_ts(exp_t), exp_v), f"lid={lid}"
         else:
             assert got[lid] == (None, None), f"lid={lid}"
@@ -99,3 +110,60 @@ def test_gcd_shim_matches_python(spark, a, b):
     from bdt_spark.functions.math import gcd_sql
     [row] = spark.sql(f"SELECT {gcd_sql(str(a), str(b))} AS g").collect()
     assert row.g == math.gcd(a, b)
+
+
+@st.composite
+def _global_order_case(draw):
+    n = draw(st.integers(min_value=1, max_value=50))
+    rows = [
+        (
+            i,
+            draw(st.one_of(st.none(), st.integers(-1000, 1000))),
+            draw(st.integers(0, 4)),
+        )
+        for i in range(n)
+    ]
+    return rows, draw(st.booleans())
+
+
+@given(_global_order_case())
+@settings(max_examples=8, deadline=None)
+def test_global_order_matches_window_form(spark, case):
+    """operators/globalorder.py's range-partition + broadcast-offset
+    running sums and row numbers must equal SUM/ROW_NUMBER() OVER a
+    single-partition window bit-for-bit, for ANY total order and any
+    null placement (hypothesis: the r10 module's core claim)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bdt_spark.operators.cacheutil import release
+    from bdt_spark.operators.globalorder import with_global_order
+
+    rows, desc = case
+    df = spark.createDataFrame(rows, "tie long, val long, grp long")
+    tie = F.col("tie").desc() if desc else F.col("tie").asc()
+    order = [F.col("grp").asc(), tie]  # total: tie is unique
+    res, totals, n = with_global_order(
+        df, order, running={"cum": "val"}, index_col="idx"
+    )
+    assert n == len(rows)
+    w = Window.orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select(
+        "tie",
+        F.sum("val").over(wsum).alias("rcum"),
+        F.row_number().over(w).cast("long").alias("ridx"),
+    )
+    bad = (
+        res.join(ref, "tie")
+        .filter(
+            ~F.col("cum").eqNullSafe(F.col("rcum"))
+            | (F.col("idx") != F.col("ridx"))
+        )
+        .count()
+    )
+    release(res)
+    assert bad == 0
+    py_total = sum(v for _, v, _ in rows if v is not None)
+    expect = py_total if any(v is not None for _, v, _ in rows) else None
+    assert totals["cum"] == expect
