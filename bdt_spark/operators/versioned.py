@@ -494,9 +494,10 @@ def vacuum_versions(
 ) -> list[int]:
     """Delete data dirs (and manifests) of all but the newest `keep_last`
     versions, plus orphaned attempt dirs no manifest references (crashed
-    or lost-race commits). Returns removed versions (orphans as their
-    version number). Run only when no reader can still hold a handle older
-    than the retained window.
+    or lost-race commits) and crashed writers' staged .tmp manifest
+    files. Returns removed versions (orphans as their version number).
+    Run only when no reader can still hold a handle older than the
+    retained window.
 
     `orphan_min_age_s`: an unreferenced attempt dir younger than this is
     NOT an orphan — it may belong to an in-flight writer that has staged
@@ -522,8 +523,8 @@ def vacuum_versions(
         fs.delete(_jpath(spark, f"{root}/_manifests/v{v:08d}.json"), False)
         removed.append(v)
     ddir = _jpath(spark, f"{root}/data")
+    cutoff_ms = (_time.time() - orphan_min_age_s) * 1000
     if fs.exists(ddir):
-        cutoff_ms = (_time.time() - orphan_min_age_s) * 1000
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
             m = re.match(r"^v(\d{8})-", name)
@@ -535,4 +536,20 @@ def vacuum_versions(
             ):
                 fs.delete(st.getPath(), True)  # orphan: commit never landed
                 removed.append(int(m.group(1)))
+    # tmp manifest garbage from crashed commits (r11: the commit point
+    # stages .tmp-v...json-<attempt> then links/renames it into place;
+    # winners and clean losers unlink their own tmp, so anything left is
+    # a crash). Same age gate as orphan data dirs: a younger tmp may
+    # belong to a writer currently between tmp-write and link — deleting
+    # it would turn that writer's clean ConcurrentCommitError into a
+    # FileNotFoundError.
+    mdir = _jpath(spark, f"{root}/_manifests")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if (
+                re.match(r"^\.tmp-v(\d{8})\.json-", name)
+                and st.getModificationTime() <= cutoff_ms
+            ):
+                fs.delete(st.getPath(), False)
     return sorted(removed)

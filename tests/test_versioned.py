@@ -499,10 +499,10 @@ def test_commit_visibility_is_atomic_with_content(spark, root):
     assert table_versions(spark, root) == [1]
     assert current_version(spark, root) == 1
 
-    _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data-x"})
+    _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data/v00000002-x"})
     # (a) visible AND complete in one step
     m = read_manifest(spark, root, 2)
-    assert m["data_dir"] == "data-x" and "attempt" in m
+    assert m["data_dir"] == "data/v00000002-x" and "attempt" in m
     assert current_version(spark, root) == 2
     # (b) the commit's own tmp is gone; only the orphan we planted remains
     residue = [p for p in os.listdir(mdir) if p.startswith(".tmp-")]
@@ -511,7 +511,14 @@ def test_commit_visibility_is_atomic_with_content(spark, root):
     # duplicate version -> ConcurrentCommitError, loser leaves no residue
     # and does NOT clobber the winner's content
     with pytest.raises(ConcurrentCommitError):
-        _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data-y"})
-    assert read_manifest(spark, root, 2)["data_dir"] == "data-x"
+        _commit_manifest(spark, root, 2, {"rows": 0, "data_dir": "data/v00000002-y"})
+    assert read_manifest(spark, root, 2)["data_dir"] == "data/v00000002-x"
     residue = [p for p in os.listdir(mdir) if p.startswith(".tmp-")]
     assert residue == [".tmp-v00000002.json-deadbeef"]
+
+    # vacuum sweeps aged-out tmp garbage (orphan_min_age_s=0 here, since
+    # the test cannot wait out the in-flight-writer age gate), but never
+    # the committed manifests themselves
+    vacuum_versions(spark, root, keep_last=2, orphan_min_age_s=0)
+    assert [p for p in os.listdir(mdir) if p.startswith(".tmp-")] == []
+    assert table_versions(spark, root) == [1, 2]
