@@ -10,10 +10,7 @@ module docstring in plans/pipeline.py for the cross-engine determinism and
 """
 
 
-
 from __future__ import annotations
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -21,7 +18,6 @@ from __future__ import annotations
 # ---------------------------------------------------------------------------
 
 K_HASH = 8          # minhash signature length
-
 
 
 def _spark_shingles(src: str = "text") -> str:
@@ -42,7 +38,6 @@ def _spark_shingles(src: str = "text") -> str:
     )
 
 
-
 def _duck_shingles(src: str = "text") -> str:
     w = f"string_split(lower({src}), ' ')"
     return (
@@ -51,14 +46,11 @@ def _duck_shingles(src: str = "text") -> str:
     )
 
 
-
 N_MD5_SEEDS = K_HASH // 4  # each md5 digest yields four 8-hex-char lanes
-
 
 
 def _shingles(dialect: str) -> str:
     return _spark_shingles() if dialect == "spark" else _duck_shingles()
-
 
 
 def _shingle_stream(dialect: str) -> str:
@@ -68,7 +60,6 @@ def _shingle_stream(dialect: str) -> str:
     the query cost at sf1). The outer form's empty-array NULL rows never
     survive the downstream equi joins, so results are identical."""
     return "explode_outer(shingles)" if dialect == "spark" else "unnest(shingles)"
-
 
 
 def _word_stream(dialect: str) -> str:
@@ -81,12 +72,10 @@ def _word_stream(dialect: str) -> str:
     return "unnest(string_split(lower(text), ' '))"
 
 
-
 # --- embedding cosine (near-dup + ANN) --------------------------------------
 
 
 EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md contract);
-
 
 
 # the flat unrolled expressions below are generated for this length.
@@ -107,7 +96,6 @@ def _dot(dialect: str, a: str, b: str) -> str:
     return flat_dot_sql(a, b, EMB_DIM, one_based=dialect != "spark")
 
 
-
 def _norm(dialect: str, e: str) -> str:
     """Euclidean norm — same shared generator (see _dot).
 
@@ -116,7 +104,6 @@ def _norm(dialect: str, e: str) -> str:
     from bdt_spark.operators.dedup import flat_norm_sql
 
     return flat_norm_sql(e, EMB_DIM, one_based=dialect != "spark")
-
 
 
 def _cos_pre(dialect: str, a: str, b: str, a_nrm: str, b_nrm: str) -> str:

@@ -8,14 +8,12 @@ and SQL byte-identical to the pre-split module.
 """
 
 
-
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from bdt_spark.plans.registry import dsum, query, sql_query
 from bdt_spark.sources.io import load_fixture_tables
-
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +44,6 @@ sql_query(
 )
 
 
-
 sql_query(
     "events_hopping_window",
     f"""
@@ -74,7 +71,6 @@ sql_query(
     doc="30-min windows hopping every 15 min; oracle expands each event "
     "into its two overlapping hops.",
 )
-
 
 
 sql_query(
@@ -113,7 +109,6 @@ sql_query(
     doc="1-hour-gap session windows per user (Spark session_window); oracle "
     "derives sessions with the gaps-and-islands pattern.",
 )
-
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +154,6 @@ def events_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
-
 sql_query(
     "events_rolling_time_window",
     f"""
@@ -176,7 +170,6 @@ sql_query(
     doc="Per-user rolling 1-hour aggregates via a time-RANGE window frame — "
     "partitioned by user so state stays bounded per key at any scale.",
 )
-
 
 
 sql_query(
@@ -241,7 +234,6 @@ sql_query(
 )
 
 
-
 sql_query(
     "events_ordered_funnel",
     """
@@ -300,7 +292,6 @@ sql_query(
 )
 
 
-
 def _retention_cohort_sql(dialect: str) -> str:
     ddiff = (
         "DATEDIFF(d, first_day)"
@@ -327,7 +318,6 @@ def _retention_cohort_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_user_retention_cohort",
     _retention_cohort_sql("spark"),
@@ -340,7 +330,6 @@ sql_query(
     "one join (user-keyed, co-partitioned with the distinct), one "
     "cohort aggregate. Dialect-split only on DATEDIFF argument order.",
 )
-
 
 
 def _resample_ffill_sql(dialect: str) -> str:
@@ -376,7 +365,6 @@ def _resample_ffill_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_resample_forward_fill",
     _resample_ffill_sql("spark"),
@@ -396,7 +384,6 @@ sql_query(
     "unnest and the two engines' IGNORE NULLS placements. Output "
     "bounded to user_id < 20.",
 )
-
 
 
 def _skew_report_sql(dialect: str) -> str:
@@ -441,7 +428,6 @@ def _skew_report_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_key_skew_report",
     _skew_report_sql("spark"),
@@ -461,7 +447,6 @@ sql_query(
     "split: percentile vs quantile_cont (same interpolation on exact "
     "BIGINT operands).",
 )
-
 
 
 sql_query(
@@ -511,7 +496,6 @@ sql_query(
 )
 
 
-
 def _trend_forecast_sql(dialect: str) -> str:
     if dialect == "spark":
         dayix = "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')"
@@ -555,7 +539,6 @@ def _trend_forecast_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_linear_trend_forecast",
     _trend_forecast_sql("spark"),
@@ -575,7 +558,6 @@ sql_query(
     "At 100 TB the daily rollup is the only corpus-sized stage. "
     "Dialect split: DATEDIFF argument order vs DATE_DIFF('day', ...).",
 )
-
 
 
 def _anomaly_mad_sql(dialect: str) -> str:
@@ -612,7 +594,6 @@ def _anomaly_mad_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_anomaly_robust_zscore",
     _anomaly_mad_sql("spark"),
@@ -633,7 +614,6 @@ sql_query(
     "linear interpolation, and the scoring arithmetic is IEEE-"
     "deterministic. Dialect split: PERCENTILE vs QUANTILE_CONT.",
 )
-
 
 
 def _twap_sql(dialect: str) -> str:
@@ -669,7 +649,6 @@ def _twap_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_time_weighted_average",
     _twap_sql("spark"),
@@ -687,7 +666,6 @@ sql_query(
     "IEEE-identical; both weighted sums decimal-pinned. plain_avg "
     "sits alongside to show the bias TWAP corrects.",
 )
-
 
 
 sql_query(
@@ -729,7 +707,6 @@ sql_query(
 )
 
 
-
 _SCD2_CHANGES_SQL = """
       SELECT o_custkey AS k, status, d AS ts, seq FROM (
         SELECT o_custkey, status, d,
@@ -749,13 +726,11 @@ _SCD2_CHANGES_SQL = """
 """
 
 
-
 _SCD2_PROBES_SQL = """
       SELECT o.o_custkey AS k, l.l_shipdate AS ts, l.l_orderkey
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_custkey % 50 = 0 AND l.l_linenumber = 1
 """
-
 
 
 sql_query(
@@ -813,7 +788,6 @@ sql_query(
 )
 
 
-
 def _time_grain_rollup_sql(dialect: str) -> str:
     # Spark spells multi-grain GROUPING SETS over computed columns most
     # robustly via pre-projected grain columns; both engines share that
@@ -841,7 +815,6 @@ def _time_grain_rollup_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_time_grain_rollup",
     _time_grain_rollup_sql("spark"),
@@ -859,7 +832,6 @@ sql_query(
     "is unambiguous). Decimal-pinned sums; identical SQL both "
     "engines; buckets already TIMESTAMP so no repr divergence.",
 )
-
 
 
 def _ewma_sql(dialect: str) -> str:
@@ -891,7 +863,6 @@ def _ewma_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "events_ewma_smoothing",
     _ewma_sql("spark"),
@@ -910,7 +881,6 @@ sql_query(
     "any corpus scale; the corpus-sized stage is only the day-count "
     "aggregate), bounded at 16 partners per row.",
 )
-
 
 
 sql_query(
@@ -968,7 +938,6 @@ sql_query(
 )
 
 
-
 sql_query(
     "orders_market_basket_lift",
     """
@@ -1020,7 +989,6 @@ sql_query(
 )
 
 
-
 _RFM_PER_CUST = """
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
@@ -1029,7 +997,6 @@ _RFM_PER_CUST = """
                   AS DECIMAL(30,8)) AS monetary
       FROM orders GROUP BY o_custkey
     """
-
 
 
 _RFM_TAIL = """
@@ -1044,7 +1011,6 @@ _RFM_TAIL = """
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
     """
-
 
 
 @query(
@@ -1106,7 +1072,6 @@ def customer_rfm_segmentation(spark, sf_dir):
     return transfer_ownership(out, *owned)
 
 
-
 _PARETO_PART_REV = """
       SELECT l_partkey,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -1115,13 +1080,11 @@ _PARETO_PART_REV = """
     """
 
 
-
 _PARETO_CLASS_CASE = """
              CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
                   WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
                   ELSE 'C' END AS abc_class
     """
-
 
 
 # Spark tail: total_rev is a per-row literal (grand total from the
@@ -1142,7 +1105,6 @@ _PARETO_SPARK_TAIL = f"""
     GROUP BY abc_class
     ORDER BY abc_class
     """
-
 
 
 @query(
@@ -1211,7 +1173,6 @@ def lineitem_pareto_abc(spark, sf_dir):
     return transfer_ownership(out, go_res)
 
 
-
 def _ship_sla_sql(dialect: str) -> str:
     if dialect == "spark":
         lag = ("DATEDIFF(CAST(l.l_shipdate AS DATE), "
@@ -1243,7 +1204,6 @@ def _ship_sla_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "lineitem_shipping_sla_percentiles",
     _ship_sla_sql("spark"),
@@ -1260,7 +1220,6 @@ sql_query(
     "percentile spelling, and Spark 0-based vs DuckDB 1-based "
     "array indexing.",
 )
-
 
 
 sql_query(

@@ -9,7 +9,6 @@ its registration name, oracle, and SQL byte-for-byte.
 """
 
 
-
 from __future__ import annotations
 
 from pyspark.sql import functions as F
@@ -27,17 +26,13 @@ from bdt_spark.plans._pipecommon import (
 )
 
 
-
 N_BANDS = 4         # LSH bands (rows per band = K_HASH / N_BANDS = 2)
-
 
 
 JACCARD_T = 0.5     # verification threshold
 
 
-
 SIM_BITS = 16       # simhash fingerprint width
-
 
 
 def _md5_cols(dialect: str, k_hash: int = K_HASH) -> str:
@@ -49,7 +44,6 @@ def _md5_cols(dialect: str, k_hash: int = K_HASH) -> str:
             f"md5(concat('{i}#', s)) AS m{i}" for i in range(n_seeds)
         )
     return ", ".join(f"md5('{i}#' || s) AS m{i}" for i in range(n_seeds))
-
 
 
 def _lane_mins(dialect: str, k_hash: int = K_HASH) -> str:
@@ -64,7 +58,6 @@ def _lane_mins(dialect: str, k_hash: int = K_HASH) -> str:
     return ",\n         ".join(out)
 
 
-
 def _band_keys(dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS) -> str:
     rows = k_hash // n_bands
     parts = []
@@ -77,7 +70,6 @@ def _band_keys(dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS) -> st
             parts.append(f"'b{b}:' || md5({sig_cat})")
     arr = ", ".join(parts)
     return f"array({arr})" if dialect == "spark" else f"[{arr}]"
-
 
 
 def _minhash_lsh_sql(
@@ -171,7 +163,6 @@ def _minhash_lsh_sql(
     """
 
 
-
 @query(
     "dedup_minhash_lsh",
     oracle=_minhash_lsh_sql("duck"),
@@ -207,7 +198,6 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-
 @query(
     "dedup_minhash_lsh_k64",
     oracle=_minhash_lsh_sql("duck", 64, 16),
@@ -240,7 +230,6 @@ def dedup_minhash_lsh_k64(spark, sf_dir):
     )
 
 
-
 # --- exact dedup ------------------------------------------------------------
 
 sql_query(
@@ -270,7 +259,6 @@ sql_query(
 )
 
 
-
 _NORM_DEDUP_CORPUS = """
     corpus AS (
       SELECT doc_id, text FROM documents
@@ -279,7 +267,6 @@ _NORM_DEDUP_CORPUS = """
       FROM documents WHERE doc_id % 25 = 3
     )
 """
-
 
 
 sql_query(
@@ -314,7 +301,6 @@ sql_query(
     "normalized semantics on a fixture that is otherwise duplicate-free "
     "at sf<=0.01.",
 )
-
 
 
 # --- simhash ----------------------------------------------------------------
@@ -364,7 +350,6 @@ def _simhash_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "dedup_simhash",
     _simhash_sql("spark"),
@@ -374,7 +359,6 @@ sql_query(
     "words); groups sharing a fingerprint are near-dup clusters. One narrow "
     "shuffle on doc_id, one on the fingerprint.",
 )
-
 
 
 # --- n-gram Jaccard (blocked pairwise) --------------------------------------
@@ -408,7 +392,6 @@ def _ngram_jaccard_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "dedup_ngram_jaccard",
     _ngram_jaccard_sql("spark"),
@@ -422,7 +405,6 @@ sql_query(
     "leaving a vacuous empty oracle) — while still bounding the in-block "
     "pair count at larger sf.",
 )
-
 
 
 # --- sparse sign-LSH geometry for corpus-wide near-dup ----------------------
@@ -456,17 +438,14 @@ from bdt_spark.operators.dedup import (  # noqa: E402 — geometry lives
 )
 
 
-
 # back-compat aliases (tests and older call sites)
 _sparse_planes = sparse_planes
-
 
 
 def _sparse_band_bucket(dialect: str, band_planes) -> str:
     return sparse_band_bucket_sql(
         band_planes, "embedding", one_based=dialect != "spark"
     )
-
 
 
 def _cosine_neardup_sql(dialect: str = "duck") -> str:
@@ -588,7 +567,6 @@ def _cosine_neardup_sql(dialect: str = "duck") -> str:
     """
 
 
-
 _NEARDUP_CORPUS_SPARK = """
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
@@ -597,7 +575,6 @@ _NEARDUP_CORPUS_SPARK = """
              CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END) AS embedding
     FROM embeddings WHERE vec_id % 20 = 0
 """
-
 
 
 @query(
@@ -626,7 +603,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     corpus = spark.sql(_NEARDUP_CORPUS_SPARK)
     return embedding_neardup_pairs(corpus, n_partitions=n_part)
-
 
 
 # ---------------------------------------------------------------------------
@@ -660,7 +636,6 @@ def _cc_oracle_sql() -> str:
     """
 
 
-
 def _semantic_cc_oracle_sql() -> str:
     """Same recursive-CTE component oracle over the COSINE pair graph."""
     pair_sql = _cosine_neardup_sql("duck")
@@ -683,7 +658,6 @@ def _semantic_cc_oracle_sql() -> str:
     GROUP BY node
     ORDER BY cluster_id, vec_id
     """
-
 
 
 @query(
@@ -750,7 +724,6 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
-
 @query(
     "dedup_connected_components",
     oracle=_cc_oracle_sql(),
@@ -781,7 +754,6 @@ def dedup_connected_components(spark, sf_dir):
     return transfer_ownership(out, cc, src)
 
 
-
 def _survivors_oracle_sql() -> str:
     """Deduped corpus: drop every clustered doc except its cluster's MIN."""
     cc = _cc_oracle_sql()
@@ -798,7 +770,6 @@ def _survivors_oracle_sql() -> str:
     WHERE l.doc_id IS NULL AND d.doc_id < 120
     ORDER BY d.doc_id
     """
-
 
 
 @query(
@@ -827,7 +798,6 @@ def dedup_survivors_corpus(spark, sf_dir):
         .orderBy("doc_id")
     )
     return transfer_ownership(out, clusters)
-
 
 
 def _pagerank_sql(dialect: str, n_iters: int = 3) -> str:
@@ -874,7 +844,6 @@ def _pagerank_sql(dialect: str, n_iters: int = 3) -> str:
     """
 
 
-
 sql_query(
     "graph_pagerank_neardup",
     _pagerank_sql("spark"),
@@ -886,7 +855,6 @@ sql_query(
     "edge list (LSH-bounded, not corpus-sized); unrolling keeps the "
     "whole thing one declarative plan on both engines.",
 )
-
 
 
 # --- round 9: incremental dedup, corpus IDF, cohort retention ---------------
@@ -927,7 +895,6 @@ sql_query(
 )
 
 
-
 def _containment_sql(dialect: str) -> str:
     spark = dialect == "spark"
     shingles = _shingles(dialect)
@@ -962,7 +929,6 @@ def _containment_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "dedup_shingle_containment",
     _containment_sql("spark"),
@@ -981,7 +947,6 @@ sql_query(
     "any division (no NULL/inf divergence). All three measures are "
     "exact integer-ratio arithmetic, identical cross-engine.",
 )
-
 
 
 def _prefix_filter_spark_sql() -> str:
@@ -1036,7 +1001,6 @@ def _prefix_filter_spark_sql() -> str:
     """
 
 
-
 def _prefix_filter_oracle_sql() -> str:
     sh = _duck_shingles()
     return f"""
@@ -1058,7 +1022,6 @@ def _prefix_filter_oracle_sql() -> str:
     WHERE 3 * i >= na + nb
     ORDER BY doc_a, doc_b
     """
-
 
 
 sql_query(

@@ -8,7 +8,6 @@ and SQL byte-identical to the pre-split module.
 """
 
 
-
 from __future__ import annotations
 
 from pyspark.sql import functions as F
@@ -16,7 +15,6 @@ from pyspark.sql import functions as F
 from bdt_spark.plans.registry import query, sql_query
 from bdt_spark.sources.io import load_fixture_tables
 from bdt_spark.plans._pipecommon import _shingle_stream, _shingles, _word_stream
-
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +63,6 @@ def _curation_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "pipeline_curation_end_to_end",
     _curation_sql("spark"),
@@ -76,7 +73,6 @@ sql_query(
     "(first-writer-wins via ranking window) -> per-source token accounting. "
     "One scan, one window shuffle on the hash, one agg shuffle on source.",
 )
-
 
 
 sql_query(
@@ -106,7 +102,6 @@ sql_query(
     "definition; Spark requires them projected in a subquery before "
     "aggregating.)",
 )
-
 
 
 def _curation_v2_sql(dialect: str) -> str:
@@ -160,7 +155,6 @@ def _curation_v2_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "pipeline_curation_v2",
     _curation_v2_sql("spark"),
@@ -172,7 +166,6 @@ sql_query(
     "2048-token packs. One shingle pass feeds both the contamination "
     "join and (via word counts) the repetition gate.",
 )
-
 
 
 sql_query(
@@ -217,7 +210,6 @@ sql_query(
     "guaranteed non-vacuous). Common-subset SQL, oracle is the same "
     "text.",
 )
-
 
 
 sql_query(
@@ -275,9 +267,7 @@ sql_query(
 )
 
 
-
 _MG_K = 12
-
 
 
 _MG_ITEMS_SQL = """
@@ -285,7 +275,6 @@ _MG_ITEMS_SQL = """
            CAST(user_id % (user_id % 31 + 1) AS BIGINT) AS item
     FROM events
 """
-
 
 
 # The merge/prune/assert tail is IDENTICAL in both dialects; only how the
@@ -340,7 +329,6 @@ _MG_TAIL_SQL = """
 """
 
 
-
 def _mg_oracle_sql() -> str:
     k, k1 = _MG_K, _MG_K + 1
     summaries = f"""(
@@ -365,7 +353,6 @@ def _mg_oracle_sql() -> str:
       SELECT shard, CAST(-1 AS BIGINT) AS item, t AS est FROM sh_t
     )"""
     return _MG_TAIL_SQL.format(summaries=summaries, items=_MG_ITEMS_SQL, k1=k1)
-
 
 
 @query(
@@ -442,9 +429,7 @@ def agg_frequent_items_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 _BLOOM_WORDS = 65536  # 32-bit words -> 2,097,152-bit filter
-
 
 
 def _bloom_semi_join_sql(dialect: str) -> str:
@@ -534,7 +519,6 @@ def _bloom_semi_join_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "join_bloom_filter_pruning",
     _bloom_semi_join_sql("spark"),
@@ -558,7 +542,6 @@ sql_query(
     "deterministic integer arithmetic. Dialect split: CONV vs '0x' "
     "cast for hex lanes, DIV vs //, SHIFTLEFT vs <<.",
 )
-
 
 
 def _profile_sql(dialect: str) -> str:
@@ -611,7 +594,6 @@ def _profile_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "catalog_table_profile",
     _profile_sql("spark"),
@@ -634,7 +616,6 @@ sql_query(
 )
 
 
-
 _QUANTILE_BIN_TAIL = """
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -646,7 +627,6 @@ _QUANTILE_BIN_TAIL = """
     GROUP BY decile
     ORDER BY decile
     """
-
 
 
 @query(
@@ -692,7 +672,6 @@ def features_quantile_binning(spark, sf_dir):
     binned.createOrReplaceTempView("__go_quantile_binned")
     out = spark.sql(_QUANTILE_BIN_TAIL.format(binned="__go_quantile_binned"))
     return transfer_ownership(out, ordered)
-
 
 
 sql_query(
@@ -743,7 +722,6 @@ sql_query(
     "versioned-table writer (operators/versioned.py) the rewrite "
     "commits atomically. All counts exact cross-engine.",
 )
-
 
 
 sql_query(
@@ -800,7 +778,6 @@ sql_query(
 )
 
 
-
 _KS_PTS = """
       SELECT v,
              CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -811,7 +788,6 @@ _KS_PTS = """
             FROM orders) tagged
       GROUP BY v
     """
-
 
 
 _KS_TAIL = """
@@ -829,7 +805,6 @@ _KS_TAIL = """
                 AS BOOLEAN) AS no_drift_at_1pct
     FROM gaps
     """
-
 
 
 @query(

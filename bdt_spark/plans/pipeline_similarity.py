@@ -7,13 +7,11 @@ and SQL byte-identical to the pre-split module.
 """
 
 
-
 from __future__ import annotations
 
 from bdt_spark.plans.registry import query, sql_query
 from bdt_spark.sources.io import load_fixture_tables
 from bdt_spark.plans._pipecommon import _cos_pre, _norm
-
 
 
 def _topk_bruteforce_sql(dialect: str) -> str:
@@ -46,7 +44,6 @@ def _topk_bruteforce_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "similarity_topk_bruteforce",
     _topk_bruteforce_sql("spark"),
@@ -56,7 +53,6 @@ sql_query(
     "broadcast (tiny); the corpus scan stays fully partitioned; ranking is a "
     "per-query window — the exact-ANN baseline at any scale.",
 )
-
 
 
 # Deterministic pseudo-random hyperplanes for sign-LSH, generated once from
@@ -77,7 +73,6 @@ def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     return out
 
 
-
 def _plane_bucket_expr(dialect: str) -> str:
     """Sign-LSH bucket id from the fixed hyperplane table — the ONE
     construction both similarity_lsh_buckets and similarity_topk_lsh use
@@ -96,7 +91,6 @@ def _plane_bucket_expr(dialect: str) -> str:
     return " + ".join(bits)
 
 
-
 def _lsh_bucket_sql(dialect: str) -> str:
     bucket = _plane_bucket_expr(dialect)
     return f"""
@@ -109,7 +103,6 @@ def _lsh_bucket_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "similarity_lsh_buckets",
     _lsh_bucket_sql("spark"),
@@ -119,7 +112,6 @@ sql_query(
     "buckets. At scale, ANN = shuffle corpus once by bucket, probe each "
     "query only against its own bucket (candidates /= 16 per plane-set).",
 )
-
 
 
 def _lsh_topk_sql(dialect: str) -> str:
@@ -155,7 +147,6 @@ def _lsh_topk_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "similarity_topk_lsh",
     _lsh_topk_sql("spark"),
@@ -164,7 +155,6 @@ sql_query(
     doc="Approximate top-5 neighbors: candidates restricted to the query's "
     "sign-LSH bucket, exact cosine + window rank inside the bucket only.",
 )
-
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +184,6 @@ def _centroids_cte(dialect: str) -> str:
     )"""
 
 
-
 sql_query(
     "similarity_ivf_centroids",
     f"""
@@ -214,7 +203,6 @@ sql_query(
     "centroids via one explode + one (label, dim) partial-agg shuffle — "
     "the k-means-assignment-step shape that scales linearly.",
 )
-
 
 
 def _ivf_topk_sql(dialect: str) -> str:
@@ -275,7 +263,6 @@ def _ivf_topk_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "similarity_topk_ivf",
     _ivf_topk_sql("spark"),
@@ -286,7 +273,6 @@ sql_query(
     "cluster. At scale the corpus is bucketed by cluster id, so each probe "
     "scans one bucket instead of the full corpus.",
 )
-
 
 
 @query(
@@ -345,7 +331,6 @@ def similarity_ivf_recall_curve(spark, sf_dir):
     ).orderBy("nprobe")
 
 
-
 def _centroid_sql(dialect: str) -> str:
     spark = dialect == "spark"
     nrm = _norm(dialect, "embedding")
@@ -384,7 +369,6 @@ def _centroid_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "embedding_normalize_centroid",
     _centroid_sql("spark"),
@@ -396,7 +380,6 @@ sql_query(
     "order is moot. Shape at scale: one narrow shuffle on (label, dim) "
     "after a map-side partial agg.",
 )
-
 
 
 def _pca_power_sql(dialect: str) -> str:
@@ -474,7 +457,6 @@ def _pca_power_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "embedding_pca_power_iteration",
     _pca_power_sql("spark"),
@@ -497,7 +479,6 @@ sql_query(
     "top-component removal (all-but-the-top common-component "
     "denoising) and PCA whitening ahead of ANN indexing.",
 )
-
 
 
 def _quantize_int8_sql(dialect: str) -> str:
@@ -554,7 +535,6 @@ def _quantize_int8_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "embedding_quantize_int8",
     _quantize_int8_sql("spark"),
@@ -576,7 +556,6 @@ sql_query(
     "calibration + error profile; q_min/q_max pin the int8 range "
     "[-128, 127].",
 )
-
 
 
 def _mutual_knn_sql(dialect: str) -> str:
@@ -605,7 +584,6 @@ def _mutual_knn_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "similarity_mutual_knn_graph",
     _mutual_knn_sql("spark"),
@@ -626,7 +604,6 @@ sql_query(
     "through the shared unrolled-chain dot (same IEEE order both "
     "engines), ROUND(6) on output only.",
 )
-
 
 
 def _centroid_drift_sql(dialect: str) -> str:
@@ -667,7 +644,6 @@ def _centroid_drift_sql(dialect: str) -> str:
     FROM dist
     ORDER BY label
     """
-
 
 
 sql_query(

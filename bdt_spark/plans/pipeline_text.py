@@ -9,7 +9,6 @@ and SQL byte-identical to the pre-split module.
 """
 
 
-
 from __future__ import annotations
 
 from pyspark.sql import functions as F
@@ -19,13 +18,11 @@ from bdt_spark.sources.io import load_fixture_tables
 from bdt_spark.plans._pipecommon import _shingle_stream, _shingles, _word_stream
 
 
-
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
 _STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
-
 
 
 def _quality_sql(dialect: str) -> str:
@@ -60,7 +57,6 @@ def _quality_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_quality_scores",
     _quality_sql("spark"),
@@ -70,7 +66,6 @@ sql_query(
     "punct ratios) + a boolean gate — the C4-style quality filter shape. "
     "Pure map-side, no shuffle.",
 )
-
 
 
 def _langid_sql(dialect: str) -> str:
@@ -121,7 +116,6 @@ def _langid_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_langid_heuristic",
     _langid_sql("spark"),
@@ -130,7 +124,6 @@ sql_query(
     doc="N-gram-marker language-ID heuristic (argmax of marker-substring "
     "counts, first-wins tie-break). Map-side only.",
 )
-
 
 
 def _token_count_sql(dialect: str) -> str:
@@ -153,7 +146,6 @@ def _token_count_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_token_counts",
     _token_count_sql("spark"),
@@ -162,7 +154,6 @@ sql_query(
     doc="Corpus token accounting per source: whitespace tokens and a BPE-ish "
     "regex token count (letter-runs / digit-runs / single symbols).",
 )
-
 
 
 def _fingerprint_sql(dialect: str) -> str:
@@ -185,7 +176,6 @@ def _fingerprint_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_fingerprint",
     _fingerprint_sql("spark"),
@@ -194,7 +184,6 @@ sql_query(
     doc="Document fingerprints: md5 of whitespace-normalized text plus a "
     "winnowing-style min-shingle-hash fingerprint.",
 )
-
 
 
 sql_query(
@@ -220,7 +209,6 @@ sql_query(
     "this is a single range-partitioned sort producing shard files in "
     "epoch order.",
 )
-
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +257,6 @@ sql_query(
 )
 
 
-
 # ---------------------------------------------------------------------------
 # round-2 pipeline depth: stratified sampling, PII redaction, top-k terms,
 # sequence packing, embedding centroids
@@ -295,7 +282,6 @@ def _stratified_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "sample_stratified_exact",
     _stratified_sql("spark"),
@@ -307,7 +293,6 @@ sql_query(
     "key; for heavy strata swap row_number for a per-stratum hash "
     "threshold (no sort) at the cost of approximate counts.",
 )
-
 
 
 def _pii_sql(dialect: str) -> str:
@@ -350,7 +335,6 @@ def _pii_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_pii_redaction",
     _pii_sql("spark"),
@@ -361,7 +345,6 @@ sql_query(
     "contact strings are appended first). Pure regexp_replace — "
     "whole-stage codegen, no UDF.",
 )
-
 
 
 def _lang_temperature_sql(dialect: str) -> str:
@@ -420,7 +403,6 @@ def _lang_temperature_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "sample_language_temperature",
     _lang_temperature_sql("spark"),
@@ -433,7 +415,6 @@ sql_query(
     "the doc scan is one pass; the allocation table is driver-size at any "
     "corpus scale.",
 )
-
 
 
 def _topk_terms_sql(dialect: str) -> str:
@@ -458,7 +439,6 @@ def _topk_terms_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_topk_terms_per_lang",
     _topk_terms_sql("spark"),
@@ -469,7 +449,6 @@ sql_query(
     "map-side; the (lang, word) agg bounds the ranking input to distinct "
     "terms, so the window state stays tiny at any corpus size.",
 )
-
 
 
 def _outlier_clip_sql(dialect: str) -> str:
@@ -494,7 +473,6 @@ def _outlier_clip_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_outlier_clipping",
     _outlier_clip_sql("spark"),
@@ -506,7 +484,6 @@ sql_query(
     "lang) and broadcasts; at 100 TB swap exact percentile for "
     "approx_percentile and accept the documented sketch divergence.",
 )
-
 
 
 def _repetition_sql(dialect: str) -> str:
@@ -538,7 +515,6 @@ def _repetition_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_repetition_filter",
     _repetition_sql("spark"),
@@ -549,7 +525,6 @@ sql_query(
     "shuffles — (doc, word) then doc — both map-side combinable; no "
     "window over raw words.",
 )
-
 
 
 def _decontam_sql(dialect: str) -> str:
@@ -577,7 +552,6 @@ def _decontam_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_benchmark_decontamination",
     _decontam_sql("spark"),
@@ -589,7 +563,6 @@ sql_query(
     "corpus side is one explode + equi join + per-doc agg — never "
     "pairwise doc x doc.",
 )
-
 
 
 def _substring_contam_sql(dialect: str) -> str:
@@ -631,7 +604,6 @@ def _substring_contam_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_substring_contamination",
     _substring_contam_sql("spark"),
@@ -644,7 +616,6 @@ sql_query(
     "per snippet — at real benchmark sizes this becomes an Aho-Corasick "
     "pass inside mapInPandas, same join shape.",
 )
-
 
 
 def _dup_span_sql(dialect: str) -> str:
@@ -682,7 +653,6 @@ def _dup_span_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_duplicate_span_ratio",
     _dup_span_sql("spark"),
@@ -694,7 +664,6 @@ sql_query(
     "docs; one (shingle) agg shuffle + one join back — linear in corpus "
     "shingle volume, never doc x doc.",
 )
-
 
 
 def _unigram_logprob_sql(dialect: str) -> str:
@@ -725,7 +694,6 @@ def _unigram_logprob_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_unigram_logprob_score",
     _unigram_logprob_sql("spark"),
@@ -738,7 +706,6 @@ sql_query(
     "sums of logs are order-sensitive). One word-freq shuffle + one "
     "doc shuffle; the freq table broadcasts at probe time.",
 )
-
 
 
 def _weighted_sample_sql(dialect: str) -> str:
@@ -760,7 +727,6 @@ def _weighted_sample_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "sample_weighted_deterministic",
     _weighted_sample_sql("spark"),
@@ -772,7 +738,6 @@ sql_query(
     "any partitioning, any retry — rand()-free. Plans as TopK "
     "(TakeOrderedAndProject), no full sort.",
 )
-
 
 
 def _idf_rarity_sql(dialect: str) -> str:
@@ -805,7 +770,6 @@ def _idf_rarity_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_idf_rarity_score",
     _idf_rarity_sql("spark"),
@@ -822,7 +786,6 @@ sql_query(
     "broadcasts. Output bounded to doc_id < 300; the IDF statistics "
     "are computed over the FULL corpus.",
 )
-
 
 
 def _tfidf_cosine_sql(dialect: str) -> str:
@@ -876,7 +839,6 @@ def _tfidf_cosine_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_tfidf_topk_similar",
     _tfidf_cosine_sql("spark"),
@@ -908,7 +870,6 @@ sql_query(
     "index, never index x index. IDF statistics and norms are computed "
     "over the FULL corpus; output is top-3 per probe doc.",
 )
-
 
 
 def _nb_langid_sql(dialect: str) -> str:
@@ -977,7 +938,6 @@ def _nb_langid_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_naive_bayes_langid",
     _nb_langid_sql("spark"),
@@ -998,7 +958,6 @@ sql_query(
     "join; the per-candidate fan-out is |langs| (bounded), and the "
     "final argmax + confusion matrix are doc-keyed aggs. ",
 )
-
 
 
 def _inverted_index_sql(dialect: str) -> str:
@@ -1054,7 +1013,6 @@ def _inverted_index_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_inverted_index",
     _inverted_index_sql("spark"),
@@ -1076,7 +1034,6 @@ sql_query(
     "VIEW explode+split vs unnest+string_split_regex, and the two "
     "engines' filtered list-aggregate spellings.",
 )
-
 
 
 def _pmi_lift_sql(dialect: str) -> str:
@@ -1131,7 +1088,6 @@ def _pmi_lift_sql(dialect: str) -> str:
     """
 
 
-
 sql_query(
     "text_pmi_cooccurrence",
     _pmi_lift_sql("spark"),
@@ -1157,14 +1113,12 @@ sql_query(
 )
 
 
-
 _AUC_SCORED = """
       SELECT doc_id,
              CAST(CAST(lang = 'fr' AS INT) AS BIGINT) AS is_pos,
              CAST(LENGTH(text) AS DOUBLE) AS score
       FROM documents
     """
-
 
 
 _AUC_FINAL = """
@@ -1176,7 +1130,6 @@ _AUC_FINAL = """
              AS auc
     FROM {sums}
     """
-
 
 
 @query(
@@ -1255,7 +1208,6 @@ def text_feature_auc_mann_whitney(spark, sf_dir):
     return transfer_ownership(out, go_res)
 
 
-
 def _winnowing_sql(dialect: str) -> str:
     # k = 8 char-gram, w = 4 window (guarantee: any shared run of
     # >= w + k - 1 = 11 chars yields a shared fingerprint).
@@ -1315,7 +1267,6 @@ def _winnowing_sql(dialect: str) -> str:
     ORDER BY n_shared DESC, doc_a, doc_b
     LIMIT 50
     """
-
 
 
 sql_query(

@@ -7,7 +7,6 @@ N_PACK_SHARDS remain importable via bdt_spark.plans.pipeline.
 """
 
 
-
 from __future__ import annotations
 
 from pyspark.sql import functions as F
@@ -16,9 +15,7 @@ from bdt_spark.plans.registry import query, sql_query
 from bdt_spark.sources.io import load_fixture_tables
 
 
-
 PACK_BUDGET = 2048
-
 
 
 def _first_fit_pack(pdf):
@@ -37,7 +34,6 @@ def _first_fit_pack(pdf):
         pack_ids.append(pid)
     pdf["pack_id"] = pack_ids
     return pdf
-
 
 
 def _packing_oracle_sql() -> str:
@@ -69,7 +65,6 @@ def _packing_oracle_sql() -> str:
     GROUP BY lang, pack_id
     ORDER BY lang, pack_id
     """
-
 
 
 @query(
@@ -105,7 +100,6 @@ def tokens_sequence_packing(spark, sf_dir):
         )
         .orderBy("lang", "pack_id")
     )
-
 
 
 def _packing_efficiency_oracle_sql() -> str:
@@ -144,7 +138,6 @@ def _packing_efficiency_oracle_sql() -> str:
            TRUE AS bfd_lower_bound_ok
     FROM bins GROUP BY lang ORDER BY lang
     """
-
 
 
 @query(
@@ -230,9 +223,7 @@ def tokens_packing_efficiency(spark, sf_dir):
     ).orderBy("lang")
 
 
-
 N_PACK_SHARDS = 4
-
 
 
 def _packing_sharded_oracle_sql() -> str:
@@ -264,7 +255,6 @@ def _packing_sharded_oracle_sql() -> str:
     GROUP BY lang, shard, pack_id
     ORDER BY lang, shard, pack_id
     """
-
 
 
 @query(
@@ -301,7 +291,6 @@ def tokens_sequence_packing_sharded(spark, sf_dir):
         )
         .orderBy("lang", "shard", "pack_id")
     )
-
 
 
 def _bpe_pairs_sql(dialect: str) -> str:
@@ -353,7 +342,6 @@ def _bpe_pairs_sql(dialect: str) -> str:
     ORDER BY p.freq DESC, p.left_c, p.right_c
     LIMIT 10
     """
-
 
 
 sql_query(
