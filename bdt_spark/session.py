@@ -70,6 +70,12 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # In local mode the driver JVM IS every executor. 8g measured
+        # FASTER than a 48g heap for the explode-heavy queries (sf10
+        # text_pmi_cooccurrence: 15 s at 8g vs 44 s at 48g — the small
+        # heap keeps G1 young-gen cache-resident), so do not "fix" GC
+        # pressure by inflating this; size per-deployment on a real
+        # cluster (spark.executor.memory there).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in _DEFAULTS.items():

@@ -411,13 +411,58 @@ def register_dir(
 _FIXTURES_LOADED: dict[int, str] = {}
 
 
+# Tables whose queries do heavy per-ROW CPU right above the scan (char-gram
+# md5, shingling, token scoring): an under-split scan serializes that work,
+# and the rows are narrow enough that one extra exchange is noise next to
+# it. Measured at sf10, documents fan-out: winnowing 166 s -> 46 s, TF-IDF
+# 91 s -> 19 s, NB langid 144 s -> 98 s, prefix-Jaccard 20 s -> 12 s. The
+# relational tables are deliberately NOT here — their first stage is a
+# cheap partial aggregate where an added corpus shuffle costs more than
+# the scan skew (measured: tpch_q1 at sf0.1 went 0.40 s -> 0.97 s with
+# lineitem fanned out). `embeddings` is excluded too: its queries run
+# operator pipelines with their own persist/bucket/window structure, and
+# fanning their input measured NET NEGATIVE (dedup_embedding_cosine at
+# sf10: 12.6 s -> 41 s) — the per-vector fold is JVM-cheap enough that
+# the extra exchange and the disrupted operator partitioning dominate.
+_CPU_HEAVY_TABLES = frozenset({"documents"})
+
+
+def _parquet_scan_splits(path: str) -> int:
+    """Splittable scan units of a parquet file = its ROW-GROUP count.
+
+    Spark carves files into byte-range splits, but a split that contains
+    no row-group start reads nothing — so a 10 MB single-row-group file
+    yields ONE working scan task no matter how many byte ranges the
+    planner emits. Driver-side footer peek, no Spark job."""
+    import pyarrow.parquet as pq
+
+    try:
+        return max(1, pq.read_metadata(path).num_row_groups)
+    except Exception:
+        return 1 << 30  # unknown layout: assume wide, never add a shuffle
+
+
 def load_fixture_tables(
     spark: SparkSession,
     sf_dir: str,
     tables: tuple[str, ...] = FIXTURE_TABLES,
     force: bool = False,
 ) -> dict[str, DataFrame]:
-    """Register the driver's fixture tables (TESTDATA.md) as temp views."""
+    """Register the driver's fixture tables (TESTDATA.md) as temp views.
+
+    Fan-out gate (r11): a CPU-heavy table (_CPU_HEAVY_TABLES) whose
+    parquet has fewer row groups than the cluster has cores is
+    registered BEHIND a repartition(defaultParallelism). The generated
+    fixtures are single files with 1-5 row groups (sf0.1: every table
+    is ONE row group), so without this the text/embedding queries'
+    dominant stage — scan + the per-row CPU fused above it (md5 grams,
+    shingles, per-vector folds) — ran on that handful of tasks while 32
+    cores idled. The row-group gate makes this a structural no-op at
+    production scale: a real 100 TB table has thousands of row groups,
+    the condition is false, and no corpus-wide shuffle is ever added
+    where the scan already fills the cluster. Filter pushdown and
+    column pruning survive (Catalyst pushes both through a
+    repartition)."""
     # Runtime conf insurance for sessions not built by bdt_spark.session
     # (e.g. the driver's): UTC makes epoch math match DuckDB's UTC-naive
     # timestamps (SURVEY §7 conformance shims).
@@ -434,10 +479,15 @@ def load_fixture_tables(
     # 10 tables on a small thread pool.
     from concurrent.futures import ThreadPoolExecutor
 
+    par = spark.sparkContext.defaultParallelism
+
     def _reg(t: str):
-        return t, register_table(
-            spark, t, os.path.join(sf_dir, f"{t}.parquet")
-        )
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        df = register_table(spark, t, path)
+        if t in _CPU_HEAVY_TABLES and _parquet_scan_splits(path) < par:
+            df = df.repartition(par)
+            df.createOrReplaceTempView(t)
+        return t, df
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
         out = dict(ex.map(_reg, present))
