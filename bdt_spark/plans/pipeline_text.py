@@ -915,7 +915,20 @@ def _nb_langid_sql(dialect: str) -> str:
       CROSS JOIN vocab
     ),
     scored AS (
-      SELECT t.doc_id, t.actual_lang, d.lang AS cand_lang,
+      -- Both hints pin the scoring pipeline to stream the TOKEN side
+      -- (r11; the executed plan previously built/broadcast the corpus
+      -- half of the cross join and STREAMED the 5-row defaults, so the
+      -- join output inherited defaults' near-single partitioning and
+      -- the whole explode+join+aggregate ran serialized — the reason
+      -- this query was ~150 s at sf10). d is |langs| rows; m is
+      -- vocab x langs (15.5k rows at sf10 — megabytes even at 100 TB
+      -- corpus, the classic broadcast-the-model shape) but derives
+      -- from an aggregate whose static estimate is input-sized, which
+      -- also drove a 67M-row sort-merge shuffle on (lang, word) that
+      -- scattered doc locality into every task's partial aggregate
+      -- (the r11 sf10 OOM). DuckDB lexes the hint away as a comment.
+      SELECT /*+ BROADCAST(d, m) */
+             t.doc_id, t.actual_lang, d.lang AS cand_lang,
              CAST(MAX(d.logprior) + SUM(COALESCE(m.logp, d.logp0))
                   AS DOUBLE) AS score
       FROM test_tokens t
