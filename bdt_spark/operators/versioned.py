@@ -202,6 +202,21 @@ def _commit_manifest(
             raise ConcurrentCommitError(
                 f"version {version} already committed under {root!r}"
             ) from e
+        except OSError:
+            # link(2) unsupported on this mount (EPERM/ENOTSUP on some
+            # NFS/FUSE/SMB setups): fall back to exclusive create. Weaker
+            # (visibility precedes content by one write+close), but the
+            # payload is a small single write and exclusivity holds via
+            # O_EXCL — the pre-r11 behavior for these mounts.
+            try:
+                with open(os.path.join(mdir, target_name), "xb") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+            except FileExistsError as e:
+                raise ConcurrentCommitError(
+                    f"version {version} already committed under {root!r}"
+                ) from e
         finally:
             os.unlink(tmp)
     elif scheme in ("hdfs", "viewfs"):
@@ -213,12 +228,23 @@ def _commit_manifest(
             out.write(bytearray(payload))
         finally:
             out.close()
-        if not fs.rename(
-            tmp_p, _jpath(spark, f"{root}/_manifests/{target_name}")
-        ):
+        target_p = _jpath(spark, f"{root}/_manifests/{target_name}")
+        if not fs.rename(tmp_p, target_p):
+            # The FileSystem rename contract returns false for MORE than
+            # dest-exists (missing source, parent problems, quota): only
+            # report a commit race if the destination manifest actually
+            # exists; otherwise surface the rename failure as IO so the
+            # version isn't silently abandoned as an orphaned data dir.
+            dest_exists = fs.exists(target_p)
             fs.delete(tmp_p, False)
-            raise ConcurrentCommitError(
-                f"version {version} already committed under {root!r}"
+            if dest_exists:
+                raise ConcurrentCommitError(
+                    f"version {version} already committed under {root!r}"
+                )
+            raise IOError(
+                f"manifest rename failed for version {version} under "
+                f"{root!r} (destination absent — not a commit race; check "
+                "source path, parent dirs, and quota)"
             )
     else:
         target = _jpath(spark, f"{root}/_manifests/{target_name}")

@@ -40,9 +40,12 @@ def test_bench_stable_set_frozen():
     this test fails, you edited STABLE_SET: revert; new queries belong
     in HEADLINE/PIPELINE, which feed the growing full total."""
     import hashlib
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from bench import STABLE_SET
 
     assert len(STABLE_SET) == 23
