@@ -159,15 +159,20 @@ def _fan_out_cpu_stage(df: DataFrame) -> DataFrame:
     zero files and are left untouched — createDataFrame already spreads
     its slices across defaultParallelism.
 
-    CONTRACT (r10 advice): the gate assumes the input's CURRENT
-    partitioning comes from its file leaves. An input whose plan has many
-    file leaves but was collapsed by an upstream coalesce(1)/shuffle-to-few
-    would report many files and be left un-fanned. Every call site in this
-    repo (`_encode_docs`, i.e. the encode_doc_* family) passes a direct
-    projection of a table read, never a post-shuffle frame; a new caller
-    with shuffled input should `.repartition(...)` explicitly before the
-    encode stage."""
+    Post-shuffle inputs (r11 advice -> VERDICT r11 #5): the file-count
+    heuristic is only consulted when the plan's partition count actually
+    COMES from its file leaves. planaudit.effective_partitions first
+    traces the compiled plan for a partition-determining node (exchange /
+    coalesce / AQE shuffle read) — still a static inspection, no job —
+    so an input collapsed by an upstream coalesce(1) is fanned back out
+    correctly, and an input already repartitioned to >= target is left
+    alone instead of paying a second redundant exchange."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    from bdt_spark.planaudit import effective_partitions
+
+    eff = effective_partitions(df)
+    if eff is not None:
+        return df.repartition(target) if eff < target else df
     try:
         n_files = len(df.inputFiles())
     except Exception:  # exotic plan leaf: fanning out is only a heuristic

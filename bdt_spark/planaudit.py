@@ -77,3 +77,43 @@ def single_partition_violations(df: DataFrame) -> list[str]:
     return [
         c for c in single_partition_children(df) if "Aggregate" not in c
     ]
+
+
+# Nodes that preserve their single child's output partitioning — safe to
+# descend through when tracing where a plan's partition count comes from.
+_PRESERVING = ("Project", "Filter", "WholeStageCodegen", "InputAdapter",
+               "ColumnarToRow", "SerializeFromObject", "DeserializeToObject",
+               "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+               "Generate", "ReusedExchange")
+
+# Nodes that DETERMINE the partition count statically (before any stage
+# runs): exchanges carry their target partitioning, Coalesce its target
+# count, AQE shuffle reads their (already decided) partition specs.
+_DETERMINING = ("Exchange", "Coalesce", "AQEShuffleRead", "ShuffleQueryStage")
+
+
+def effective_partitions(df: DataFrame) -> int | None:
+    """Static output-partition count of df's plan, or None if the count
+    is scan-defined (file splits) or otherwise undeterminable.
+
+    Walks the COMPILED physical plan (no job runs: AdaptiveSparkPlanExec
+    is unwrapped to its current plan, which pre-execution is the initial
+    plan — exchanges present, partitionings statically known). Descends
+    through partitioning-preserving single-child nodes; the first
+    partition-determining node answers. A leaf or multi-child node means
+    the count comes from the scan layout — callers fall back to their
+    file/split heuristic there (reading .rdd would finalize AQE and
+    materialize upstream stages eagerly, the r9 advisory)."""
+    try:
+        node = _unwrap_adaptive(df._jdf.queryExecution().executedPlan())
+        while True:
+            name = node.nodeName()
+            if name.startswith(_DETERMINING):
+                n = node.outputPartitioning().numPartitions()
+                return int(n) if n > 0 else None
+            kids = _children(node)
+            if len(kids) != 1 or not name.startswith(_PRESERVING):
+                return None
+            node = _unwrap_adaptive(kids[0])
+    except Exception:
+        return None

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdt_spark.plans.registry import query, sql_query
-from bdt_spark.sources.io import load_fixture_tables
+from bdt_spark.sources.io import fanned_table, load_fixture_tables
 from bdt_spark.plans._pipecommon import (
     K_HASH,
     _cos_pre,
@@ -187,10 +187,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     # semantics to the DuckDB oracle on the fixture documents table
     from bdt_spark.operators.dedup import minhash_pairs
 
-    t = load_fixture_tables(spark, sf_dir)
+    load_fixture_tables(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return minhash_pairs(
-        t["documents"],
+        fanned_table(spark, "documents"),
         id_col="doc_id",
         text_col="text",
         threshold=JACCARD_T,
@@ -217,10 +217,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_minhash_lsh_k64(spark, sf_dir):
     from bdt_spark.operators.dedup import minhash_pairs
 
-    t = load_fixture_tables(spark, sf_dir)
+    load_fixture_tables(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return minhash_pairs(
-        t["documents"],
+        fanned_table(spark, "documents"),
         id_col="doc_id",
         text_col="text",
         threshold=JACCARD_T,

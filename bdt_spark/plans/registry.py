@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bdt_spark.sources.io import load_fixture_tables
+from bdt_spark.sources.io import fanout_rewrite, load_fixture_tables
 
 
 @dataclass
@@ -68,6 +68,39 @@ def query(
     return deco
 
 
+# Queries whose DOMINANT stage is per-row CPU right above the documents
+# scan (char-gram md5, shingling, token scoring): these opt into the
+# under-split scan fan-out (io.fanout_rewrite) — the r11 registration-time
+# view fan-out relocated to the only consumers it helps (VERDICT r11 #1).
+# Membership is MEASURED, not guessed: r12 same-process on/off A/B at sf1
+# (3 reps, median) — see the round-12 SCALE.md section for the table.
+# @query-style callables opt in by calling io.fanned_table instead.
+FANOUT_DOCS_QUERIES: frozenset[str] = frozenset({
+    # r12 sf1 interleaved on/off A/B medians (tools/ab_fanout.py; on/off
+    # ratio in comments — every member measured, every non-member too):
+    "text_winnowing_fingerprints",     # 0.10x  (44.0 -> 4.3 s)
+    "text_tfidf_topk_similar",         # 0.30x  (14.6 -> 4.3 s)
+    "text_naive_bayes_langid",         # 0.42x  ( 5.3 -> 2.3 s)
+    "text_benchmark_decontamination",  # 0.21x  ( 3.7 -> 0.8 s)
+    "dedup_prefix_filter_jaccard",     # 0.62x  ( 8.1 -> 5.0 s)
+    "dedup_ngram_jaccard",             # 0.06x  (28.3 -> 1.7 s)
+    "dedup_shingle_containment",       # 0.09x  (11.8 -> 1.1 s)
+    "dedup_simhash",                   # 0.53x  ( 2.6 -> 1.4 s)
+    "text_substring_contamination",    # 0.37x  ( 1.4 -> 0.5 s)
+    "text_duplicate_span_ratio",       # 0.24x  ( 4.8 -> 1.1 s)
+    "text_inverted_index",             # 0.35x  ( 2.6 -> 0.9 s)
+    "tokens_bpe_merge_candidates",     # 0.80x  ( 1.3 -> 1.0 s)
+    # Measured NON-members (fan-out net-negative or noise): pmi 1.03x,
+    # idf_rarity 1.12x, unigram_logprob 0.92x, topk_terms 0.91x,
+    # feature_auc 0.98x, repetition_filter 1.47x, outlier_clipping
+    # 1.88x, langid_heuristic 2.37x, fingerprint 2.07x, token_counts
+    # 2.75x, quality_scores 2.16x, pii_redaction 2.26x, exact_text
+    # 2.13x, exact_normalized 1.31x, incremental_snapshot 1.56x —
+    # their dominant stage is a cheap partial aggregate that cannot
+    # amortize a corpus exchange (exactly the r11 verdict's diagnosis).
+})
+
+
 def sql_query(
     name: str,
     sql: str,
@@ -77,11 +110,20 @@ def sql_query(
 ) -> QuerySpec:
     """Register a SQL-text query. oracle='same' reuses the Spark SQL text as
     the DuckDB oracle (common-subset queries); pass a different string for
-    dialect-divergent queries; None for rows-only checks."""
+    dialect-divergent queries; None for rows-only checks.
+
+    Membership in FANOUT_DOCS_QUERIES is consulted at CALL time: the
+    SPARK text gets a /*+ REPARTITION */ hinted subquery at its
+    documents scans iff the session recorded the fixture as under-split
+    — the oracle text is untouched, and at production parquet layouts
+    the rewrite is a structural no-op."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_fixture_tables(spark, sf_dir)
-        return spark.sql(sql)
+        text = sql
+        if name in FANOUT_DOCS_QUERIES:
+            text = fanout_rewrite(spark, text, ("documents",))
+        return spark.sql(text)
 
     oracle_text = sql if oracle == "same" else oracle
     return register(QuerySpec(name=name, fn=fn, oracle=oracle_text, tags=tags, doc=doc))
@@ -160,7 +202,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "agg_hll_sketch_merge",
     "join_bloom_filter_pruning",
     "orders_scd2_asof_lookup",
-    "multimodal_decode_wav",
+    # r12: the formats family (csv/ndjson/avro reader round-trips,
+    # VERDICT r11 #4) takes the slot of multimodal's THIRD representative
+    # (decode_wav — still fully gated by the sweep; jpeg + features stay).
+    "scan_csv_roundtrip",
     "multimodal_dedup_phash",
 )
 

@@ -411,20 +411,35 @@ def register_dir(
 _FIXTURES_LOADED: dict[int, str] = {}
 
 
-# Tables whose queries do heavy per-ROW CPU right above the scan (char-gram
-# md5, shingling, token scoring): an under-split scan serializes that work,
-# and the rows are narrow enough that one extra exchange is noise next to
-# it. Measured at sf10, documents fan-out: winnowing 166 s -> 46 s, TF-IDF
-# 91 s -> 19 s, NB langid 144 s -> 98 s, prefix-Jaccard 20 s -> 12 s. The
-# relational tables are deliberately NOT here — their first stage is a
-# cheap partial aggregate where an added corpus shuffle costs more than
-# the scan skew (measured: tpch_q1 at sf0.1 went 0.40 s -> 0.97 s with
-# lineitem fanned out). `embeddings` is excluded too: its queries run
-# operator pipelines with their own persist/bucket/window structure, and
-# fanning their input measured NET NEGATIVE (dedup_embedding_cosine at
-# sf10: 12.6 s -> 41 s) — the per-vector fold is JVM-cheap enough that
-# the extra exchange and the disrupted operator partitioning dominate.
-_CPU_HEAVY_TABLES = frozenset({"documents"})
+# Tables whose CPU-HEAVY consumers (char-gram md5, shingling, token
+# scoring right above the scan) may opt into a scan fan-out when the
+# fixture parquet is under-split: an under-split scan serializes that
+# work, and the rows are narrow enough that one extra exchange is noise
+# next to it. Measured at sf10, documents fan-out: winnowing 166 s ->
+# 46 s, TF-IDF 91 s -> 19 s, NB langid 144 s -> 98 s, prefix-Jaccard
+# 20 s -> 12 s. The relational tables are deliberately NOT here — their
+# first stage is a cheap partial aggregate where an added corpus shuffle
+# costs more than the scan skew (measured: tpch_q1 at sf0.1 went 0.40 s
+# -> 0.97 s with lineitem fanned out). `embeddings` is excluded too: its
+# queries run operator pipelines with their own persist/bucket/window
+# structure, and fanning their input measured NET NEGATIVE
+# (dedup_embedding_cosine at sf10: 12.6 s -> 41 s) — the per-vector fold
+# is JVM-cheap enough that the extra exchange and the disrupted operator
+# partitioning dominate.
+#
+# r12 relocation (VERDICT r11 item 1): the fan-out used to live at VIEW
+# REGISTRATION (every consumer paid it), which taxed 13 cheap single-agg
+# sf0.1 queries 1.2-2.6x for nothing. Registration now only RECORDS the
+# under-split fact per session; each CPU-heavy query opts in via
+# registry.sql_query(fanout=...) / fanout_rewrite(), which injects a
+# /*+ REPARTITION(n) */ hinted subquery into the SPARK text only —
+# oracle texts never see it, and at production scale (thousands of row
+# groups) the recorded condition is false so the rewrite is a no-op.
+_FANOUT_CANDIDATE_TABLES = frozenset({"documents"})
+
+# session-key -> {table name: fan-out target partitions} for candidate
+# tables whose registered parquet had fewer row groups than cores.
+_UNDERSPLIT: dict[int, dict[str, int]] = {}
 
 
 def _parquet_scan_splits(path: str) -> int:
@@ -450,19 +465,19 @@ def load_fixture_tables(
 ) -> dict[str, DataFrame]:
     """Register the driver's fixture tables (TESTDATA.md) as temp views.
 
-    Fan-out gate (r11): a CPU-heavy table (_CPU_HEAVY_TABLES) whose
-    parquet has fewer row groups than the cluster has cores is
-    registered BEHIND a repartition(defaultParallelism). The generated
-    fixtures are single files with 1-5 row groups (sf0.1: every table
-    is ONE row group), so without this the text/embedding queries'
-    dominant stage — scan + the per-row CPU fused above it (md5 grams,
-    shingles, per-vector folds) — ran on that handful of tasks while 32
-    cores idled. The row-group gate makes this a structural no-op at
-    production scale: a real 100 TB table has thousands of row groups,
-    the condition is false, and no corpus-wide shuffle is ever added
-    where the scan already fills the cluster. Filter pushdown and
-    column pruning survive (Catalyst pushes both through a
-    repartition)."""
+    Fan-out gate (r11, relocated r12): a candidate table
+    (_FANOUT_CANDIDATE_TABLES) whose parquet has fewer row groups than
+    the cluster has cores is RECORDED as under-split (_UNDERSPLIT); the
+    view itself is always the plain scan. CPU-heavy queries opt into the
+    fan-out per-query via fanout_rewrite() — see _FANOUT_CANDIDATE_TABLES
+    for the measured rationale. The generated fixtures are single files
+    with 1-5 row groups (sf0.1: every table is ONE row group), so without
+    the opt-in the text queries' dominant stage — scan + the per-row CPU
+    fused above it (md5 grams, shingles) — runs on that handful of tasks
+    while 32 cores idle. The row-group gate makes the opt-in a structural
+    no-op at production scale: a real 100 TB table has thousands of row
+    groups, the condition is false, and no corpus-wide shuffle is ever
+    added where the scan already fills the cluster."""
     # Runtime conf insurance for sessions not built by bdt_spark.session
     # (e.g. the driver's): UTC makes epoch math match DuckDB's UTC-naive
     # timestamps (SURVEY §7 conformance shims).
@@ -480,16 +495,61 @@ def load_fixture_tables(
     from concurrent.futures import ThreadPoolExecutor
 
     par = spark.sparkContext.defaultParallelism
+    undersplit: dict[str, int] = {}
 
     def _reg(t: str):
         path = os.path.join(sf_dir, f"{t}.parquet")
         df = register_table(spark, t, path)
-        if t in _CPU_HEAVY_TABLES and _parquet_scan_splits(path) < par:
-            df = df.repartition(par)
-            df.createOrReplaceTempView(t)
+        if t in _FANOUT_CANDIDATE_TABLES and _parquet_scan_splits(path) < par:
+            undersplit[t] = par
         return t, df
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
         out = dict(ex.map(_reg, present))
+    _UNDERSPLIT[key] = undersplit
     _FIXTURES_LOADED[key] = sf_dir
     return out
+
+
+_FANOUT_FROM_RE = {
+    t: re.compile(rf"\bFROM\s+{t}\b(?!\.)", re.IGNORECASE)
+    for t in _FANOUT_CANDIDATE_TABLES
+}
+
+
+def fanout_rewrite(
+    spark: SparkSession, sql: str, tables: tuple[str, ...]
+) -> str:
+    """Opt-in scan fan-out for CPU-heavy SPARK query texts.
+
+    For each named table that load_fixture_tables recorded as
+    under-split for this session, rewrite `FROM <table>` into
+    `FROM (SELECT /*+ REPARTITION(n) */ * FROM <table>)` — the same
+    exchange the r11 registration-time gate added for every consumer,
+    now paid only by queries whose dominant stage is per-row CPU right
+    above the scan. Trailing aliases/WHERE/GROUP BY survive (a
+    parenthesized subquery is relation-position compatible), Catalyst
+    still pushes filters and column pruning through the repartition,
+    and the ORACLE text is never rewritten — DuckDB would lex the hint
+    away anyway, but the dialects stay textually honest. When the scan
+    is already wide (production layout), the recorded condition is
+    false and the text passes through untouched."""
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    recorded = _UNDERSPLIT.get(key, {})
+    for t in tables:
+        n = recorded.get(t)
+        if n:
+            sql = _FANOUT_FROM_RE[t].sub(
+                f"FROM (SELECT /*+ REPARTITION({n}) */ * FROM {t})", sql
+            )
+    return sql
+
+
+def fanned_table(spark: SparkSession, table: str) -> DataFrame:
+    """DataFrame-API twin of fanout_rewrite for @query-style callables:
+    the registered view, repartitioned up to defaultParallelism iff the
+    registration recorded it as under-split."""
+    df = spark.table(table)
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    n = _UNDERSPLIT.get(key, {}).get(table)
+    return df.repartition(n) if n else df
