@@ -300,9 +300,13 @@ def _float_tied_rematch(
     decoded map objects, which was entry-order-sensitive and rejected
     NaN-valued entries that Spark equality accepts).
 
-    Groups beyond _REMATCH_CAP rows raise ValueError (refuse-to-certify —
-    never a silent accept OR reject; the pre-r11 silent reject reported
-    "files differ" for files that may match).
+    Oversized groups decompose into eps-connected blocks (per-column
+    null/NaN/numeric-run chain splitting — see match_group) and each
+    block matches independently; only a single block STILL beyond
+    _REMATCH_CAP rows raises ValueError (refuse-to-certify — never a
+    silent accept OR reject; the pre-r11 silent reject reported "files
+    differ" for files that may match, and the r11 cap refused large
+    groups even when their components were tiny).
 
     Returns True iff every candidate group admits a perfect matching —
     i.e. the files are multiset-equal under epsilon. Exactness argument:
@@ -363,48 +367,119 @@ def _float_tied_rematch(
         nl, nr = len(left), len(right)
         if nl != nr:
             return pd.DataFrame({"ok": [False], "reason": ["size"]})
-        if nl > _REMATCH_CAP:
-            return pd.DataFrame({"ok": [False], "reason": [f"cap:{nl}"]})
         lv = {c: left[c].to_numpy(dtype="float64") for c in fcols}
         rv = {c: right[c].to_numpy(dtype="float64") for c in fcols}
         ln = {c: left[f"__n_{c}"].to_numpy(dtype=bool) for c in fcols}
         rn = {c: right[f"__n_{c}"].to_numpy(dtype=bool) for c in fcols}
-        adj = []
-        for i in range(nl):
-            mask = np.ones(nr, dtype=bool)
-            for c in fcols:
-                li, ni = lv[c][i], ln[c][i]
-                both_null = ni & rn[c]
-                with np.errstate(invalid="ignore"):
-                    val_ok = (
-                        (~ni)
-                        & ~rn[c]
-                        & (
-                            (np.abs(lv[c][i] - rv[c]) < eps)
-                            | (np.isnan(li) & np.isnan(rv[c]))
-                            | (rv[c] == li)
-                        )
-                    )
-                mask &= both_null | val_ok
-            adj.append(np.nonzero(mask)[0].tolist())
-        match_r = [-1] * nr
 
-        def augment(i, seen):
-            for v in adj[i]:
-                if not seen[v]:
-                    seen[v] = True
-                    if match_r[v] == -1 or augment(match_r[v], seen):
-                        match_r[v] = i
-                        return True
-            return False
+        # Oversized groups (r11 refused these outright) decompose into
+        # eps-connected BLOCKS first: an edge needs |l-r| < eps (or
+        # both-null / both-NaN / bitwise-equal) in EVERY float column, so
+        # chain-splitting the rows per column — null block, NaN block,
+        # then numeric runs broken where consecutive sorted values gap by
+        # >= eps — yields blocks that no edge crosses (each true
+        # eps-connected component lies wholly inside one block, column by
+        # column). Matching therefore decides each block independently:
+        # a block with unequal sides can never host a perfect matching,
+        # and only a block STILL over the cap after all columns are spent
+        # refuses certification (VERDICT r11 #7 — a 2000+ row group of
+        # tiny float-tied clusters now certifies instead of erroring).
+        def split_blocks(lidx, ridx, ci):
+            if ci == len(fcols) or (
+                len(lidx) <= _REMATCH_CAP and len(ridx) <= _REMATCH_CAP
+            ):
+                yield lidx, ridx
+                return
+            c = fcols[ci]
+            lnull = ln[c][lidx]
+            rnull = rn[c][ridx]
+            with np.errstate(invalid="ignore"):
+                lnan = np.isnan(lv[c][lidx]) & ~lnull
+                rnan = np.isnan(rv[c][ridx]) & ~rnull
+            yield from split_blocks(lidx[lnull], ridx[rnull], ci + 1)
+            yield from split_blocks(lidx[lnan], ridx[rnan], ci + 1)
+            lnum = lidx[~lnull & ~lnan]
+            rnum = ridx[~rnull & ~rnan]
+            vals = np.concatenate([lv[c][lnum], rv[c][rnum]])
+            sides = np.concatenate(
+                [np.zeros(len(lnum), dtype=bool), np.ones(len(rnum), dtype=bool)]
+            )
+            rows = np.concatenate([lnum, rnum])
+            order = np.argsort(vals, kind="stable")
+            vals, sides, rows = vals[order], sides[order], rows[order]
+            # new run wherever the sorted gap reaches eps (no edge can
+            # span it; equal/bitwise-equal values have gap 0, +-inf runs
+            # split from finite values by an infinite gap)
+            if len(vals):
+                with np.errstate(invalid="ignore"):
+                    cut = np.empty(len(vals), dtype=bool)
+                    cut[0] = True
+                    d = vals[1:] - vals[:-1]
+                    cut[1:] = ~((d < eps) | (vals[1:] == vals[:-1]))
+                run = np.cumsum(cut)
+                for r in range(1, run[-1] + 1):
+                    m = run == r
+                    yield from split_blocks(
+                        rows[m & ~sides], rows[m & sides], ci + 1
+                    )
+
+        def block_adj(lidx, ridx):
+            adj = []
+            for i in lidx:
+                mask = np.ones(len(ridx), dtype=bool)
+                for c in fcols:
+                    li, ni = lv[c][i], ln[c][i]
+                    rvv, rnn = rv[c][ridx], rn[c][ridx]
+                    both_null = ni & rnn
+                    with np.errstate(invalid="ignore"):
+                        val_ok = (
+                            (~ni)
+                            & ~rnn
+                            & (
+                                (np.abs(li - rvv) < eps)
+                                | (np.isnan(li) & np.isnan(rvv))
+                                | (rvv == li)
+                            )
+                        )
+                    mask &= both_null | val_ok
+                adj.append(np.nonzero(mask)[0].tolist())
+            return adj
 
         import sys as _sys
 
-        _sys.setrecursionlimit(max(10000, 10 * nl))
-        ok = all(augment(i, [False] * nr) for i in range(nl))
-        return pd.DataFrame(
-            {"ok": [ok], "reason": [None if ok else "nomatch"]}
+        _sys.setrecursionlimit(max(10000, 10 * min(nl, _REMATCH_CAP) + 100))
+        all_l = np.arange(nl)
+        all_r = np.arange(nr)
+        blocks = (
+            [(all_l, all_r)]
+            if nl <= _REMATCH_CAP
+            else list(split_blocks(all_l, all_r, 0))
         )
+        oversized = max(
+            (len(b[0]) for b in blocks if len(b[0]) > _REMATCH_CAP), default=0
+        )
+        if oversized:
+            return pd.DataFrame({"ok": [False], "reason": [f"cap:{oversized}"]})
+        for lidx, ridx in blocks:
+            if len(lidx) != len(ridx):
+                return pd.DataFrame({"ok": [False], "reason": ["nomatch"]})
+            if not len(lidx):
+                continue
+            adj = block_adj(lidx, ridx)
+            match_r = [-1] * len(ridx)
+
+            def augment(i, seen):
+                for v in adj[i]:
+                    if not seen[v]:
+                        seen[v] = True
+                        if match_r[v] == -1 or augment(match_r[v], seen):
+                            match_r[v] = i
+                            return True
+                return False
+
+            if not all(augment(i, [False] * len(ridx)) for i in range(len(lidx))):
+                return pd.DataFrame({"ok": [False], "reason": ["nomatch"]})
+        return pd.DataFrame({"ok": [True], "reason": [None]})
 
     res = (
         p1.groupBy(*gkeys)
@@ -419,12 +494,15 @@ def _float_tied_rematch(
     ).collect()
     if r.cap:
         raise ValueError(
-            f"compare --epsilon cannot certify these files: a float-tied "
-            f"group of {r.cap.split(':', 1)[1]} rows (identical on every "
-            f"non-float column) exceeds the bipartite-rematch cap "
-            f"_REMATCH_CAP={_REMATCH_CAP}. The files may or may not match "
-            f"within epsilon; rerun with exact comparison (no --epsilon) "
-            f"or add a distinguishing exact column."
+            f"compare --epsilon cannot certify these files: an "
+            f"eps-CONNECTED component of {r.cap.split(':', 1)[1]} rows "
+            f"(identical on every non-float column, every float column an "
+            f"unbroken eps-chain) exceeds the bipartite-rematch cap "
+            f"_REMATCH_CAP={_REMATCH_CAP}. Large groups of SMALL "
+            f"components certify fine (r12); only a single dense cluster "
+            f"this size is refused. The files may or may not match within "
+            f"epsilon; rerun with exact comparison (no --epsilon), a "
+            f"smaller epsilon, or add a distinguishing exact column."
         )
     return (r.n_unmatched or 0) == 0
 

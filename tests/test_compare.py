@@ -355,33 +355,75 @@ def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
 
 
-def test_hash_mode_epsilon_rematch_group_cap_raises(spark, files):
-    """A float-tied group past _REMATCH_CAP rows is the one remaining
-    non-exact corner. The matching pass refuses the O(V*E) matching and
-    must REFUSE TO CERTIFY with a loud ValueError naming the cap — never
-    a silent accept, and (since r11) never a silent reject either: the
-    pre-r11 silent reject reported "files differ" for files that in this
-    very construction DO match within epsilon."""
+def test_hash_mode_epsilon_rematch_big_group_small_components_certifies(
+    spark, files
+):
+    """VERDICT r11 #7: a float-tied GROUP far past _REMATCH_CAP whose
+    eps-connected components are tiny must CERTIFY, not refuse — the r11
+    cap refused any oversized group outright, which made a legitimate
+    100 TB compare with one hot float-tied key uncertifiable. 1100 tiles
+    of the anti-correlated cross-zip pair (each forces the rematch; each
+    is x-separated from its neighbors by 10 >> eps) form a 2200-row
+    group that decomposes into 2-row blocks and matches exactly."""
     from bdt_spark.operators import compare as cmp_mod
 
-    n_fill = cmp_mod._REMATCH_CAP - 1  # group size = cap + 1
+    tiles = (cmp_mod._REMATCH_CAP // 2) + 100  # group size = 2200 > cap
+    xs_a, ys_a, xs_b, ys_b = [], [], [], []
+    for t in range(tiles):
+        base = 10.0 * t
+        xs_a += [base + 0.00, base + 0.05]
+        ys_a += [0.0, 1.0]
+        xs_b += [base + 0.05, base + 0.00]
+        ys_b += [0.0, 1.0]
     a = files(
-        "cap_a.parquet",
+        "bigcomp_a.parquet", {"k": [1] * len(xs_a), "x": xs_a, "y": ys_a}
+    )
+    b = files(
+        "bigcomp_b.parquet", {"k": [1] * len(xs_b), "x": xs_b, "y": ys_b}
+    )
+    assert compare_files(spark, a, b, epsilon=0.08, method="hash").ok
+    # negative control at the same size: push one tile's y beyond eps so
+    # exactly one 2-row component has no perfect matching -> files differ
+    # (a reject, NOT a refuse)
+    ys_c = list(ys_b)
+    ys_c[-1] = 1.2
+    c = files(
+        "bigcomp_c.parquet", {"k": [1] * len(xs_b), "x": xs_b, "y": ys_c}
+    )
+    res = compare_files(spark, a, c, epsilon=0.08, method="hash")
+    assert not res.ok
+
+
+def test_hash_mode_epsilon_rematch_component_cap_raises(spark, files):
+    """A single DENSE eps-connected component past _REMATCH_CAP is the
+    one remaining non-exact corner: every float column is an unbroken
+    eps-chain, so no per-column split can break it and the O(V*E)
+    matching is refused with a loud ValueError naming the cap — never a
+    silent accept, and never a silent reject either (the construction
+    may well match within epsilon).
+
+    x steps by eps/2 (one unbroken chain); y cycles {0.0, 0.05, 0.10} —
+    pairwise gaps 0.05 < eps keep the y-chain connected, while the b
+    side's shifted cycle makes some zipped pairs differ by 0.10 >= eps,
+    forcing the rematch path."""
+    from bdt_spark.operators import compare as cmp_mod
+
+    n = cmp_mod._REMATCH_CAP + 1
+    cyc = [0.0, 0.05, 0.10]
+    a = files(
+        "densecap_a.parquet",
         {
-            "k": [1] * (n_fill + 2),
-            "x": [0.00, 0.05] + [9.9] * n_fill,
-            "y": [1.0, 0.0] + [9.9] * n_fill,
+            "k": [1] * n,
+            "x": [i * 0.04 for i in range(n)],
+            "y": [cyc[i % 3] for i in range(n)],
         },
     )
-    # eps-perturbed anti-correlated pair: a perfect matching exists
-    # ((0.00,1.0)<->(0.04,1.0), (0.05,0.0)<->(0.01,0.0)) but the sorted
-    # zip pairs (0.00,1.0) with (0.01,0.0) -> bad -> rematch -> cap
     b = files(
-        "cap_b.parquet",
+        "densecap_b.parquet",
         {
-            "k": [1] * (n_fill + 2),
-            "x": [0.04, 0.01] + [9.9] * n_fill,
-            "y": [1.0, 0.0] + [9.9] * n_fill,
+            "k": [1] * n,
+            "x": [i * 0.04 for i in range(n)],
+            "y": [cyc[(i + 1) % 3] for i in range(n)],
         },
     )
     with pytest.raises(ValueError, match="_REMATCH_CAP"):
