@@ -317,7 +317,76 @@ def gen_fullouter_limit_query(rng: random.Random) -> str:
     )
 
 
-def gen_query(rng: random.Random) -> str:
+def gen_struct_query(rng: random.Random) -> tuple[str, str]:
+    """Struct construction + field access through an aggregate (r11 #8:
+    the struct dialect corner was hand-written only). Spark named_struct
+    vs DuckDB struct_pack; field access `.k` is common."""
+    gcol = rng.choice(["o_orderstatus", "o_orderpriority"])
+    lim = rng.randint(500, 4000)
+    mod = rng.randint(2, 6)
+    body = (
+        f"SELECT g, CAST(MIN(s.k) AS BIGINT) AS mnk, "
+        f"CAST(MAX(s.k) AS BIGINT) AS mxk, MIN(s.p) AS mnp "
+        f"FROM (SELECT {gcol} AS g, {{mk}} AS s FROM orders "
+        f"      WHERE o_orderkey <= {lim} AND o_custkey % {mod} = 0) t "
+        f"GROUP BY g ORDER BY g NULLS LAST"
+    )
+    return (
+        body.format(mk="named_struct('k', o_orderkey, 'p', o_orderpriority)"),
+        body.format(mk="struct_pack(k := o_orderkey, p := o_orderpriority)"),
+    )
+
+
+def gen_map_query(rng: random.Random) -> tuple[str, str]:
+    """Map construction, element extraction, and map_keys cardinality.
+    Spark map(...) / element_at vs DuckDB MAP {...} / map_extract[1]
+    (one-based list); map_keys is common but Spark SIZE vs DuckDB LEN."""
+    key = rng.choice(["lo", "hi"])
+    lim = rng.randint(500, 4000)
+    gcol = rng.choice(["c_mktsegment", "c_nationkey % 4"])
+    body = (
+        f"SELECT {gcol} AS g, "
+        f"CAST(SUM({{ext}}) AS BIGINT) AS sv, "
+        f"CAST(MAX({{nk}}) AS BIGINT) AS nk "
+        f"FROM customer WHERE c_custkey <= {lim} "
+        f"GROUP BY {gcol} ORDER BY g NULLS LAST"
+    )
+    s_map = "map('lo', c_custkey % 10, 'hi', c_nationkey)"
+    d_map = "MAP {'lo': c_custkey % 10, 'hi': c_nationkey}"
+    return (
+        body.format(ext=f"element_at({s_map}, '{key}')",
+                    nk=f"SIZE(map_keys({s_map}))"),
+        body.format(ext=f"map_extract({d_map}, '{key}')[1]",
+                    nk=f"LEN(map_keys({d_map}))"),
+    )
+
+
+def gen_posexplode_query(rng: random.Random) -> tuple[str, str]:
+    """Lateral positional explode of a split string. Spark LATERAL VIEW
+    POSEXPLODE (0-based pos) vs DuckDB generate_subscripts+unnest zip
+    (1-based) — normalized to pos1."""
+    mod = rng.randint(3, 9)
+    lim = rng.randint(200, 2000)
+    spark_sql = (
+        f"SELECT o_orderkey AS k, pos + 1 AS pos1, w "
+        f"FROM orders LATERAL VIEW POSEXPLODE(SPLIT(o_orderpriority, '-')) "
+        f"t AS pos, w "
+        f"WHERE o_orderkey <= {lim} AND o_orderkey % {mod} = 0 "
+        f"ORDER BY k, pos1"
+    )
+    duck_sql = (
+        f"SELECT o_orderkey AS k, "
+        f"CAST(generate_subscripts(string_split(o_orderpriority, '-'), 1) "
+        f"     AS INT) AS pos1, "
+        f"unnest(string_split(o_orderpriority, '-')) AS w "
+        f"FROM orders "
+        f"WHERE o_orderkey <= {lim} AND o_orderkey % {mod} = 0 "
+        f"ORDER BY k, pos1"
+    )
+    return spark_sql, duck_sql
+
+
+def gen_query(rng: random.Random) -> str | tuple[str, str]:
     r = rng.random()
     if r < 0.1:
         return gen_subquery_query(rng)
@@ -325,22 +394,28 @@ def gen_query(rng: random.Random) -> str:
         return gen_date_query(rng)
     if r < 0.26:
         return gen_join_query(rng)
-    if r < 0.34:
+    if r < 0.32:
         return gen_window_query(rng)
-    if r < 0.42:
+    if r < 0.38:
         return gen_setop_query(rng)
-    if r < 0.48:
+    if r < 0.44:
         return gen_scalar_query(rng)
-    if r < 0.54:
+    if r < 0.50:
         return gen_having_query(rng)
-    if r < 0.60:
+    if r < 0.56:
         return gen_case_projection_query(rng)
-    if r < 0.68:
+    if r < 0.62:
         return gen_threeway_rollup_query(rng)
-    if r < 0.76:
+    if r < 0.68:
         return gen_frame_window_query(rng)
-    if r < 0.82:
+    if r < 0.74:
         return gen_fullouter_limit_query(rng)
+    if r < 0.80:
+        return gen_struct_query(rng)
+    if r < 0.86:
+        return gen_map_query(rng)
+    if r < 0.92:
+        return gen_posexplode_query(rng)
     table = rng.choice(list(TABLE_COLS))
     cols = TABLE_COLS[table]
     gcol = rng.choice(cols["str"] + cols["int"])
@@ -382,12 +457,17 @@ def gen_query(rng: random.Random) -> str:
     )
 
 
-def run_case(spark, con, sql: str) -> str | None:
-    """Returns None on match, else a description of the mismatch."""
+def run_case(spark, con, sql: str | tuple[str, str]) -> str | None:
+    """Returns None on match, else a description of the mismatch.
+
+    sql is either one common-subset text run on both engines, or a
+    (spark_sql, duck_sql) pair for the dialect-divergent productions
+    (struct/map/lateral)."""
     import math
 
-    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
-    d_rows = [tuple(r) for r in con.sql(sql).fetchall()]
+    s_sql, d_sql = (sql, sql) if isinstance(sql, str) else sql
+    s_rows = [tuple(r) for r in spark.sql(s_sql).collect()]
+    d_rows = [tuple(r) for r in con.sql(d_sql).fetchall()]
     if len(s_rows) != len(d_rows):
         return f"row count {len(s_rows)} vs {len(d_rows)}"
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
