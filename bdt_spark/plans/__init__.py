@@ -10,5 +10,6 @@ from bdt_spark.plans import tpch  # noqa: F401
 from bdt_spark.plans import relational  # noqa: F401
 from bdt_spark.plans import pipeline  # noqa: F401
 from bdt_spark.plans import multimodal  # noqa: F401
+from bdt_spark.plans import formats  # noqa: F401
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "sql_query"]
