@@ -173,8 +173,18 @@ from statistics import median  # noqa: E402
 FAST_QUERY_SEC = 0.5
 FAST_QUERY_REPS = 5
 
+# SPARK_GRAFT_BENCH_WARMUP=1: one UNTIMED execution per metric before the
+# timed reps (VERDICT r11 #2). The scale-point protocol (sf10 runs with
+# REPS=1-2 to bound wall time): the first execution of a big plan pays
+# JIT/codegen + first-touch page cache — 2-3x the steady-state number
+# (e.g. pmi 37.9 s first-run vs 14.9 s; SCALE.md r11) — so with few reps
+# the recorded run-array otherwise mixes the two regimes and a
+# median-of-2 cannot reject the outlier. The warm-up cost is recorded in
+# the sidecar's `warmups` map; the `runs` arrays carry steady-state only.
+WARMUPS: dict[str, float] = {}
 
-def timed_reps(fn, reps: int) -> tuple[float, list[float]]:
+
+def timed_reps(fn, reps: int, name: str | None = None) -> tuple[float, list[float]]:
     """Median-of-N timing (VERDICT r8 #6): a single contended-host run
     can no longer cost a round of certification — the median absorbs
     one-off noise, and the JSON carries the raw runs + loadavg so a
@@ -185,6 +195,12 @@ def timed_reps(fn, reps: int) -> tuple[float, list[float]]:
     "regressions" (1.2-1.3x on 0.2-0.4 s queries) were unresolvable from
     3 runs. If the first median lands under FAST_QUERY_SEC, top up to
     FAST_QUERY_REPS runs and re-take the median."""
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP") == "1":
+        t0 = time.perf_counter()
+        fn()
+        WARMUPS[name or f"metric_{len(WARMUPS)}"] = round(
+            time.perf_counter() - t0, 3
+        )
     runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -226,7 +242,7 @@ def main() -> None:
             _ = df.schema
 
     timings["register_infer"], all_runs["register_infer"] = timed_reps(
-        _register, reps
+        _register, reps, name="register_infer"
     )
 
     def _gc():
@@ -243,7 +259,7 @@ def main() -> None:
     for name in HEADLINE + [q for q in PIPELINE if q in all_names]:
         try:
             timings[name], all_runs[name] = timed_reps(
-                lambda: run_query(spark, name, sf_dir), reps
+                lambda: run_query(spark, name, sf_dir), reps, name=name
             )
         except Exception as e:  # a broken query must not kill the bench
             print(f"bench error {name}: {e}", file=sys.stderr)
@@ -262,6 +278,7 @@ def main() -> None:
                     os.path.join(tmp, "orders.csv"), single_file=True,
                 ),
                 reps,
+                name="convert_parquet_csv",
             )
         )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -280,7 +297,7 @@ def main() -> None:
             assert res.ok
 
         timings["compare_parquet"], all_runs["compare_parquet"] = timed_reps(
-            _compare, reps
+            _compare, reps, name="compare_parquet"
         )
     except Exception as e:
         print(f"bench error compare: {e}", file=sys.stderr)
@@ -305,11 +322,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
-        "protocol": "median",
+        "protocol": "median"
+        + (
+            "+per-metric warmup (untimed; sidecar `warmups`)"
+            if os.environ.get("SPARK_GRAFT_BENCH_WARMUP") == "1"
+            else ""
+        ),
     }
     detail = {
         **out,
         "runs": all_runs,
+        "warmups": WARMUPS,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
@@ -326,7 +349,8 @@ def main() -> None:
                 continue
             try:
                 sf1_timings[name], sf1_runs[name] = timed_reps(
-                    lambda: run_query(spark, name, sf1_dir), reps
+                    lambda: run_query(spark, name, sf1_dir), reps,
+                    name=f"sf1:{name}",
                 )
             except Exception as e:
                 print(f"bench error sf1 {name}: {e}", file=sys.stderr)

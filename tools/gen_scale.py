@@ -27,7 +27,9 @@ data statistically comparable, not just bigger:
   operand lands the products off the scale-8 grid where the two
   conventions disagree row by row).
 
-Usage: python tools/gen_scale.py [src_dir] [dst_dir] [K]
+Usage: python tools/gen_scale.py [src_dir] [dst_dir] [K] [table ...]
+(optional trailing table names restrict output — e.g. a documents-only
+sf100 shard for the text-family superlinear-growth probe, VERDICT r11 #6)
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ import sys
 import duckdb
 
 
-def gen(src: str, dst: str, k: int) -> None:
+def gen(src: str, dst: str, k: int, only: set[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     # UTC + TIMESTAMPTZ casts below: the driver's fixtures store
@@ -49,6 +51,8 @@ def gen(src: str, dst: str, k: int) -> None:
     con.execute(f"CREATE VIEW reps AS SELECT unnest(range({k})) AS i")
 
     def write(table: str, sql: str) -> None:
+        if only and table not in only:
+            return
         out = os.path.join(dst, f"{table}.parquet")
         con.execute(
             f"COPY ({sql}) TO '{out}' (FORMAT parquet, CODEC zstd)"
@@ -162,4 +166,5 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    gen(src, dst, k)
+    only = set(sys.argv[4:]) or None
+    gen(src, dst, k, only)
