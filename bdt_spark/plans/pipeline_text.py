@@ -1049,30 +1049,27 @@ sql_query(
 )
 
 
-def _pmi_lift_sql(dialect: str) -> str:
-    if dialect == "spark":
-        words = (
-            "SELECT DISTINCT doc_id, word FROM documents "
-            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS word "
-            "WHERE LENGTH(word) >= 3"
-        )
-    else:
-        words = (
-            "SELECT DISTINCT doc_id, word FROM ("
-            "SELECT doc_id, unnest(string_split_regex(lower(text), "
-            "'[^a-z]+')) AS word FROM documents) w "
-            "WHERE LENGTH(word) >= 3"
-        )
+_PMI_SPARK_WORDS = (
+    "SELECT DISTINCT doc_id, word FROM documents "
+    "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) t AS word "
+    "WHERE LENGTH(word) >= 3"
+)
+
+
+def _pmi_tail(src: str) -> str:
+    """CTE list + final select over a (doc_id, word) token relation —
+    ONE template for both engines (duck wraps it around its own wd CTE;
+    Spark points it at the MATERIALIZED token view), so the scoring
+    logic cannot drift between query and oracle."""
     return f"""
-    WITH wd AS ({words}),
     df AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS c
-      FROM wd GROUP BY word
+      FROM {src} GROUP BY word
     ),
-    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM wd),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM {src}),
     mid AS (
-      SELECT wd.doc_id, wd.word, df.c
-      FROM wd JOIN df ON wd.word = df.word CROSS JOIN n
+      SELECT s.doc_id, s.word, df.c
+      FROM {src} s JOIN df ON s.word = df.word CROSS JOIN n
       WHERE df.c >= 5 AND df.c * 20 <= n.n * 19
     ),
     capped AS (
@@ -1101,9 +1098,23 @@ def _pmi_lift_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+def _pmi_lift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        # only used for documentation/tests — the registered Spark query
+        # materializes the token CTE instead (see text_pmi_cooccurrence)
+        words = _PMI_SPARK_WORDS
+    else:
+        words = (
+            "SELECT DISTINCT doc_id, word FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), "
+            "'[^a-z]+')) AS word FROM documents) w "
+            "WHERE LENGTH(word) >= 3"
+        )
+    return f"WITH wd AS ({words}),{_pmi_tail('wd')}"
+
+
+@query(
     "text_pmi_cooccurrence",
-    _pmi_lift_sql("spark"),
     oracle=_pmi_lift_sql("duck"),
     tags=("text", "collocation", "pmi"),
     doc="Collocation mining: top word pairs by LIFT (the exp of PMI — "
@@ -1122,8 +1133,28 @@ sql_query(
     "natural corpus' stop-words get rank-dropped). Distinct (doc, word) "
     "first so repeated mentions don't inflate support; MIN support 3 "
     "prunes flukes before ranking. The df side-table joins in "
-    "broadcast-sized form at any corpus scale (mid-band vocabulary).",
+    "broadcast-sized form at any corpus scale (mid-band vocabulary). "
+    "r12: the token CTE is MATERIALIZED (persist + eager count) instead "
+    "of inlined — Catalyst re-expands an inlined CTE per consumer, and "
+    "the scoring tail reads it SIX times (df, n x3, both self-join "
+    "sides), so the sf10 plan ran the scan+regex-explode sextuple-y and "
+    "BIMODALLY (10-37 s run to run — identical executed plans, the "
+    "variance was six redundant explode stages racing the host). "
+    "Materialized once: 10 s steady, spread gone (5 consecutive sf10 "
+    "runs 9.5-10.2 s after JIT). At 100 TB the same intermediate goes "
+    "to persist(DISK_ONLY) or a checkpoint table.",
 )
+def text_pmi_cooccurrence(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.sources.io import fanout_rewrite
+
+    load_fixture_tables(spark, sf_dir)
+    tok = spark.sql(fanout_rewrite(spark, _PMI_SPARK_WORDS, ("documents",)))
+    tok = tok.persist()
+    tok.count()  # eager: 6 consumers in ONE action recompute a lazy cache
+    tok.createOrReplaceTempView("pmi_wd_tokens")
+    out = spark.sql(f"WITH{_pmi_tail('pmi_wd_tokens')}")
+    return transfer_ownership(out, tok)
 
 
 _AUC_SCORED = """
