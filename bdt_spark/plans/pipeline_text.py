@@ -788,40 +788,58 @@ sql_query(
 )
 
 
-def _tfidf_cosine_sql(dialect: str) -> str:
-    spark = dialect == "spark"
+def _tfidf_feat_sql(dialect: str) -> str:
     sh = _shingles(dialect)
-    feats = f"explode({sh})" if spark else f"unnest({sh})"
-    return f"""
-    WITH feat AS (
-      SELECT doc_id, {feats} AS word FROM documents
-    ),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
-    rare AS (
-      SELECT word, COUNT(*) AS df FROM feat GROUP BY word
-      HAVING COUNT(*) <= 10
-    ),
-    tfidf AS (
-      SELECT feat.doc_id, feat.word,
-             CAST(CAST(LN((n.n_docs + 1.0) / (rare.df + 1.0))
+    feats = f"explode({sh})" if dialect == "spark" else f"unnest({sh})"
+    return f"SELECT doc_id, {feats} AS word FROM documents"
+
+
+_TFIDF_RARE = (
+    "SELECT word, COUNT(*) AS df FROM {feat} GROUP BY word "
+    "HAVING COUNT(*) <= 10"
+)
+
+_TFIDF_WEIGHTED = """
+      SELECT /*+ {join_hint} */ f.doc_id, f.word,
+             CAST(CAST(LN((n.n_docs + 1.0) / (r.df + 1.0))
                        AS DECIMAL(30,12)) AS DOUBLE) AS w
-      FROM feat JOIN rare ON feat.word = rare.word CROSS JOIN n
-    ),
-    norms AS (
+      FROM {feat} f JOIN {rare} r ON f.word = r.word CROSS JOIN {n} n
+"""
+
+_TFIDF_N = "SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents"
+
+
+_TFIDF_NORMS = """
       SELECT doc_id,
              SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
-      FROM tfidf GROUP BY doc_id
+      FROM {src} GROUP BY doc_id
+"""
+
+
+def _tfidf_tail(
+    src: str, norms: str | None = None, norms_hint: str = ""
+) -> str:
+    """CTE list + final select over a weighted (doc_id, word, w) posting
+    relation — one template for both engines (see _pmi_tail). `norms`
+    overrides the norm relation with a pre-materialized view and
+    `norms_hint` carries the Spark-side size-driven join strategy for
+    the two norm joins (empty for the oracle — DuckDB lexes /*+ */
+    comments away anyway)."""
+    norms_body = norms or f"({_TFIDF_NORMS.format(src=src)})"
+    return f"""
+    norms AS (
+      SELECT * FROM {norms_body}
     ),
     dots AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
-      FROM tfidf a JOIN tfidf b
+      FROM {src} a JOIN {src} b
         ON a.word = b.word AND a.doc_id < b.doc_id
       WHERE a.doc_id < 200
       GROUP BY a.doc_id, b.doc_id
     ),
     cos AS (
-      SELECT d.doc_a, d.doc_b,
+      SELECT {norms_hint} d.doc_a, d.doc_b,
              ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
       FROM dots d
       JOIN norms na ON d.doc_a = na.doc_id
@@ -836,12 +854,28 @@ def _tfidf_cosine_sql(dialect: str) -> str:
     SELECT doc_a, doc_b, cosine, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 3 AND doc_a < 200
     ORDER BY doc_a, rk
+    """.replace("{norms_hint}", norms_hint)
+
+
+def _tfidf_cosine_sql(dialect: str) -> str:
+    weighted = _TFIDF_WEIGHTED.format(
+        feat="feat", rare="rare", n="n", join_hint=""
+    )
+    return f"""
+    WITH feat AS (
+      {_tfidf_feat_sql(dialect)}
+    ),
+    n AS ({_TFIDF_N}),
+    rare AS (
+      {_TFIDF_RARE.format(feat='feat')}
+    ),
+    tfidf AS ({weighted}),
+    {_tfidf_tail('tfidf')}
     """
 
 
-sql_query(
+@query(
     "text_tfidf_topk_similar",
-    _tfidf_cosine_sql("spark"),
     oracle=_tfidf_cosine_sql("duck"),
     tags=("text", "similarity", "tfidf", "inverted-index"),
     doc="IDF-weighted shingle-set cosine top-k retrieval via an INVERTED-"
@@ -868,8 +902,76 @@ sql_query(
     "a filter on the window partition key commutes with the per-doc_a "
     "ranking, so this is the true retrieval shape: probe set x corpus "
     "index, never index x index. IDF statistics and norms are computed "
-    "over the FULL corpus; output is top-3 per probe doc.",
+    "over the FULL corpus; output is top-3 per probe doc. "
+    "r12 (sf100 probe finding): `rare` and the weighted posting table "
+    "are MATERIALIZED (persist + eager count) before the joins. "
+    "Statically, Catalyst estimated the agg+HAVING `rare` side as "
+    "broadcast-small at EVERY scale — true to sf10, but the fixture "
+    "vocabulary grows with corpus size and at sf100 the broadcast "
+    "collect blew spark.driver.maxResultSize (1.09 GB of task "
+    "results). Planning the joins against the CACHED tables' true "
+    "sizes picks broadcast at probe scale and sort-merge at sf100 "
+    "automatically — the same statistics-driven strategy switch a "
+    "1000-executor job needs. Also saves the duplicate explode the "
+    "inlined CTE paid (tfidf is consumed by norms and both self-join "
+    "sides).",
 )
+def text_tfidf_topk_similar(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.sources.io import fanout_rewrite
+
+    load_fixture_tables(spark, sf_dir)
+    feat_sql = fanout_rewrite(
+        spark, _tfidf_feat_sql("spark"), ("documents",)
+    )
+    rare = spark.sql(_TFIDF_RARE.format(feat=f"({feat_sql})"))
+    rare = rare.persist()
+    rare.count()  # materialize: joins below plan against TRUE size
+    rare.createOrReplaceTempView("tfidf_rare_cached")
+
+    def _true_bytes(df) -> int:
+        # the materialized cache's measured size — the number the static
+        # estimator LACKS (it sizes an explode's output from the scan's
+        # column ratio, which at sf100 undershot feat by ~4 orders and
+        # made Catalyst broadcast the 2.5B-row gram stream)
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    bcast_limit = 64 << 20  # session autoBroadcastJoinThreshold (64MB)
+    rare_hint = (
+        "BROADCAST(r)" if _true_bytes(rare) <= bcast_limit else "MERGE(f, r)"
+    )
+    tfidf = spark.sql(
+        _TFIDF_WEIGHTED.format(
+            feat=f"({feat_sql})",
+            rare="tfidf_rare_cached",
+            n=f"({_TFIDF_N})",
+            join_hint=rare_hint,
+        )
+    )
+    tfidf = tfidf.persist()
+    tfidf.count()  # consumed by norms + both self-join sides in ONE action
+    tfidf.createOrReplaceTempView("tfidf_weighted_cached")
+    # norms joins the probe output TWICE; its agg estimate reads
+    # broadcast-small at every scale but the real table is corpus-sized
+    # (one row per doc — the second sf100 maxResultSize source)
+    norms = spark.sql(_TFIDF_NORMS.format(src="tfidf_weighted_cached"))
+    norms = norms.persist()
+    norms.count()
+    norms.createOrReplaceTempView("tfidf_norms_cached")
+    norms_hint = (
+        "/*+ BROADCAST(na, nb) */"
+        if _true_bytes(norms) <= bcast_limit
+        else "/*+ MERGE(na, nb) */"
+    )
+    out = spark.sql(
+        "WITH "
+        + _tfidf_tail(
+            "tfidf_weighted_cached", "tfidf_norms_cached", norms_hint
+        )
+    )
+    return transfer_ownership(out, norms, tfidf, rare)
 
 
 def _nb_langid_sql(dialect: str) -> str:

@@ -42,7 +42,17 @@ def main() -> None:
     from bdt_spark.operators.cacheutil import release
     from bdt_spark.sources.io import load_fixture_tables
 
-    spark = get_spark("probe_sf100")
+    # 2.5B grams over the default 32 shuffle partitions is ~78M rows per
+    # sort partition — the per-doc MIN window's sort buffers blow the 8g
+    # local heap (GCLocker alloc failures). The production lever is the
+    # same one a 1000-executor job uses: INITIAL shuffle partitions scale
+    # with data volume and AQE coalesces down, never up. 256 partitions
+    # keeps each sort under ~10M grams; both sfs run at the same setting
+    # so the growth ratios stay like-for-like.
+    spark = get_spark(
+        "probe_sf100",
+        shuffle_partitions=int(os.environ.get("PROBE_SHUFFLE", "256")),
+    )
     spark.range(1000).selectExpr("sum(id)").collect()
 
     def gram_stats(sf_dir):
