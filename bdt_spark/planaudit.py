@@ -117,3 +117,26 @@ def effective_partitions(df: DataFrame) -> int | None:
             node = _unwrap_adaptive(kids[0])
     except Exception:
         return None
+
+
+def broadcast_over_generate(df: DataFrame) -> list[str]:
+    """BroadcastExchange nodes whose build subtree contains a Generate
+    (explode/posexplode) — the r12 sf100 tfidf lesson: Spark sizes a
+    Generate's output from its CHILD's column-ratio estimate (explode
+    multiplicity is not modeled), so explode-derived relations get
+    static estimates orders of magnitude low and become broadcast build
+    sides that cannot be driver-collected at scale. Every hit is either
+    a bug or needs a documented boundedness argument (e.g. the
+    broadcast relation is capped by an explicit filter/limit before the
+    exchange). Static inspection only — no job runs."""
+    out = []
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
+        if not node.nodeName().startswith("BroadcastExchange"):
+            continue
+        for sub in _walk(node):
+            if sub.nodeName().startswith("Generate"):
+                out.append(
+                    f"BroadcastExchange over Generate({sub.toString().splitlines()[0][:90]})"
+                )
+                break
+    return out

@@ -83,6 +83,10 @@ PIPELINE = [
     "text_winnowing_fingerprints",
     "tokens_bpe_merge_candidates",
     "dedup_prefix_filter_jaccard",
+    # round-12: format-reader round-trips (convert -> infer -> read -> agg)
+    "scan_csv_roundtrip",
+    "scan_ndjson_roundtrip",
+    "scan_avro_roundtrip",
     # round-10: globalorder rewrites (track the distributed-prefix plans)
     "features_quantile_binning",
     "customer_rfm_segmentation",

@@ -94,6 +94,26 @@ def audit(name: str, text: str) -> list[str]:
     return flags
 
 
+# Broadcast builds that CONTAIN an explode but are bounded by
+# construction before the exchange — each needs the justification here
+# (anything new that trips the broadcast-over-Generate check is either a
+# latent sf100 maxResultSize bug — see text_tfidf_topk_similar r12 — or
+# gets a boundedness argument added to this table):
+BOUNDED_BROADCAST_GENERATE = {
+    # decontamination: the broadcast side is the BENCHMARK n-gram set,
+    # gated by doc_id < 10 before the explode — 10 docs at any corpus sf
+    "text_benchmark_decontamination",
+}
+
+
+def broadcast_generate_flags(name: str, df) -> list[str]:
+    if name in BOUNDED_BROADCAST_GENERATE:
+        return []
+    from bdt_spark.planaudit import broadcast_over_generate
+
+    return broadcast_over_generate(df)
+
+
 def single_partition_flags(name: str, df) -> list[str]:
     """Flag Exchange SinglePartition over anything but a partial
     aggregate's final merge (r10): a one-task stage over data rows is
@@ -119,7 +139,11 @@ def main() -> None:
         spec = plans.get_query(name)
         df = spec.fn(spark, sf_dir)
         text = plan_text(df)
-        flags = audit(name, text) + single_partition_flags(name, df)
+        flags = (
+            audit(name, text)
+            + single_partition_flags(name, df)
+            + broadcast_generate_flags(name, df)
+        )
         print(f"\n===== {name} =====")
         status = "; ".join(flags) if flags else "clean"
         print(f"audit: {status}")
