@@ -1200,10 +1200,25 @@ def _pmi_tail(src: str) -> str:
     """
 
 
+# Scan-size gate for the heavy-corpus plan shape (see
+# sources/io.py:fixture_scan_bytes): scan fan-out and CTE
+# materialization both trade FIXED overhead (extra exchanges / an extra
+# eager action + cache write) for savings PROPORTIONAL to corpus CPU,
+# so one exact-bytes threshold decides both. Measured for pmi at sf0.1:
+# bare inline 1.25 s, fanned inline 2.34 s, fanned+materialized 2.19 s
+# (the fan-out exchanges are the whole regression — pmi was already a
+# measured fan-out NON-member in the r12 relocation, and the
+# materialization that reintroduced it for sf10 must not drag it back
+# in at probe scale). At sf10 the fanned+materialized plan is the one
+# that works (10 s steady vs 10-37 s bimodal). 32 MB of zstd documents
+# (~sf5 of the fixture) sits comfortably between the two regimes.
+_MATERIALIZE_MIN_SCAN_BYTES = 32 << 20
+
+
 def _pmi_lift_sql(dialect: str) -> str:
     if dialect == "spark":
-        # only used for documentation/tests — the registered Spark query
-        # materializes the token CTE instead (see text_pmi_cooccurrence)
+        # the small-scan inline plan — big scans materialize the token
+        # CTE instead (see text_pmi_cooccurrence)
         words = _PMI_SPARK_WORDS
     else:
         words = (
@@ -1236,21 +1251,29 @@ def _pmi_lift_sql(dialect: str) -> str:
     "first so repeated mentions don't inflate support; MIN support 3 "
     "prunes flukes before ranking. The df side-table joins in "
     "broadcast-sized form at any corpus scale (mid-band vocabulary). "
-    "r12: the token CTE is MATERIALIZED (persist + eager count) instead "
-    "of inlined — Catalyst re-expands an inlined CTE per consumer, and "
-    "the scoring tail reads it SIX times (df, n x3, both self-join "
-    "sides), so the sf10 plan ran the scan+regex-explode sextuple-y and "
-    "BIMODALLY (10-37 s run to run — identical executed plans, the "
-    "variance was six redundant explode stages racing the host). "
-    "Materialized once: 10 s steady, spread gone (5 consecutive sf10 "
-    "runs 9.5-10.2 s after JIT). At 100 TB the same intermediate goes "
-    "to persist(DISK_ONLY) or a checkpoint table.",
+    "r12: on a BIG scan the token CTE is MATERIALIZED (persist + eager "
+    "count) instead of inlined — Catalyst re-expands an inlined CTE per "
+    "consumer, and the scoring tail reads it SIX times (df, n x3, both "
+    "self-join sides), so the sf10 plan ran the scan+regex-explode "
+    "sextuple-y and BIMODALLY (10-37 s run to run — identical executed "
+    "plans, the variance was six redundant explode stages racing the "
+    "host). Materialized once: 10 s steady, spread gone (5 consecutive "
+    "sf10 runs 9.5-10.2 s after JIT). Both the materialization AND the "
+    "scan fan-out it reintroduced are GATED on the exact on-disk scan "
+    "size (fixture_scan_bytes >= 32 MB; rationale and sf0.1/sf10 "
+    "measurements at _MATERIALIZE_MIN_SCAN_BYTES): pmi is a measured "
+    "fan-out NON-member at probe scale, so the small arm is the bare "
+    "inline plan (1.25 s at sf0.1 vs 2.2 s fanned). At 100 TB the gate "
+    "always takes the fanned+materialized arm, with persist(DISK_ONLY) "
+    "or a checkpoint table.",
 )
 def text_pmi_cooccurrence(spark, sf_dir):
     from bdt_spark.operators.cacheutil import transfer_ownership
-    from bdt_spark.sources.io import fanout_rewrite
+    from bdt_spark.sources.io import fanout_rewrite, fixture_scan_bytes
 
     load_fixture_tables(spark, sf_dir)
+    if fixture_scan_bytes(spark, "documents") < _MATERIALIZE_MIN_SCAN_BYTES:
+        return spark.sql(_pmi_lift_sql("spark"))
     tok = spark.sql(fanout_rewrite(spark, _PMI_SPARK_WORDS, ("documents",)))
     tok = tok.persist()
     tok.count()  # eager: 6 consumers in ONE action recompute a lazy cache

@@ -441,6 +441,40 @@ _FANOUT_CANDIDATE_TABLES = frozenset({"documents"})
 # tables whose registered parquet had fewer row groups than cores.
 _UNDERSPLIT: dict[int, dict[str, int]] = {}
 
+# session-key -> {table name: on-disk bytes of the registered fixture
+# file/dir} — EXACT input statistics recorded at registration time.
+_TABLE_BYTES: dict[int, dict[str, int]] = {}
+
+
+def _path_bytes(path: str) -> int:
+    """On-disk bytes of a data file or a directory of part files."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    return os.path.getsize(path)
+
+
+def fixture_scan_bytes(spark: SparkSession, table: str) -> int:
+    """On-disk bytes of a registered fixture table — the exact number a
+    small-vs-large plan gate needs, where Catalyst's derived estimates
+    are exactly the thing that cannot be trusted (it sizes an explode's
+    output from the scan's column ratio; see text_tfidf_topk_similar's
+    sf100 finding). Queries use this to pick between a small-scan plan
+    and a heavy-corpus plan: fan-out exchanges and persist+count
+    actions cost FIXED overhead but save work PROPORTIONAL to corpus
+    CPU, so below a byte threshold the bare inline plan wins (measured:
+    text_pmi_cooccurrence 1.25 s bare vs 2.2 s fanned+materialized at
+    sf0.1) and above it the heavy plan wins (10 s steady vs 10-37 s
+    bimodal at sf10).
+    Returns a large sentinel when the table is unknown, so gates fail
+    toward the scale-safe materialized path."""
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    return _TABLE_BYTES.get(key, {}).get(table, 1 << 60)
+
 
 def _parquet_scan_splits(path: str) -> int:
     """Splittable scan units of a parquet file = its ROW-GROUP count.
@@ -496,10 +530,12 @@ def load_fixture_tables(
 
     par = spark.sparkContext.defaultParallelism
     undersplit: dict[str, int] = {}
+    table_bytes: dict[str, int] = {}
 
     def _reg(t: str):
         path = os.path.join(sf_dir, f"{t}.parquet")
         df = register_table(spark, t, path)
+        table_bytes[t] = _path_bytes(path)
         if t in _FANOUT_CANDIDATE_TABLES and _parquet_scan_splits(path) < par:
             undersplit[t] = par
         return t, df
@@ -507,6 +543,7 @@ def load_fixture_tables(
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
         out = dict(ex.map(_reg, present))
     _UNDERSPLIT[key] = undersplit
+    _TABLE_BYTES[key] = table_bytes
     _FIXTURES_LOADED[key] = sf_dir
     return out
 

@@ -172,3 +172,40 @@ def test_fan_out_cpu_stage_only_when_input_too_coarse(spark, tmp_path):
     # slices; leaf -> undeterminable -> zero files -> untouched
     inmem = spark.createDataFrame([(i,) for i in range(10)], "id long")
     assert _fan_out_cpu_stage(inmem) is inmem
+
+
+def test_pmi_materialize_gate_both_arms_agree(spark, sf_dir):
+    """text_pmi_cooccurrence picks its plan from the EXACT on-disk scan
+    size (io.fixture_scan_bytes): small scans run the bare inline plan
+    (pmi is a measured fan-out NON-member — 1.25 s bare vs 2.2 s
+    fanned+materialized at sf0.1), big scans fan out the token explode
+    and materialize the six-times-consumed token CTE (kills the sf10
+    10-37 s bimodality). Both arms must return identical rows, and the
+    gate must read the recorded fixture statistics, not Catalyst's
+    estimates."""
+    from bdt_spark.sources import io as bio
+
+    pmi = plans.get_query("text_pmi_cooccurrence").fn
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+
+    inline = pmi(spark, sf_dir)
+    assert "InMemoryTableScan" not in inline._jdf.queryExecution().toString()
+    inline_rows = inline.collect()
+
+    recorded = bio._TABLE_BYTES[key]["documents"]
+    assert 0 < recorded < 32 << 20  # fixture is tiny -> inline arm taken
+    bio._TABLE_BYTES[key]["documents"] = 1 << 40
+    try:
+        mat = pmi(spark, sf_dir)
+        assert "InMemoryTableScan" in mat._jdf.queryExecution().toString()
+        assert mat.collect() == inline_rows
+    finally:
+        bio._TABLE_BYTES[key]["documents"] = recorded
+        spark.catalog.clearCache()
+
+    # unknown table -> large sentinel -> the scale-safe materialized arm
+    assert bio.fixture_scan_bytes(spark, "no_such_table") == 1 << 60
