@@ -16,6 +16,8 @@ fan-out gate correctly does NOT fire there — this probe also exercises
 the production-layout path of the r12 per-query opt-in.
 
 Usage: python tools/probe_sf100_text.py [sf10_dir] [sf100_dir]
+PROBE_QUERIES=name,name overrides the query list (e.g. the r12 dedup
+probe runs dedup_minhash_lsh,dedup_simhash over the same shards).
 """
 
 from __future__ import annotations
@@ -27,9 +29,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
-    "text_winnowing_fingerprints",
-    "text_naive_bayes_langid",
-    "text_tfidf_topk_similar",
+    q
+    for q in os.environ.get(
+        "PROBE_QUERIES",
+        "text_winnowing_fingerprints,text_naive_bayes_langid,"
+        "text_tfidf_topk_similar",
+    ).split(",")
+    if q
 ]
 
 
