@@ -196,8 +196,11 @@ def test_pmi_materialize_gate_both_arms_agree(spark, sf_dir):
     assert "InMemoryTableScan" not in inline._jdf.queryExecution().toString()
     inline_rows = inline.collect()
 
+    from bdt_spark.plans.pipeline_text import _MATERIALIZE_MIN_SCAN_BYTES
+
     recorded = bio._TABLE_BYTES[key]["documents"]
-    assert 0 < recorded < 32 << 20  # fixture is tiny -> inline arm taken
+    # fixture is tiny -> inline arm taken
+    assert 0 < recorded < _MATERIALIZE_MIN_SCAN_BYTES
     bio._TABLE_BYTES[key]["documents"] = 1 << 40
     try:
         mat = pmi(spark, sf_dir)
