@@ -237,9 +237,16 @@ def minhash_pairs(
         p.count()
         return p
 
-    sh = _mat(
-        df.repartition(n_partitions, id_col)
-        .selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
+    # The corpus-sized shingle table is NEVER cached (r12 sf100 fix):
+    # caching it was the operator's one O(corpus) memory term — at sf100
+    # (5M docs, ~500 shingles/doc) the MEMORY_AND_DISK unroll of ~550 MB
+    # partitions x 32 concurrent tasks OOM'd the 8 GB heap, and at
+    # 100 TB a corpus-derived cache (shingles ~ 8x text bytes) has no
+    # home on ANY tier. It has exactly one consumer (the signature
+    # projection); Jaccard verification below re-shingles only the
+    # CANDIDATE docs instead of probing a full-corpus cache.
+    sh = df.repartition(n_partitions, id_col).selectExpr(
+        id_col, f"{shingle_expr(text_col)} AS shingles"
     )
 
     # map-only signatures: one digest array per seed (md5 evaluated once
@@ -257,7 +264,7 @@ def minhash_pairs(
     # narrow columns) but its lineage contains ALL the md5 signature
     # transforms — and it has three consumers (the hot-bucket count and
     # both sides of the band self-join). Without the cache each consumer
-    # re-hashes every shingle from the persisted `sh` (measured ~2x the
+    # re-shingles and re-hashes the corpus from scratch (measured ~2x the
     # query's whole cost). At 100 TB this is the same call:
     # MEMORY_AND_DISK spills per-executor, no shuffle is added.
     buckets = _mat(buckets)
@@ -292,20 +299,43 @@ def minhash_pairs(
         )
         .distinct()
     )
+    # Candidate pairs are bounded (hot-bucket cap -> linear in corpus,
+    # near-dup rate makes them a small fraction of docs). Materialize on
+    # the scale path so (a) the two verify joins don't recompute the
+    # band self-join and (b) the subset joins below plan against the
+    # TRUE cached size (the tfidf statistics pattern).
+    cand = _mat(cand)
+    # Jaccard verification re-shingles ONLY the candidate members: the
+    # shingle filter happens BEFORE the shingle expression, so the
+    # corpus pays text scanning once here, never array materialization.
+    # No broadcast is forced — `ids` sits above shuffle stages, so AQE
+    # picks broadcast at probe scale and falls back to a shuffle join if
+    # a pathological corpus ever makes the candidate set huge.
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sub = _mat(
+        df.join(ids, id_col).selectExpr(
+            id_col, f"{shingle_expr(text_col)} AS shingles"
+        )
+    )
     jac = (
         "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
         " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
     )
     pairs = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        cand.join(sub.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sub.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
         .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
     )
     out = pairs.filter(F.col("jaccard") >= threshold).orderBy(
         "doc_a", "doc_b"
     )
     # When the size gate selects the eager path: persist the (small) pair
-    # output, force it eagerly, then drop the shingle blocks so repeated
+    # output, force it eagerly, then drop the intermediate blocks
+    # (buckets/cand/sub) so repeated
     # library/CLI calls in one session don't accumulate cached blocks —
     # the returned DataFrame stays persisted and is CALLER-OWNED (call
     # .unpersist() when done). persist() keeps the lineage intact
@@ -316,8 +346,9 @@ def minhash_pairs(
     # persisted or forced; the plan returns fully lazy.
     out = _mat(out)
     if eager:
-        sh.unpersist()
         buckets.unpersist()
+        cand.unpersist()
+        sub.unpersist()
     if hot is not None and stats is not None:
         hot.unpersist()
     return out
