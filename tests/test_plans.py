@@ -245,3 +245,34 @@ def test_mg_summaries_merge_from_local_relation(spark, sf_dir):
         "merge tail must not re-run the shard pass"
     )
     assert "LocalTableScan" in text or "Scan ExistingRDD" in text, text
+
+
+def test_no_unjustified_broadcast_over_generate(spark, sf_dir):
+    """Repo-wide guard for the sf100 tfidf failure class: a
+    BroadcastExchange whose build subtree contains a Generate rides a
+    column-ratio size estimate that never models explode multiplicity —
+    at scale such a build side can blow spark.driver.maxResultSize.
+    Every hit across the explode-heavy families must carry a
+    boundedness argument in planaudit.BROADCAST_GENERATE_JUSTIFIED
+    (probe-set bound, or scan-proportional estimate + AQE-visible
+    shuffle below the build). A new hit fails here until it is either
+    restructured (the tfidf fix: materialize + size-driven hint) or
+    justified with an sf100 measurement."""
+    from bdt_spark.planaudit import (
+        BROADCAST_GENERATE_JUSTIFIED,
+        broadcast_over_generate,
+    )
+
+    families = ("text_", "dedup_", "tokens_", "pipeline_")
+    hits = {}
+    for name in plans.all_queries():
+        if not name.startswith(families):
+            continue
+        df = plans.get_query(name).fn(spark, sf_dir)
+        flagged = broadcast_over_generate(df)
+        if flagged and name not in BROADCAST_GENERATE_JUSTIFIED:
+            hits[name] = flagged[0]
+    assert not hits, (
+        "unjustified BroadcastExchange over Generate (add a boundedness "
+        f"argument to planaudit.BROADCAST_GENERATE_JUSTIFIED): {hits}"
+    )

@@ -94,23 +94,17 @@ def audit(name: str, text: str) -> list[str]:
     return flags
 
 
-# Broadcast builds that CONTAIN an explode but are bounded by
-# construction before the exchange — each needs the justification here
-# (anything new that trips the broadcast-over-Generate check is either a
-# latent sf100 maxResultSize bug — see text_tfidf_topk_similar r12 — or
-# gets a boundedness argument added to this table):
-BOUNDED_BROADCAST_GENERATE = {
-    # decontamination: the broadcast side is the BENCHMARK n-gram set,
-    # gated by doc_id < 10 before the explode — 10 docs at any corpus sf
-    "text_benchmark_decontamination",
-}
-
-
 def broadcast_generate_flags(name: str, df) -> list[str]:
-    if name in BOUNDED_BROADCAST_GENERATE:
-        return []
-    from bdt_spark.planaudit import broadcast_over_generate
+    # Justified queries (boundedness argument + sf100 measurement per
+    # entry) live in planaudit.BROADCAST_GENERATE_JUSTIFIED, shared with
+    # tests/test_plans.py's repo-wide guard.
+    from bdt_spark.planaudit import (
+        BROADCAST_GENERATE_JUSTIFIED,
+        broadcast_over_generate,
+    )
 
+    if name in BROADCAST_GENERATE_JUSTIFIED:
+        return []
     return broadcast_over_generate(df)
 
 
