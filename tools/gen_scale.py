@@ -14,8 +14,12 @@ data statistically comparable, not just bigger:
   replicas mutually non-duplicate — total MinHash pair count scales
   LINEARLY with K (naive replication would make every doc a 10-way
   near-dup and blow the pair count up ~K² — a different workload).
-- embeddings: replica vectors get a tiny deterministic per-replica nudge
-  on dim 0 so brute-force rankings don't become all-ties.
+- embeddings: replica i applies a deterministic per-replica SIGN FLIP
+  (diagonal +/-1 by hash(i, dim) parity) — within-replica dot products
+  and norms are preserved exactly, cross-replica copies decorrelate to
+  ~0 cosine, so near-dup pair volume scales LINEARLY with K (the r12
+  probe caught the earlier dim-0 nudge leaving cross-replica copies at
+  cosine 0.9999995 — K-way cliques, a ~K^2 pair universe).
 - o_totalprice gets + i*1e-6 per replica: naive replication duplicates
   every value exactly, which turns argmin/argmax (min_by/max_by — the
   fixture queries argmin over o_totalprice) into engine-dependent
@@ -149,13 +153,29 @@ def gen(src: str, dst: str, k: int, only: set[str] | None = None) -> None:
                    END AS n_chars
             FROM {rp('documents')} CROSS JOIN reps""",
     )
+    # Per-replica SIGN FLIP (diagonal +/-1 transform, deterministic in
+    # (i, dim)): dot(S_i a, S_i b) = dot(a, b) exactly, so within-replica
+    # near-dup/ranking structure is preserved bit-for-bit, while
+    # cross-replica cosine between copies collapses to ~sum(+/-a_d^2)/|a|^2
+    # ~ 0 — replicas are mutually non-duplicate, like the r{{i}} word
+    # prefixes for documents. The r12 embedding sf100 probe caught the
+    # previous dim-0 nudge (i * 0.001) leaving cross-replica copies at
+    # cosine 0.9999995: every scale shard carried K-way near-dup cliques,
+    # i.e. naive replication — a ~K^2 pair universe, a different workload
+    # (the operator's bounded-candidate window is why sf100 still
+    # finished). The flip bit is hash(i*131071 + j) parity — a SINGLE-arg
+    # hash of a mixed key: DuckDB's two-arg hash(i, j) combines per-column
+    # hashes such that the LOW BIT is independent of i (measured: the
+    # parity vector over j is identical for every i), which silently made
+    # all replicas share one pattern (replica pairs back at cosine 1.0).
+    # i=0 keeps the original fixture vectors verbatim.
     write(
         "embeddings",
         f"""SELECT vec_id + i*{v_off} AS vec_id,
                    list_transform(
                      range(1, len(embedding) + 1),
-                     j -> CASE WHEN j = 1
-                               THEN CAST(embedding[j] + i * 0.001 AS FLOAT)
+                     j -> CASE WHEN i > 0 AND hash(i*131071 + j) % 2 = 1
+                               THEN CAST(-embedding[j] AS FLOAT)
                                ELSE embedding[j] END) AS embedding,
                    label
             FROM {rp('embeddings')} CROSS JOIN reps""",

@@ -63,6 +63,10 @@ def main() -> None:
 
     def gram_stats(sf_dir):
         load_fixture_tables(spark, sf_dir, force=True)
+        if not spark.catalog.tableExists("documents"):
+            # non-text shard (e.g. the embeddings-only sf100 probe):
+            # report corpus row count of whatever tables are present
+            return None
         [r] = spark.sql(
             "SELECT COUNT(*) AS n_docs, "
             "SUM(GREATEST(LENGTH(text) - 7, 0)) AS grams, "
@@ -82,9 +86,13 @@ def main() -> None:
 
     d10 = gram_stats(sf10)
     d100 = gram_stats(sf100)
-    print(f"sf10:  docs={d10[0]:,} grams={d10[1]:,} avg_len={d10[2]:.0f}")
-    print(f"sf100: docs={d100[0]:,} grams={d100[1]:,} avg_len={d100[2]:.0f}")
-    print(f"gram growth: {d100[1] / d10[1]:.2f}x for {d100[0] / d10[0]:.0f}x docs")
+    if d10 and d100:
+        print(f"sf10:  docs={d10[0]:,} grams={d10[1]:,} avg_len={d10[2]:.0f}")
+        print(f"sf100: docs={d100[0]:,} grams={d100[1]:,} avg_len={d100[2]:.0f}")
+        print(
+            f"gram growth: {d100[1] / d10[1]:.2f}x for "
+            f"{d100[0] / d10[0]:.0f}x docs"
+        )
 
     for name in QUERIES:
         t10, n10 = run(name, sf10)
