@@ -542,6 +542,15 @@ def load_fixture_tables(
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(present)))) as ex:
         out = dict(ex.map(_reg, present))
+    # Requested fixture tables with no file in THIS sf_dir: drop any
+    # stale temp view left by a previous registration — otherwise a
+    # query against the new dir silently reads the OLD dir's data for
+    # that table (bit the r12 embeddings-only sf100 probe, whose stats
+    # read the previous shard's documents view). Views outside the
+    # requested set are caller-managed and untouched.
+    for t in tables:
+        if t not in out and spark.catalog.tableExists(t):
+            spark.catalog.dropTempView(t)
     _UNDERSPLIT[key] = undersplit
     _TABLE_BYTES[key] = table_bytes
     _FIXTURES_LOADED[key] = sf_dir

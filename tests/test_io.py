@@ -197,3 +197,28 @@ def test_register_dir_errors_on_unsupported(spark, tmp_path):
     # lenient mode still available for mixed directories
     out = register_dir(spark, str(tmp_path), skip_unsupported=True)
     assert set(out) == {"good"}
+
+
+def test_force_reload_drops_views_absent_from_new_dir(spark, tmp_path):
+    """Re-registering fixtures against a dir that LACKS a table must drop
+    that table's stale view — otherwise queries against the new dir
+    silently read the previous dir's data (bit the r12 embeddings-only
+    sf100 probe, whose corpus stats read the prior shard's documents)."""
+    import shutil
+
+    from bdt_spark.sources.io import load_fixture_tables
+
+    full = "/root/testdata/sf0.001"
+    load_fixture_tables(spark, full, force=True)
+    assert spark.catalog.tableExists("events")
+
+    part = tmp_path / "docs_only"
+    part.mkdir()
+    shutil.copy(f"{full}/documents.parquet", part / "documents.parquet")
+    out = load_fixture_tables(spark, str(part), force=True)
+    assert set(out) == {"documents"}
+    assert spark.catalog.tableExists("documents")
+    assert not spark.catalog.tableExists("events")
+
+    # restore for other tests sharing the session fixture
+    load_fixture_tables(spark, full, force=True)
