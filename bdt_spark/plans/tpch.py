@@ -346,23 +346,62 @@ sql_query(
 )
 
 # --- q18: large volume customers (HAVING + IN subquery) ---------------------
-sql_query(
-    "tpch_q18_large_volume",
-    f"""
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+_Q18_SQL = f"""
+    SELECT {{dim_hint}} c_name, c_custkey, o_orderkey, o_orderdate,
+           o_totalprice,
            {dsum('l_quantity', 'sum_qty')}
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
-      SELECT l_orderkey FROM lineitem
+      SELECT {{semi_hint}} l_orderkey FROM lineitem
       GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     LIMIT 100
-    """,
+    """
+
+# lineitem scan bytes above which the IN-subquery semi-join is hinted
+# to sort-merge: the HAVING set is a FIXED ~20% of orders (measured
+# identically at sf0.1/sf10/sf100), so its true size is linear in the
+# fact table while Catalyst's agg+HAVING estimate stays broadcast-small
+# — at sf100 (6.4 GB lineitem, 29.3M keys) the statically-planned
+# broadcast died building the hash relation ("Not enough memory to
+# build and broadcast"). sf10 (0.64 GB, 2.9M keys) measured fine
+# broadcast-side, so 1 GB sits between the regimes; at production fact
+# sizes the gate always picks the shuffle semi-join.
+_Q18_SEMI_MERGE_MIN_BYTES = 1 << 30
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle=_Q18_SQL.format(semi_hint="", dim_hint=""),
     tags=("tpch", "in-subquery", "having"),
+    doc="TPC-H q18: large-volume customers via HAVING + IN subquery. The "
+    "semi-join build side (orderkeys with SUM(l_quantity) > 150) is a "
+    "fixed ~20% of ALL orders — linear in the fact table — but its "
+    "agg+HAVING static estimate reads broadcast-small at every scale "
+    "(the broadcast-over-Generate estimate family, without the "
+    "explode). The Spark side therefore picks the semi-join strategy "
+    "from the exact lineitem scan bytes: broadcast below "
+    "_Q18_SEMI_MERGE_MIN_BYTES, /*+ MERGE */ shuffle semi-join above "
+    "(sf100 measured: the static broadcast dies at 29.3M keys). The "
+    "oracle is the same text without the hint; DuckDB plans its own "
+    "semi-join.",
 )
+def tpch_q18_large_volume(spark, sf_dir):
+    from bdt_spark.sources.io import fixture_scan_bytes
+
+    load_fixture_tables(spark, sf_dir)
+    big = (
+        fixture_scan_bytes(spark, "lineitem") >= _Q18_SEMI_MERGE_MIN_BYTES
+    )
+    return spark.sql(
+        _Q18_SQL.format(
+            semi_hint="/*+ MERGE */ " if big else "",
+            dim_hint="/*+ MERGE(customer) */ " if big else "",
+        )
+    )
 
 # --- q19: discounted revenue (OR-of-ANDs pushdown stress) -------------------
 sql_query(
