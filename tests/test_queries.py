@@ -124,7 +124,13 @@ def test_fixture_embedding_dim_matches_unrolled_expressions():
     from bdt_spark.plans.pipeline import EMB_DIM
 
     dirs = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
-    dirs += [d for d in ("/tmp/sf1", "/tmp/sf10") if os.path.isdir(d)]
+    # scaled dirs are opportunistic AND may be table-filtered shards
+    # (gen_scale takes trailing table names), so require the file itself
+    dirs += [
+        d
+        for d in ("/tmp/sf1", "/tmp/sf10")
+        if os.path.exists(os.path.join(d, "embeddings.parquet"))
+    ]
     for d in dirs:
         path = os.path.join(d, "embeddings.parquet")
         lo, hi = duckdb.sql(
