@@ -218,3 +218,34 @@ def test_pmi_materialize_gate_both_arms_agree(spark, sf_dir):
 
     # unknown table -> large sentinel -> the scale-safe materialized arm
     assert bio.fixture_scan_bytes(spark, "no_such_table") == 1 << 60
+
+
+def test_q21_gate_both_arms_agree(spark, sf_dir):
+    """tpch_q21_waiting_supplier picks correlated vs decorrelated from
+    the exact lineitem scan bytes (plans/tpch._BIG_FACT_MIN_BYTES).
+    The decorrelated arm is a different ALGORITHM (supplier-level
+    window over per-order ship maxima with tie handling), so both arms
+    must return identical rows; q18's big arm must plan its semi-join
+    as sort-merge (the sf100 broadcast-death fix)."""
+    from bdt_spark.sources import io as bio
+
+    q21 = plans.get_query("tpch_q21_waiting_supplier").fn
+    q18 = plans.get_query("tpch_q18_large_volume").fn
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+
+    small_rows = q21(spark, sf_dir).collect()
+
+    recorded = bio._TABLE_BYTES[key]["lineitem"]
+    bio._TABLE_BYTES[key]["lineitem"] = 2 << 30
+    try:
+        big_rows = q21(spark, sf_dir).collect()
+        assert big_rows == small_rows
+        plan = q18(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        text = plan.toString()
+        assert "SortMergeJoin" in text and "LeftSemi" in text
+    finally:
+        bio._TABLE_BYTES[key]["lineitem"] = recorded
