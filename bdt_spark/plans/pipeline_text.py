@@ -800,7 +800,7 @@ _TFIDF_RARE = (
 )
 
 _TFIDF_WEIGHTED = """
-      SELECT /*+ {join_hint} */ f.doc_id, f.word,
+      SELECT {join_hint} f.doc_id, f.word,
              CAST(CAST(LN((n.n_docs + 1.0) / (r.df + 1.0))
                        AS DECIMAL(30,12)) AS DOUBLE) AS w
       FROM {feat} f JOIN {rare} r ON f.word = r.word CROSS JOIN {n} n
@@ -920,6 +920,12 @@ def text_tfidf_topk_similar(spark, sf_dir):
     from bdt_spark.operators.cacheutil import transfer_ownership
     from bdt_spark.sources.io import fanout_rewrite
 
+    # NO small-scan inline arm here, deliberately (unlike pmi): an
+    # interleaved sf0.1 A/B measured the materialized path at parity or
+    # better (inline 1.7-2.2 s vs materialized 1.2-1.7 s steady-state —
+    # the three persist+count actions are repaid by the duplicate feat
+    # subtree the inline plan re-expands three times), so one arm keeps
+    # the sf100-critical statistics-driven strategy everywhere.
     load_fixture_tables(spark, sf_dir)
     feat_sql = fanout_rewrite(
         spark, _tfidf_feat_sql("spark"), ("documents",)
@@ -940,7 +946,9 @@ def text_tfidf_topk_similar(spark, sf_dir):
 
     bcast_limit = 64 << 20  # session autoBroadcastJoinThreshold (64MB)
     rare_hint = (
-        "BROADCAST(r)" if _true_bytes(rare) <= bcast_limit else "MERGE(f, r)"
+        "/*+ BROADCAST(r) */"
+        if _true_bytes(rare) <= bcast_limit
+        else "/*+ MERGE(f, r) */"
     )
     tfidf = spark.sql(
         _TFIDF_WEIGHTED.format(
