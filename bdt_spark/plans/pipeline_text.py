@@ -1218,12 +1218,13 @@ def _pmi_tail(src: str) -> str:
 # measured fan-out NON-member in the r12 relocation, and the
 # materialization that reintroduced it for sf10 must not drag it back
 # in at probe scale). At sf10 the fanned+materialized plan is the one
-# that works (10 s steady vs 10-37 s bimodal). Calibrated against the
-# MEASURED fixture sizes (zstd parquet): sf0.1 = 0.58 MB and sf1 =
-# 2.3 MB take the bare arm (pmi fan-out measured 1.03x-neutral at
-# sf1), sf10 = 16.2 MB takes the heavy arm — 8 MB sits between the
-# regimes with >3x clearance on either side.
-_MATERIALIZE_MIN_SCAN_BYTES = 8 << 20
+# that works (10 s steady vs 10-37 s bimodal). Calibrated against
+# MEASURED A/Bs at every shipped shard size (zstd parquet): sf0.1 =
+# 0.58 MB bare wins (1.25 s vs 2.2 s heavy); sf1 = 2.3 MB the HEAVY
+# arm already wins (4.2-5.0 s steady vs 5.5-6.4 s bare, interleaved
+# 3-rep A/B); sf10 = 16.2 MB heavy is mandatory. The crossover sits
+# between 0.6 and 2.3 MB, so 1 MB splits the measured points.
+_MATERIALIZE_MIN_SCAN_BYTES = 1 << 20
 
 
 def _pmi_lift_sql(dialect: str) -> str:
@@ -1271,7 +1272,7 @@ def _pmi_lift_sql(dialect: str) -> str:
     "host). Materialized once: 10 s steady, spread gone (5 consecutive "
     "sf10 runs 9.5-10.2 s after JIT). Both the materialization AND the "
     "scan fan-out it reintroduced are GATED on the exact on-disk scan "
-    "size (fixture_scan_bytes >= 8 MB; rationale and sf0.1/sf10 "
+    "size (fixture_scan_bytes >= 1 MB; rationale and per-shard A/Bs "
     "measurements at _MATERIALIZE_MIN_SCAN_BYTES): pmi is a measured "
     "fan-out NON-member at probe scale, so the small arm is the bare "
     "inline plan (1.25 s at sf0.1 vs 2.2 s fanned). At 100 TB the gate "
