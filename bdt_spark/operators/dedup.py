@@ -215,10 +215,17 @@ def minhash_pairs(
     defaults (8/4) are far below the 64-128 production near-dup uses;
     non-default geometry diverges from the DuckDB oracle by construction.
 
-    `eager_persist_min_bytes` gates the persist+count materializations
-    on the Catalyst input-size estimate (see EAGER_PERSIST_MIN_BYTES):
-    identical results either way, only the caching differs. Pass 0 to
-    force the scale path.
+    `eager_persist_min_bytes` gates BOTH the persist+count
+    materializations AND the verification plan arm on the Catalyst
+    input-size estimate (see EAGER_PERSIST_MIN_BYTES): above the gate,
+    intermediates are cached and Jaccard verification re-shingles only
+    the candidate docs (the sf100-viable shape — no corpus-derived
+    cache anywhere); below it, nothing is cached and verification joins
+    the corpus shingle table directly (the single-pass small-corpus
+    shape — the subset joins would otherwise recompute the uncached
+    candidate subtree three times). Identical results either way,
+    pinned by tests/test_dedup_ops.py::
+    test_minhash_gate_both_arms_agree. Pass 0 to force the scale path.
     """
     from pyspark import StorageLevel
 
@@ -299,35 +306,53 @@ def minhash_pairs(
         )
         .distinct()
     )
-    # Candidate pairs are bounded (hot-bucket cap -> linear in corpus,
-    # near-dup rate makes them a small fraction of docs). Materialize on
-    # the scale path so (a) the two verify joins don't recompute the
-    # band self-join and (b) the subset joins below plan against the
-    # TRUE cached size (the tfidf statistics pattern).
-    cand = _mat(cand)
-    # Jaccard verification re-shingles ONLY the candidate members: the
-    # shingle filter happens BEFORE the shingle expression, so the
-    # corpus pays text scanning once here, never array materialization.
-    # No broadcast is forced — `ids` sits above shuffle stages, so AQE
-    # picks broadcast at probe scale and falls back to a shuffle join if
-    # a pathological corpus ever makes the candidate set huge.
-    ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    sub = _mat(
-        df.join(ids, id_col).selectExpr(
-            id_col, f"{shingle_expr(text_col)} AS shingles"
+    sub = None
+    if eager:
+        # Candidate pairs are bounded (hot-bucket cap -> linear in
+        # corpus, near-dup rate makes them a small fraction of docs).
+        # Materialize on the scale path so (a) the two verify joins
+        # don't recompute the band self-join and (b) the subset joins
+        # below plan against the TRUE cached size (the tfidf statistics
+        # pattern).
+        cand = _mat(cand)
+        # Jaccard verification re-shingles ONLY the candidate members:
+        # the shingle filter happens BEFORE the shingle expression, so
+        # the corpus pays text scanning once here, never array
+        # materialization. No broadcast is forced — `ids` sits above
+        # shuffle stages, so AQE picks broadcast at probe scale and
+        # falls back to a shuffle join if a pathological corpus ever
+        # makes the candidate set huge.
+        ids = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .union(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
         )
-    )
+        sub = _mat(
+            df.join(ids, id_col).selectExpr(
+                id_col, f"{shingle_expr(text_col)} AS shingles"
+            )
+        )
+        verify = sub
+    else:
+        # Small-corpus arm (r13 gate, mirroring the pmi pattern at
+        # plans/pipeline_text.py:_MATERIALIZE_MIN_SCAN_BYTES): below
+        # EAGER_PERSIST_MIN_BYTES nothing is cached, so the scale arm's
+        # candidate-subset joins would recompute the UNCACHED `cand`
+        # subtree (signatures + band self-join) three times — the left
+        # side of the verify join plus both shingled-subset builds.
+        # Measured at sf0.1: 2.86 s for the lazy scale arm vs ~1.0 s
+        # verifying straight against the corpus shingle table (the r11
+        # single-pass shape). The sf100 OOM the scale arm fixes cannot
+        # exist here: the corpus is under the gate bytes by definition,
+        # and `sh` stays lazy (never persisted) on this arm too.
+        verify = sh
     jac = (
         "ROUND(size(array_intersect(sa.shingles, sb.shingles)) /"
         " CAST(size(array_union(sa.shingles, sb.shingles)) AS DOUBLE), 6)"
     )
     pairs = (
-        cand.join(sub.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sub.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        cand.join(verify.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(verify.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
         .selectExpr("doc_a", "doc_b", f"{jac} AS jaccard")
     )
     out = pairs.filter(F.col("jaccard") >= threshold).orderBy(

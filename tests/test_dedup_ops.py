@@ -308,9 +308,11 @@ def test_rungs_cover_every_interleave_factor():
 
 
 def test_eager_persist_gate_same_results_and_no_cache_residue(spark):
-    """The input-size gate (EAGER_PERSIST_MIN_BYTES) changes caching only:
-    a small corpus run (gate skips persists) and a forced-eager run
-    (eager_persist_min_bytes=0) must produce identical pairs, and
+    """The input-size gate (EAGER_PERSIST_MIN_BYTES) switches caching AND
+    the verification arm (r13: small corpora verify against the corpus
+    shingle table single-pass; big corpora cache intermediates and
+    re-shingle only candidates): a small corpus run and a forced-eager
+    run (eager_persist_min_bytes=0) must produce identical pairs, and
     NEITHER may leave persisted RDDs behind (the small path never
     persists; the eager path unpersists everything but the result,
     which it also releases via garbage collection of the handle)."""
@@ -375,3 +377,32 @@ def test_plan_size_bytes_never_trusts_sentinel_derived_roots(spark):
     files = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert 0 < _plan_size_bytes(files) < EAGER_PERSIST_MIN_BYTES
     assert 0 < _plan_size_bytes(files.select("text")) < EAGER_PERSIST_MIN_BYTES
+
+
+def test_minhash_gate_both_arms_agree(spark):
+    """r13 arm gate (VERDICT r12 #2): on the fixture documents table the
+    small-corpus arm (verify joins the corpus shingle table; nothing
+    persisted, so the plan shows no InMemoryTableScan) and the forced
+    scale arm (eager_persist_min_bytes=0: cached candidates, verify
+    re-shingles only candidate docs) must return row-identical pairs.
+    The discriminator between arms is structural: the scale arm's
+    executed plan reads persisted intermediates, the small arm's never
+    does."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    small_df = minhash_pairs(docs, threshold=0.5)
+    assert (
+        "InMemoryTableScan"
+        not in small_df._jdf.queryExecution().executedPlan().toString()
+    ), "small arm must stay fully lazy (no cached intermediates)"
+    small = [(r.doc_a, r.doc_b, r.jaccard) for r in small_df.collect()]
+
+    scale_df = minhash_pairs(docs, threshold=0.5, eager_persist_min_bytes=0)
+    assert (
+        "InMemoryTableScan"
+        in scale_df._jdf.queryExecution().executedPlan().toString()
+    ), "scale arm must read its persisted pair output"
+    scale = [(r.doc_a, r.doc_b, r.jaccard) for r in scale_df.collect()]
+    scale_df.unpersist()
+
+    assert small == scale and len(small) >= 1
