@@ -143,30 +143,35 @@ def broadcast_over_generate(df: DataFrame) -> list[str]:
 
 
 # Queries whose broadcast-over-Generate hits are JUSTIFIED — each entry
-# is a boundedness argument for why the broadcast build side cannot
-# reach driver-killing size at any corpus scale, with the sf100
-# measurement that backs it (SCALE.md round-12). Anything NEW that trips
-# broadcast_over_generate is either a latent maxResultSize bug (the
-# sf100 tfidf failure: agg+HAVING over an unmodeled ~500x explode gave
-# a ~1000x estimate/true gap AND the true relation grew with corpus
-# vocabulary) or gets an argument added here. The two recurring safe
-# shapes: (a) the build side is hard-bounded by a pushed probe-set
-# filter; (b) the build side's static estimate is PROPORTIONAL to the
-# scan (constant-factor gap only), so the estimate crosses the 10 MB
-# broadcast threshold long before the true size threatens the driver,
-# and the relation sits above shuffle stages whose runtime sizes AQE
-# re-plans with.
-BROADCAST_GENERATE_JUSTIFIED: dict[str, str] = {
-    "text_benchmark_decontamination": (
+# is (max_flags, boundedness argument): why the broadcast build side
+# cannot reach driver-killing size at any corpus scale, with the sf100
+# measurement that backs it (SCALE.md round-12). `max_flags` is the
+# MEASURED flag count at probe scale (r13, sf0.001 fixture, any gate
+# arm — gated queries' heavy arms all measure 0 because they plan from
+# materialized true sizes); the repo-wide guard fails when a justified
+# query's flagged count EXCEEDS it, so a plan regression inside an
+# allowlisted query is caught instead of blanket-excused (r12 ADVICE).
+# Anything NEW that trips broadcast_over_generate is either a latent
+# maxResultSize bug (the sf100 tfidf failure: agg+HAVING over an
+# unmodeled ~500x explode gave a ~1000x estimate/true gap AND the true
+# relation grew with corpus vocabulary) or gets an argument added here.
+# The two recurring safe shapes: (a) the build side is hard-bounded by
+# a pushed probe-set filter; (b) the build side's static estimate is
+# PROPORTIONAL to the scan (constant-factor gap only), so the estimate
+# crosses the 10 MB broadcast threshold long before the true size
+# threatens the driver, and the relation sits above shuffle stages
+# whose runtime sizes AQE re-plans with.
+BROADCAST_GENERATE_JUSTIFIED: dict[str, tuple[int, str]] = {
+    "text_benchmark_decontamination": (1,
         "broadcast side is the benchmark n-gram set, gated doc_id < 10 "
         "before the explode — 10 docs at any corpus sf"
     ),
-    "dedup_prefix_filter_jaccard": (
+    "dedup_prefix_filter_jaccard": (9,
         "the whole query is gated doc_id < 2000 pushed into the scan — "
         "every explode-derived relation is bounded by the fixed probe "
         "set, not the corpus"
     ),
-    "pipeline_curation_v2": (
+    "pipeline_curation_v2": (3,
         "contamination build sides are the doc_id < 10 benchmark "
         "shingle set (hard-bounded); the per-doc repetition-ratio side "
         "is ~16 B/doc with a scan-proportional estimate (no explode "
@@ -174,7 +179,7 @@ BROADCAST_GENERATE_JUSTIFIED: dict[str, str] = {
         "broadcast threshold ~30x before the true size reaches 1 GB; "
         "measured sf100: 61.9 s, no driver collect over 80 MB"
     ),
-    "text_winnowing_fingerprints": (
+    "text_winnowing_fingerprints": (1,
         "the rare-fp self-join sides sit above TWO window shuffles "
         "(doc_id, then minh partitions) — AQE re-plans the join from "
         "those stages' runtime bytes, bounding the estimate error to "
@@ -182,49 +187,52 @@ BROADCAST_GENERATE_JUSTIFIED: dict[str, str] = {
         "(fingerprints ~ 2/(w+1) of grams); measured sf10 and sf100 "
         "(792 s r11, SMJ chosen at sf100)"
     ),
-    "tokens_bpe_merge_candidates": (
+    "tokens_bpe_merge_candidates": (5,
         "adjacency-join sides derive from the DISTINCT-word table "
         "(vocabulary, Heaps-sublinear in corpus) above the wfreq agg "
         "shuffle whose runtime size AQE re-plans with; measured sf100: "
         "11.1 s, 2.0x wall for 10x docs"
     ),
-    "dedup_minhash_lsh": (
-        "flagged builds are the hot-bucket anti-join set (hard-bounded "
-        "at n_rows/cap keys) and, at tiny inputs, a band self-join side "
-        "whose explode multiplicity is the CONSTANT n_bands (no "
-        "estimate compounding); the scale path materializes the bucket "
-        "table so joins plan from true cached sizes; measured sf100: "
-        "74.3 s (operators/dedup.py r12)"
+    "dedup_minhash_lsh": (3,
+        "small-corpus arm only (EAGER_PERSIST_MIN_BYTES gate, "
+        "operators/dedup.py): flagged builds are the hot-bucket "
+        "anti-join set (hard-bounded at n_rows/cap keys) and a band "
+        "self-join side whose explode multiplicity is the CONSTANT "
+        "n_bands (no estimate compounding); the scale arm materializes "
+        "the bucket/candidate tables so joins plan from true cached "
+        "sizes and measures 0 flags; measured sf100: 74.3 s"
     ),
-    "dedup_minhash_lsh_k64": (
+    "dedup_minhash_lsh_k64": (3,
         "same operator as dedup_minhash_lsh at k=64 geometry — same "
-        "bounds, same materialized scale path"
+        "bounds, same materialized scale arm (0 flags)"
     ),
-    "text_duplicate_span_ratio": (
+    "text_duplicate_span_ratio": (1,
         "build is the per-shingle frequency table above the shingle agg "
         "shuffle (AQE re-plans from its true bytes); no HAVING "
         "compounding (the tfidf estimate trigger), so the static "
         "estimate crosses the broadcast threshold scan-proportionally; "
         "measured sf100: 55.9 s, 5.1x wall for 11.2x grams"
     ),
-    "text_unigram_logprob_score": (
+    "text_unigram_logprob_score": (2,
         "build is the unigram frequency table — vocabulary-bounded "
         "(Heaps-sublinear); broadcasting the LM table IS the intended "
         "scoring plan; sits above the word agg shuffle for AQE demotion "
         "on pathological vocabularies"
     ),
-    "text_idf_rarity_score": (
+    "text_idf_rarity_score": (1,
         "build is the word document-frequency table — vocabulary-"
         "bounded, above the distinct+agg shuffles AQE re-plans with"
     ),
-    "text_naive_bayes_langid": (
+    "text_naive_bayes_langid": (5,
         "build is the per-(lang, word) NB model — vocabulary x n_langs, "
         "broadcast BY DESIGN (the r11 broadcast-model pin that took "
         "sf10 from 144 s to 10 s); sits above the training agg shuffles"
     ),
-    "text_pmi_cooccurrence": (
-        "small-scan arm only (scan-bytes gate < 8 MB): build is the "
-        "word df table, vocabulary-bounded; the heavy arm plans every "
-        "join against the MATERIALIZED token cache's true size"
+    "text_pmi_cooccurrence": (6,
+        "small-scan arm only (pipeline_text._MATERIALIZE_MIN_SCAN_BYTES "
+        "gate on fixture_scan_bytes — see that constant for the "
+        "measured crossover): build is the word df table, vocabulary-"
+        "bounded; the heavy arm plans every join against the "
+        "MATERIALIZED token cache's true size and measures 0 flags"
     ),
 }

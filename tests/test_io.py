@@ -212,13 +212,17 @@ def test_force_reload_drops_views_absent_from_new_dir(spark, tmp_path):
     load_fixture_tables(spark, full, force=True)
     assert spark.catalog.tableExists("events")
 
-    part = tmp_path / "docs_only"
-    part.mkdir()
-    shutil.copy(f"{full}/documents.parquet", part / "documents.parquet")
-    out = load_fixture_tables(spark, str(part), force=True)
-    assert set(out) == {"documents"}
-    assert spark.catalog.tableExists("documents")
-    assert not spark.catalog.tableExists("events")
-
-    # restore for other tests sharing the session fixture
-    load_fixture_tables(spark, full, force=True)
+    # try/finally so a failing assert cannot leave the shared
+    # session-scoped fixture registered against the partial tmp dir
+    # (documents only, events dropped) and cascade into other tests
+    try:
+        part = tmp_path / "docs_only"
+        part.mkdir()
+        shutil.copy(f"{full}/documents.parquet", part / "documents.parquet")
+        out = load_fixture_tables(spark, str(part), force=True)
+        assert set(out) == {"documents"}
+        assert spark.catalog.tableExists("documents")
+        assert not spark.catalog.tableExists("events")
+    finally:
+        # restore for other tests sharing the session fixture
+        load_fixture_tables(spark, full, force=True)

@@ -270,9 +270,59 @@ def test_no_unjustified_broadcast_over_generate(spark, sf_dir):
             continue
         df = plans.get_query(name).fn(spark, sf_dir)
         flagged = broadcast_over_generate(df)
-        if flagged and name not in BROADCAST_GENERATE_JUSTIFIED:
-            hits[name] = flagged[0]
+        if name not in BROADCAST_GENERATE_JUSTIFIED:
+            if flagged:
+                hits[name] = flagged[0]
+        elif len(flagged) > BROADCAST_GENERATE_JUSTIFIED[name][0]:
+            # r12 ADVICE: a justification excuses the RECORDED flag
+            # shape, not every future plan of the query — more flags
+            # than measured means the allowlisted plan regressed.
+            hits[name] = (
+                f"{len(flagged)} flags > recorded max "
+                f"{BROADCAST_GENERATE_JUSTIFIED[name][0]}: {flagged[0]}"
+            )
     assert not hits, (
         "unjustified BroadcastExchange over Generate (add a boundedness "
         f"argument to planaudit.BROADCAST_GENERATE_JUSTIFIED): {hits}"
     )
+
+
+def test_gated_queries_big_arm_broadcast_over_generate(spark, sf_dir):
+    """r12 ADVICE: the repo-wide guard above audits queries at fixture
+    scale, so size-gated queries always present their SMALL arm — the
+    heavy-arm plan shapes that motivated the sf100 failures were never
+    audited. Build each gated query's big arm explicitly (table-bytes
+    override for pmi, eager_persist_min_bytes=0 for minhash) and pin
+    its flag count: the heavy arms plan joins from MATERIALIZED true
+    sizes and must measure ZERO broadcast-over-Generate hits."""
+    from bdt_spark.operators.dedup import minhash_pairs
+    from bdt_spark.planaudit import broadcast_over_generate
+    from bdt_spark.sources import io as bio
+
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    bio.load_fixture_tables(spark, sf_dir)
+    recorded = bio._TABLE_BYTES[key]["documents"]
+    bio._TABLE_BYTES[key]["documents"] = 1 << 40
+    try:
+        pmi = plans.get_query("text_pmi_cooccurrence").fn(spark, sf_dir)
+        assert broadcast_over_generate(pmi) == []
+    finally:
+        bio._TABLE_BYTES[key]["documents"] = recorded
+        spark.catalog.clearCache()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for k_hash, n_bands in ((8, 4), (64, 16)):
+        out = minhash_pairs(
+            docs,
+            threshold=0.5,
+            k_hash=k_hash,
+            n_bands=n_bands,
+            eager_persist_min_bytes=0,
+        )
+        flagged = broadcast_over_generate(out)
+        out.unpersist()
+        assert flagged == [], (k_hash, flagged)

@@ -103,9 +103,16 @@ def broadcast_generate_flags(name: str, df) -> list[str]:
         broadcast_over_generate,
     )
 
+    flagged = broadcast_over_generate(df)
     if name in BROADCAST_GENERATE_JUSTIFIED:
-        return []
-    return broadcast_over_generate(df)
+        max_flags = BROADCAST_GENERATE_JUSTIFIED[name][0]
+        if len(flagged) <= max_flags:
+            return []
+        return [
+            f"{len(flagged)} broadcast-over-Generate flags exceed the "
+            f"justified max {max_flags} — the allowlisted plan regressed"
+        ]
+    return flagged
 
 
 def single_partition_flags(name: str, df) -> list[str]:
