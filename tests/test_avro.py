@@ -329,6 +329,7 @@ if HAVE_HYP:
             return ["null", "bytes"]
         return ["null", "string"]
 
+    @pytest.mark.slow
     @settings(max_examples=200, deadline=None)
     @given(
         st.lists(

@@ -134,6 +134,7 @@ def test_cli_dedup_embedding(tmp_path, capsys):
     assert "wrote" in out
 
 
+@pytest.mark.slow
 def test_cli_cluster_write_and_ann(tmp_path, capsys):
     from bdt_spark.cli import main
 

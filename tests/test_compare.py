@@ -287,6 +287,7 @@ def test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.01, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_float_tied_rows_rematch(spark, files):
     """The former residual (VERDICT r9 #6): rows IDENTICAL on all
     non-float columns with two anti-correlated float columns. A perfect
@@ -355,6 +356,7 @@ def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_big_group_small_components_certifies(
     spark, files
 ):
@@ -430,6 +432,7 @@ def test_hash_mode_epsilon_rematch_component_cap_raises(spark, files):
         compare_files(spark, a, b, epsilon=0.08, method="hash")
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_null_vs_nan_not_merged(spark, files):
     """Arrow folds float64 NULL into NaN on the pandas side; the rematch
     tracks nullness in explicit flags, so a NULL float must still match
@@ -520,6 +523,7 @@ def test_hash_mode_epsilon_rematch_map_entry_order(spark, files, tmp_path):
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_nan_map_entries(spark, files, tmp_path):
     """NaN-valued map entries were a documented fail-closed corner of the
     r10 rematch (pandas object equality: NaN != NaN). With maps in the

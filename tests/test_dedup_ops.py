@@ -1,6 +1,7 @@
 """Library dedup operators (bdt_spark.operators.dedup): NULL-safe exact
 key, shingle-cache release."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from bdt_spark.operators.dedup import exact_dup_groups, minhash_pairs
@@ -307,6 +308,7 @@ def test_rungs_cover_every_interleave_factor():
         )
 
 
+@pytest.mark.slow
 def test_eager_persist_gate_same_results_and_no_cache_residue(spark):
     """The input-size gate (EAGER_PERSIST_MIN_BYTES) switches caching AND
     the verification arm (r13: small corpora verify against the corpus

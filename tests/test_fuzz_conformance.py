@@ -20,6 +20,7 @@ def engines(spark, sf_dir):
     return spark, con
 
 
+@pytest.mark.slow
 def test_fuzz_cases_agree(engines):
     """N >= 200 in-CI cases (VERDICT r11 #8): enough draws that every
     production — including the r12 struct/map/lateral dialect corners,

@@ -32,21 +32,24 @@ def test_lineage_is_truncated(spark):
     """After N iterations the result plan must hang off a checkpointed RDD
     scan with a strictly shorter join chain than the uncheckpointed loop.
 
-    Kept to 6 iterations deliberately: the UNcheckpointed plan string
+    Kept to 4 iterations deliberately: the UNcheckpointed plan string
     nests InMemoryRelations ~2^iters — at 11 iterations merely rendering
     it for AQE OOMs the driver (observed), which is exactly the failure
-    mode the periodic checkpoint bounds."""
+    mode the periodic checkpoint bounds. (r13: shrunk from a diameter-6 /
+    7-iteration pair — the property needs only >=1 checkpoint boundary
+    plus >=1 surviving post-checkpoint iteration, and the 2^iters plan
+    rendering made the larger instance the suite's 2nd-slowest test.)"""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(6)], "a int, b int"
+        [(i, i + 1) for i in range(4)], "a int, b int"
     )
-    # path diameter is 6; convergence DETECTION needs one further
-    # no-change round, so 7 iterations (6 would now raise non-converged)
+    # path diameter is 4; convergence DETECTION needs one further
+    # no-change round, so 5 iterations (4 would now raise non-converged)
     plan_ck = (
-        connected_components(pairs, "a", "b", max_iters=7, checkpoint_every=5)
+        connected_components(pairs, "a", "b", max_iters=5, checkpoint_every=3)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     plan_no = (
-        connected_components(pairs, "a", "b", max_iters=7, checkpoint_every=100)
+        connected_components(pairs, "a", "b", max_iters=5, checkpoint_every=100)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     # the surviving join chain above the truncation point is strictly

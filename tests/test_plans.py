@@ -5,7 +5,26 @@ pruned scans."""
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 import bdt_spark.plans as plans
+
+
+@pytest.fixture(scope="module")
+def built_query(spark, sf_dir):
+    """Build-once cache for the repo-wide plan sweeps: the cartesian
+    guard builds all ~214 queries and the broadcast-over-Generate guard
+    re-built the 4 explode-heavy families on top — planning the same
+    query twice bought nothing (r12 VERDICT #8). DataFrames are plans,
+    not data; holding 214 of them is driver-side metadata only."""
+    cache: dict = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = plans.get_query(name).fn(spark, sf_dir)
+        return cache[name]
+
+    return get
 
 
 def _plan(spark, sf_dir, name, mode="formatted"):
@@ -111,7 +130,8 @@ def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
     assert df.count() < spark.read.parquet(out).count()
 
 
-def test_no_query_degrades_to_cartesian(spark, sf_dir):
+@pytest.mark.slow
+def test_no_query_degrades_to_cartesian(spark, sf_dir, built_query):
     # sweep EVERY declared query: none may plan a CartesianProduct or
     # BroadcastNestedLoopJoin except the ones that are cross/theta joins
     # by definition — at 100 TB an accidental cartesian is a dead job
@@ -126,7 +146,7 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
         if name in ALLOWED:
             continue
         try:
-            df = plans.get_query(name).fn(spark, sf_dir)
+            df = built_query(name)
         except Exception as e:  # pragma: no cover - registration issues
             offenders[name] = f"build error: {e}"
             continue
@@ -247,7 +267,8 @@ def test_mg_summaries_merge_from_local_relation(spark, sf_dir):
     assert "LocalTableScan" in text or "Scan ExistingRDD" in text, text
 
 
-def test_no_unjustified_broadcast_over_generate(spark, sf_dir):
+@pytest.mark.slow
+def test_no_unjustified_broadcast_over_generate(spark, sf_dir, built_query):
     """Repo-wide guard for the sf100 tfidf failure class: a
     BroadcastExchange whose build subtree contains a Generate rides a
     column-ratio size estimate that never models explode multiplicity —
@@ -268,8 +289,7 @@ def test_no_unjustified_broadcast_over_generate(spark, sf_dir):
     for name in plans.all_queries():
         if not name.startswith(families):
             continue
-        df = plans.get_query(name).fn(spark, sf_dir)
-        flagged = broadcast_over_generate(df)
+        flagged = broadcast_over_generate(built_query(name))
         if name not in BROADCAST_GENERATE_JUSTIFIED:
             if flagged:
                 hits[name] = flagged[0]

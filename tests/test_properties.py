@@ -2,6 +2,8 @@
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -61,6 +63,7 @@ def _asof_case(draw):
 
 @settings(max_examples=15, deadline=None)
 @given(_asof_case())
+@pytest.mark.slow
 def test_asof_matches_bruteforce(spark, case):
     import datetime as dt
     left_rows, right_rows = case
@@ -128,6 +131,7 @@ def _global_order_case(draw):
 
 @given(_global_order_case())
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_global_order_matches_window_form(spark, case):
     """operators/globalorder.py's range-partition + broadcast-offset
     running sums and row numbers must equal SUM/ROW_NUMBER() OVER a

@@ -110,6 +110,7 @@ def test_streaming_dedup_with_watermark(spark, sf_dir, events_stream):
     assert got.count() == batch
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, sf_dir, events_stream):
     from bdt_spark.streaming.windows import purchases_after_errors_stream
 
