@@ -477,15 +477,38 @@ def fixture_scan_bytes(spark: SparkSession, table: str) -> int:
 
 
 def _parquet_scan_splits(path: str) -> int:
-    """Splittable scan units of a parquet file = its ROW-GROUP count.
+    """Splittable scan units of a parquet table = its ROW-GROUP count,
+    summed over part files when the table is a directory.
 
     Spark carves files into byte-range splits, but a split that contains
     no row-group start reads nothing — so a 10 MB single-row-group file
     yields ONE working scan task no matter how many byte ranges the
-    planner emits. Driver-side footer peek, no Spark job."""
+    planner emits. Driver-side footer peek, no Spark job. For a
+    directory-of-parts layout (the production shape; r13 probe measured
+    native parts 0.30-0.86x the fanned single-file plan on the sf10 text
+    family) the unit count is the SUM over members, so a many-part dir
+    is correctly not under-split and a 2-part dir of single-row-group
+    files still is. Footer peeks stop as soon as the core count is
+    unreachable-from-below (>=4096 members short-circuits: no cluster
+    this code targets schedules more initial scan tasks than that)."""
     import pyarrow.parquet as pq
 
     try:
+        if os.path.isdir(path):
+            members = [
+                p
+                for f in sorted(os.listdir(path))
+                if f.endswith((".parquet", ".parq")) and not f.startswith(("_", "."))
+                if os.path.isfile(p := os.path.join(path, f))
+            ]
+            if len(members) >= 4096:
+                return len(members)
+            total = 0
+            for m in members:
+                total += max(1, pq.read_metadata(m).num_row_groups)
+                if total >= 4096:  # bound the footer peeks: already wide
+                    break
+            return max(1, total)
         return max(1, pq.read_metadata(path).num_row_groups)
     except Exception:
         return 1 << 30  # unknown layout: assume wide, never add a shuffle

@@ -226,3 +226,48 @@ def test_force_reload_drops_views_absent_from_new_dir(spark, tmp_path):
     finally:
         # restore for other tests sharing the session fixture
         load_fixture_tables(spark, full, force=True)
+
+
+def test_undersplit_gate_counts_directory_parts(spark, tmp_path):
+    """The fan-out gate on a directory-of-parts table (the production
+    layout) must count splits as the SUM of member row groups: a
+    many-part documents dir is NOT under-split (measured r13: native
+    parts run 0.30-0.86x the fanned single-file plan on the sf10 text
+    family — no rewrite wanted), while a 2-part dir of single-row-group
+    files on a 32-core session still is. Before r13 a directory hit the
+    read_metadata(dir) exception fallback and was never recorded — the
+    no-op was accidental, and the 2-part case was silently missed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.sources import io as bio
+
+    full = "/root/testdata/sf0.001"
+    par = spark.sparkContext.defaultParallelism
+    key = id(spark._jsparkSession)
+
+    def docs_dir(root, n_parts):
+        d = root / "documents.parquet"
+        d.mkdir(parents=True)
+        tbl = pa.table({"doc_id": list(range(n_parts * 4))})
+        step = 4
+        for i in range(n_parts):
+            pq.write_table(
+                tbl.slice(i * step, step), str(d / f"part-{i:05d}.parquet")
+            )
+        return str(root)
+
+    wide = docs_dir(tmp_path / "wide", par + 3)
+    narrow = docs_dir(tmp_path / "narrow", 2)
+    assert bio._parquet_scan_splits(f"{wide}/documents.parquet") >= par
+    assert bio._parquet_scan_splits(f"{narrow}/documents.parquet") == 2
+
+    try:
+        bio.load_fixture_tables(spark, wide, tables=("documents",), force=True)
+        assert bio._UNDERSPLIT[key] == {}, "many-part dir wrongly under-split"
+        bio.load_fixture_tables(spark, narrow, tables=("documents",), force=True)
+        assert bio._UNDERSPLIT[key] == {"documents": par}, (
+            "2-part single-row-group dir must be recorded under-split"
+        )
+    finally:
+        bio.load_fixture_tables(spark, full, force=True)

@@ -122,10 +122,17 @@ AGG = (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # Optional split-size override (MB). The production AVRO_SPLIT_BYTES
+    # is 32 MB — right for a cluster, but a 1.5-15 MB probe file then
+    # decodes as ONE task, measuring only single-task decoder throughput.
+    # Overriding to ~2 MB here exercises the genuine multi-split path
+    # (range decode, block-boundary reconstruction) at probe scale.
+    split_mb = float(sys.argv[3]) if len(sys.argv) > 3 else None
     src = os.path.join(sf_dir, "customer.parquet")
     probe_dir = "/tmp/bdt_avro_probe"
     os.makedirs(probe_dir, exist_ok=True)
-    dst = os.path.join(probe_dir, "customer.avro")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(probe_dir, f"customer_{tag}.avro")
 
     t0 = time.time()
     if not os.path.exists(dst):
@@ -134,8 +141,18 @@ def main() -> None:
         stats = {"rows": "cached", "file_mb": round(os.path.getsize(dst) / 1e6, 1)}
     print("encode:", stats, f"{time.time() - t0:.1f}s", flush=True)
 
+    from bdt_spark import sources
     from bdt_spark.session import get_spark
     from bdt_spark.sources.io import read_file
+
+    if split_mb is not None:
+        sources.io.AVRO_SPLIT_BYTES = int(split_mb * (1 << 20))
+    n_splits = -(-os.path.getsize(dst) // sources.io.AVRO_SPLIT_BYTES)
+    print(
+        f"split bytes {sources.io.AVRO_SPLIT_BYTES >> 20} MB -> "
+        f"{n_splits} input splits",
+        flush=True,
+    )
 
     spark = get_spark("avro_probe", shuffle_partitions=32)
     # warmup: session + python worker pool
