@@ -503,7 +503,8 @@ _Q21_SPARK = """
       ) q
       WHERE ms >= other_max
     )
-    SELECT s_name, CAST(SUM(n_rows) AS BIGINT) AS numwait
+    SELECT /*+ MERGE(orders), MERGE(supplier) */
+           s_name, CAST(SUM(n_rows) AS BIGINT) AS numwait
     FROM waiting
     JOIN orders ON o_orderkey = l_orderkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -511,6 +512,16 @@ _Q21_SPARK = """
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     """
+# The MERGE hints above are load-bearing for the only sizes this arm can
+# be SELECTED at (lineitem >= _BIG_FACT_MIN_BYTES): the o_orderstatus
+# filter's selectivity estimate statically shrinks a replica-scale orders
+# under the broadcast threshold — at K=300 (1.9 GB lineitem / 45M orders)
+# the planner broadcast both orders and supplier and the build died with
+# "Not enough memory to build and broadcast" on the 8g heap (r13 midpoint
+# probe; sf100 only survived because its larger estimates happened to pick
+# SMJ). Forcing the shuffle join is the safe static default: AQE converts
+# a shuffle join to broadcast from TRUE runtime sizes when a side really
+# is small, which is the correct adaptive direction at any scale.
 
 
 @query(

@@ -53,18 +53,38 @@ def main() -> None:
         "q21_big": tpch._Q21_SPARK,
     }
 
+    # q21's small arm (Spark's own decorrelation) picks BROADCAST
+    # semi/anti builds from static estimates at mid-decade sizes; at
+    # K=300 (1.9 GB lineitem) the true build blows the 8g heap
+    # ("Not enough memory to build and broadcast" — first observed
+    # r13, the exact failure class the gate routes around). Run the
+    # small arm with auto-broadcast off: that is its best VIABLE plan
+    # at this size, so the A/B compares the gate's big arm against the
+    # strongest small-arm survivor rather than a dead job.
+    _BCAST = "spark.sql.autoBroadcastJoinThreshold"
+
+    def run_arm(k: str):
+        if k == "q21_small":
+            prev = spark.conf.get(_BCAST)
+            spark.conf.set(_BCAST, "-1")
+            try:
+                return spark.sql(arms[k]).collect()
+            finally:
+                spark.conf.set(_BCAST, prev)
+        return spark.sql(arms[k]).collect()
+
     # row-identity first (each arm once, also warms codegen)
     for q in ("q18", "q21"):
-        a = [tuple(r) for r in spark.sql(arms[f"{q}_small"]).collect()]
-        b = [tuple(r) for r in spark.sql(arms[f"{q}_big"]).collect()]
+        a = [tuple(r) for r in run_arm(f"{q}_small")]
+        b = [tuple(r) for r in run_arm(f"{q}_big")]
         assert a == b, f"{q} arms diverge at {shard}: {a[:2]} vs {b[:2]}"
         print(f"{q}: arms row-identical ({len(a)} rows)", flush=True)
 
     runs: dict[str, list[float]] = {k: [] for k in arms}
     for rep in range(reps):
-        for k, sql in arms.items():  # interleaved: small,big,small,big per rep
+        for k in arms:  # interleaved: small,big,small,big per rep
             t0 = time.time()
-            spark.sql(sql).collect()
+            run_arm(k)
             runs[k].append(round(time.time() - t0, 2))
             try:
                 spark._jvm.System.gc()
