@@ -503,7 +503,7 @@ _Q21_SPARK = """
       ) q
       WHERE ms >= other_max
     )
-    SELECT /*+ MERGE(orders), MERGE(supplier) */
+    SELECT /*+ MERGE(orders) */
            s_name, CAST(SUM(n_rows) AS BIGINT) AS numwait
     FROM waiting
     JOIN orders ON o_orderkey = l_orderkey
@@ -512,16 +512,22 @@ _Q21_SPARK = """
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     """
-# The MERGE hints above are load-bearing for the only sizes this arm can
-# be SELECTED at (lineitem >= _BIG_FACT_MIN_BYTES): the o_orderstatus
+# MERGE(orders) is load-bearing for the only sizes this arm can be
+# SELECTED at (lineitem >= _BIG_FACT_MIN_BYTES): the o_orderstatus
 # filter's selectivity estimate statically shrinks a replica-scale orders
 # under the broadcast threshold — at K=300 (1.9 GB lineitem / 45M orders)
-# the planner broadcast both orders and supplier and the build died with
-# "Not enough memory to build and broadcast" on the 8g heap (r13 midpoint
-# probe; sf100 only survived because its larger estimates happened to pick
-# SMJ). Forcing the shuffle join is the safe static default: AQE converts
-# a shuffle join to broadcast from TRUE runtime sizes when a side really
-# is small, which is the correct adaptive direction at any scale.
+# the planner broadcast it and the build died with "Not enough memory to
+# build and broadcast" on the 8g heap (r13 midpoint probe; sf100 only
+# survived because its larger estimates happened to pick SMJ). Forcing
+# the shuffle join is the safe static default for a FILTER-poisoned
+# estimate: AQE converts a shuffle join to broadcast from TRUE runtime
+# sizes when a side really is small, the correct adaptive direction.
+# supplier is deliberately NOT hinted: its estimate is a plain-scan byte
+# count (honest), broadcasting it is both viable and fast at every
+# measured size (r13 sf100 A/B: forcing MERGE(supplier) too cost ~2x —
+# 290 s vs ~140 s — by shuffling the 37M-row waiting relation a second
+# time), and at sizes where supplier outgrows the threshold the planner
+# falls back to SMJ from those same honest scan bytes.
 
 
 @query(
