@@ -142,6 +142,62 @@ def broadcast_over_generate(df: DataFrame) -> list[str]:
     return out
 
 
+def broadcast_over_big_scan(df: DataFrame, big_tables: set[str]) -> list[str]:
+    """BroadcastExchange nodes whose MAP-ONLY build subtree scans one of
+    the named fact tables — the r13 q21 midpoint lesson, generalized: a
+    selective filter over a corpus-scale scan (o_orderstatus='F' over 45M
+    orders) statically shrinks the relation under the broadcast threshold,
+    and the true build then dies with "Not enough memory to build and
+    broadcast". A hit is a plan that only survives where the filter's
+    TRUE output happens to be small; at a bigger shard of the same data
+    it is a dead job. Only map-only subtrees are flagged: a shuffle
+    between the scan and the BroadcastExchange is a query-stage boundary,
+    so AQE re-selects the join strategy there from TRUE materialized
+    sizes — a broadcast above a shuffle is runtime-safe at any scale,
+    while a scan->filter->broadcast chain has no stage boundary and its
+    static decision is final. Match is by the scan's fixture file path;
+    static inspection only — no job runs. Callers adjudicate the
+    remaining hits: safe when the build is a hard-bounded probe-set/key
+    filter or an honestly-estimated full scan (the estimate tracks true
+    size linearly, so bigger shards flip to SMJ on their own);
+    q21-class when a filter's estimate shrinks while its true output
+    scales with the corpus."""
+    out = []
+    # match the fixture FILE name, not a bare substring: "part" is inside
+    # both "parquet" and every "part-00001" file of a dir layout, and a
+    # scan's simpleString ends with its Location path
+    needles = {t.lower(): f"/{t.lower()}.parq" for t in big_tables}
+
+    def _maponly_scan_hit(node):
+        node = _unwrap_adaptive(node)
+        name = node.nodeName()
+        if name.startswith("Exchange") or name.startswith("ShuffleExchange"):
+            return None  # stage boundary: AQE re-sizes everything above
+        if "Scan" in name or name.startswith("FileScan"):
+            text = node.toString().lower()
+            hit = next((t for t, n in needles.items() if n in text), None)
+            if hit is not None:
+                return (hit, node.toString().splitlines()[0][:90])
+        for c in _children(node):
+            found = _maponly_scan_hit(c)
+            if found is not None:
+                return found
+        return None
+
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
+        if not node.nodeName().startswith("BroadcastExchange"):
+            continue
+        for c in _children(_unwrap_adaptive(node)):
+            found = _maponly_scan_hit(c)
+            if found is not None:
+                out.append(
+                    f"BroadcastExchange over map-only scan of {found[0]}: "
+                    f"{found[1]}"
+                )
+                break
+    return out
+
+
 # Queries whose broadcast-over-Generate hits are JUSTIFIED — each entry
 # is (max_flags, boundedness argument): why the broadcast build side
 # cannot reach driver-killing size at any corpus scale, with the sf100
