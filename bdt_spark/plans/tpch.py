@@ -390,12 +390,16 @@ _BIG_FACT_MIN_BYTES = 1 << 30
     "semi-join.",
 )
 def tpch_q18_large_volume(spark, sf_dir):
-    from bdt_spark.sources.io import fixture_scan_bytes
+    from bdt_spark.sources.io import ensure_heavy_arm_geometry, fixture_scan_bytes
 
     load_fixture_tables(spark, sf_dir)
     big = (
         fixture_scan_bytes(spark, "lineitem") >= _BIG_FACT_MIN_BYTES
     )
+    if big:
+        # heavy arm: shuffle partitions derived from the same scan bytes
+        # that selected the arm (see ensure_heavy_arm_geometry).
+        ensure_heavy_arm_geometry(spark, "lineitem")
     return spark.sql(
         _Q18_SQL.format(
             semi_hint="/*+ MERGE */ " if big else "",
@@ -549,12 +553,17 @@ _Q21_SPARK = """
     "the DuckDB oracle (sf0.01 gate; sf0.1 full-result cross-check).",
 )
 def tpch_q21_waiting_supplier(spark, sf_dir):
-    from bdt_spark.sources.io import fixture_scan_bytes
+    from bdt_spark.sources.io import ensure_heavy_arm_geometry, fixture_scan_bytes
 
     load_fixture_tables(spark, sf_dir)
     big = (
         fixture_scan_bytes(spark, "lineitem") >= _BIG_FACT_MIN_BYTES
     )
+    if big:
+        # heavy arm: raise shuffle partitions to the measured-safe
+        # geometry (sf100: 512 rides through where 256 can die —
+        # SCALE.md r13, encoded here per VERDICT r13 #1).
+        ensure_heavy_arm_geometry(spark, "lineitem")
     return spark.sql(_Q21_SPARK if big else _Q21_ORACLE)
 
 # --- q22: global sales opportunity (anti join + scalar subquery) ------------

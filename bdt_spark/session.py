@@ -63,7 +63,13 @@ def get_spark(
 ) -> SparkSession:
     """Create (or reuse) the session. Mirrors reference main.rs:110-112."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # local[N,4]: a task-retry budget. Every real cluster defaults to
+    # spark.task.maxFailures=4; plain local[N]'s 1-failure budget is the
+    # outlier, and it turns a transient task-level memory failure into a
+    # dead job (observed: sf100 q21 big arm at 256 shuffle partitions,
+    # SCALE.md r13 — rides through with 0-2 retried tasks given retries).
+    # SPARK_GRAFT_MASTER still overrides wholesale.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus},4]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     builder = (

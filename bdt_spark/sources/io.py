@@ -476,6 +476,47 @@ def fixture_scan_bytes(spark: SparkSession, table: str) -> int:
     return _TABLE_BYTES.get(key, {}).get(table, 1 << 60)
 
 
+# Compressed scan bytes per shuffle partition for GATED HEAVY ARMS.
+# Measured doctrine (SCALE.md r13, encoded r14 per VERDICT r13 #1): the
+# sf100 q21 rewrite (6.4 GB lineitem) can transiently die with task-level
+# UNABLE_TO_ACQUIRE_MEMORY at 256 shuffle partitions on an 8 GB heap /
+# 32 concurrent tasks, and rides through with 0-2 retried tasks at 512.
+# 16 MiB/partition reproduces exactly that: 6.4 GB -> 512, and scales the
+# same per-task memory envelope to any fact size the gate can see.
+_HEAVY_BYTES_PER_SHUFFLE_PARTITION = 16 << 20
+
+
+def ensure_heavy_arm_geometry(spark: SparkSession, table: str) -> int:
+    """Execution geometry for a size-gated heavy plan arm: derive shuffle
+    partitions from the fact table's EXACT scan bytes and raise the
+    session's `spark.sql.shuffle.partitions` if it is below that.
+
+    Why this exists: the big-fact gate (_BIG_FACT_MIN_BYTES in
+    plans/tpch.py) picks the plan SHAPE from scan bytes, but a correct
+    shape at a product-default partition count can still exceed the
+    per-task memory envelope (the r13 sf100 finding above). The safe
+    partition count is a function of the same scan bytes the gate
+    already trusts, so the arm that needs it sets it — doctrine in code,
+    not in SCALE.md.
+
+    Only ever RAISES the setting (power-of-two steps, clamped to
+    [64, 4096]); AQE partition coalescing (on by default,
+    session.py) merges small shuffle reads back down, so a later small
+    query in the same session pays scheduling overhead at worst, never a
+    plan regression. An unknown table's 1<<60 sentinel clamps to 4096 —
+    failing wide, the same direction as the gate itself. Returns the
+    partition count in effect after the call."""
+    b = fixture_scan_bytes(spark, table)
+    needed = 64
+    while needed < 4096 and needed * _HEAVY_BYTES_PER_SHUFFLE_PARTITION < b:
+        needed *= 2
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if needed > current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(needed))
+        return needed
+    return current
+
+
 def _parquet_scan_splits(path: str) -> int:
     """Splittable scan units of a parquet table = its ROW-GROUP count,
     summed over part files when the table is a directory.
@@ -490,17 +531,35 @@ def _parquet_scan_splits(path: str) -> int:
     is correctly not under-split and a 2-part dir of single-row-group
     files still is. Footer peeks stop as soon as the core count is
     unreachable-from-below (>=4096 members short-circuits: no cluster
-    this code targets schedules more initial scan tasks than that)."""
+    this code targets schedules more initial scan tasks than that).
+
+    Members are collected with os.walk, so hive-partitioned layouts
+    (table/lang=en/part-*.parquet) and nested writer output count their
+    real part files. A directory with NO .parquet/.parq members anywhere
+    (extension-less parts, unknown layout) returns the assume-wide
+    sentinel — the same fail-safe as the exception path — instead of
+    max(1, 0)=1, which would record the table under-split and let
+    fanout_rewrite inject a corpus-wide REPARTITION on exactly the
+    layouts the r13 probe measured as harmed by fan-out (ADVICE r13)."""
     import pyarrow.parquet as pq
 
     try:
         if os.path.isdir(path):
-            members = [
-                p
-                for f in sorted(os.listdir(path))
-                if f.endswith((".parquet", ".parq")) and not f.startswith(("_", "."))
-                if os.path.isfile(p := os.path.join(path, f))
-            ]
+            members = []
+            for root, dirs, files in os.walk(path):
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith(("_", "."))
+                )
+                members.extend(
+                    os.path.join(root, f)
+                    for f in sorted(files)
+                    if f.endswith((".parquet", ".parq"))
+                    and not f.startswith(("_", "."))
+                )
+                if len(members) >= 4096:
+                    break
+            if not members:
+                return 1 << 30  # unknown layout: assume wide, no shuffle
             if len(members) >= 4096:
                 return len(members)
             total = 0

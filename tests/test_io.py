@@ -262,6 +262,26 @@ def test_undersplit_gate_counts_directory_parts(spark, tmp_path):
     assert bio._parquet_scan_splits(f"{wide}/documents.parquet") >= par
     assert bio._parquet_scan_splits(f"{narrow}/documents.parquet") == 2
 
+    # Hive-partitioned layout (table/lang=xx/part-*.parquet): the part
+    # files live one level down; the gate must count them via os.walk,
+    # not see zero top-level members and report 1 (ADVICE r13 — that 1
+    # inverted the assume-wide fail-safe and injected a corpus-wide
+    # REPARTITION on exactly the layouts measured as harmed by fan-out).
+    hive = tmp_path / "hive" / "documents.parquet"
+    tbl = pa.table({"doc_id": list(range(4 * (par + 3)))})
+    for i in range(par + 3):
+        sub = hive / f"lang=l{i}"
+        sub.mkdir(parents=True)
+        pq.write_table(tbl.slice(i * 4, 4), str(sub / "part-00000.parquet"))
+    assert bio._parquet_scan_splits(str(hive)) >= par
+
+    # Unknown layout (a dir with no .parquet members at all, e.g.
+    # extension-less part files) → the assume-wide sentinel, never 1.
+    opaque = tmp_path / "opaque" / "documents.parquet"
+    opaque.mkdir(parents=True)
+    (opaque / "data-00000").write_bytes(b"not parquet")
+    assert bio._parquet_scan_splits(str(opaque)) == 1 << 30
+
     try:
         bio.load_fixture_tables(spark, wide, tables=("documents",), force=True)
         assert bio._UNDERSPLIT[key] == {}, "many-part dir wrongly under-split"

@@ -240,6 +240,7 @@ def test_q21_gate_both_arms_agree(spark, sf_dir):
     small_rows = q21(spark, sf_dir).collect()
 
     recorded = bio._TABLE_BYTES[key]["lineitem"]
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
     bio._TABLE_BYTES[key]["lineitem"] = 2 << 30
     try:
         big_rows = q21(spark, sf_dir).collect()
@@ -249,3 +250,53 @@ def test_q21_gate_both_arms_agree(spark, sf_dir):
         assert "SortMergeJoin" in text and "LeftSemi" in text
     finally:
         bio._TABLE_BYTES[key]["lineitem"] = recorded
+        # the big arms raise shuffle partitions (heavy-arm geometry);
+        # restore the test session's small default
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+
+def test_heavy_arm_geometry_gate(spark, sf_dir):
+    """VERDICT r13 #1: when the big-fact gate selects a heavy arm, the
+    execution geometry must come WITH it — shuffle partitions derived
+    from the same scan bytes that selected the arm (sf100 measured: 512
+    rides through where 256 can transiently die; SCALE.md r13). Pin:
+    (a) the small arm leaves the session conf alone; (b) the big arm
+    raises it to the byte-derived count; (c) the hook never LOWERS a
+    caller's higher setting; (d) the unknown-table sentinel clamps to
+    the 4096 ceiling."""
+    from bdt_spark.sources import io as bio
+    from bdt_spark.sources.io import (
+        _HEAVY_BYTES_PER_SHUFFLE_PARTITION,
+        ensure_heavy_arm_geometry,
+    )
+
+    q21 = plans.get_query("tpch_q21_waiting_supplier").fn
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    bio.load_fixture_tables(spark, sf_dir)
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    recorded = bio._TABLE_BYTES[key]["lineitem"]
+    try:
+        # small arm (fixture scale): conf untouched
+        q21(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+
+        # big arm at 6.4 GB (the measured sf100 point): raised to 512
+        bio._TABLE_BYTES[key]["lineitem"] = int(6.4e9)
+        assert 256 * _HEAVY_BYTES_PER_SHUFFLE_PARTITION < 6.4e9
+        q21(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "512"
+
+        # never lowers: a caller already above the derived count keeps it
+        spark.conf.set("spark.sql.shuffle.partitions", "2048")
+        assert ensure_heavy_arm_geometry(spark, "lineitem") == 2048
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2048"
+
+        # unknown table -> 1<<60 sentinel -> ceiling, not a huge number
+        assert ensure_heavy_arm_geometry(spark, "no_such_table") == 4096
+    finally:
+        bio._TABLE_BYTES[key]["lineitem"] = recorded
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
