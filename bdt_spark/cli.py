@@ -140,6 +140,8 @@ def cmd_compare(args) -> None:
     # main.rs:87-99 -> compare.rs
     from bdt_spark.operators.compare import compare_files
 
+    # session only when the (possibly auto-gated) hash mode needs one —
+    # compare_files creates it lazily itself
     spark = get_spark("bdt_compare") if args.method == "hash" else None
     res = compare_files(
         spark,
@@ -339,8 +341,8 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("file2")
     cp.add_argument("-e", "--epsilon", type=float, default=None)
     cp.add_argument("-n", "--no-header-row", action="store_true")
-    cp.add_argument("--method", choices=["positional", "hash"],
-                    default="positional")
+    cp.add_argument("--method", choices=["auto", "positional", "hash"],
+                    default="auto")
     cp.set_defaults(fn=cmd_compare)
 
     # --- extensions beyond the reference surface ---

@@ -558,3 +558,37 @@ def test_hash_mode_epsilon_rematch_nan_map_entries(spark, files, tmp_path):
         [[("b", 2.0), ("a", 3.0)], [("b", 2.0), ("a", nan)]],
     )
     assert not compare_files(spark, a, c, epsilon=0.08, method="hash").ok
+
+
+def test_auto_mode_size_gate(files, spark, monkeypatch, capsys):
+    """VERDICT r13 #3: the default mode is size-gated — positional below
+    _POSITIONAL_MAX_BYTES combined on-disk bytes (byte-exact reference
+    semantics, no note), distributed hash above (with a stderr note on
+    the switch). Both modes pinned equal-VERDICT on the same fixture
+    pairs, mirroring the minhash/pmi gate-test pattern; explicit
+    method= always wins over the gate."""
+    import bdt_spark.operators.compare as cmp
+
+    a = files("a.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    b = files("b.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    c = files("c.parquet", {"x": [1, 2, 9], "y": [1.0, 2.0, 3.0]})
+
+    # below the gate: positional, no switch note
+    assert compare_files(spark, a, b).ok
+    assert "hash mode" not in capsys.readouterr().err
+
+    # force the gate: tiny threshold -> auto picks hash, notes the switch
+    monkeypatch.setattr(cmp, "_POSITIONAL_MAX_BYTES", 1)
+    assert compare_files(spark, a, b).ok
+    assert "hash mode" in capsys.readouterr().err
+
+    # equal VERDICT across the gate on a differing pair
+    assert not compare_files(spark, a, c).ok          # hash (gated)
+    monkeypatch.setattr(cmp, "_POSITIONAL_MAX_BYTES", 1 << 40)
+    assert not compare_files(spark, a, c).ok          # positional (gated)
+
+    # explicit method always wins over the gate
+    monkeypatch.setattr(cmp, "_POSITIONAL_MAX_BYTES", 1)
+    res = compare_files(spark, a, c, method="positional")
+    assert not res.ok and "Row 2" in res.message      # positional detail
+    assert compare_files(spark, a, b, method="positional").ok
