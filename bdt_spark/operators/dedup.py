@@ -615,3 +615,131 @@ def embedding_neardup_pairs(
     if eager:
         v.unpersist()
     return out
+
+
+# --- incremental MinHash state (cross-run near-dup dedup) -------------------
+#
+# The near-dup analog of the exact-dedup fingerprint snapshot
+# (dedup_incremental_snapshot): production ingest at 100 TB dedups each
+# NEW batch against the EXISTING corpus without rescanning corpus text.
+# The carried state is one row per corpus doc — its k-lane minhash
+# signature plus band keys — hive-partitioned by ingest batch
+# (`state_dir/batch=<id>/`), the same replay-idempotent layout as
+# operators/sketchstate.py: re-running a batch overwrites exactly its own
+# partition (dynamic partition overwrite), so at-least-once upstream
+# delivery converges to exactly-once state.
+#
+# Scale shape: state update is MAP-ONLY over the batch (shingle ->
+# signature -> band keys, no shuffle — the write's partitionBy(batch) is
+# a constant column). The probe explodes band keys on BOTH sides and
+# equi-joins (new-batch buckets are batch-sized, state buckets
+# corpus-sized but never self-joined), caps hot state buckets exactly
+# like minhash_pairs, and verifies candidates from SIGNATURE lane
+# agreement — state never carries text, so verification needs no second
+# corpus pass and the state is O(corpus_docs * k) small strings.
+
+
+def update_minhash_state(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: str | None = None,
+    k_hash: int = K_HASH,
+    n_bands: int = N_BANDS,
+) -> str:
+    """Fold one ingest batch into the minhash state; returns the batch_id.
+    Idempotent on replay (dynamic partition overwrite of `batch=<id>`)."""
+    import uuid
+
+    _validate_geometry(k_hash, n_bands)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:12]
+    digest_exprs, lane_exprs = minhash_lane_exprs(k_hash)
+    sig = (
+        batch.selectExpr(
+            f"{id_col} AS doc_id", f"{shingle_expr(text_col)} AS shingles"
+        )
+        .selectExpr("doc_id", *digest_exprs)
+        .selectExpr("doc_id", *lane_exprs)
+        .selectExpr(
+            "doc_id",
+            f"array({', '.join(f'h{j}' for j in range(k_hash))}) AS sig",
+            f"{band_keys_expr(k_hash, n_bands)} AS bands",
+        )
+    )
+    (
+        sig.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_dir)
+    )
+    return batch_id
+
+
+def incremental_minhash_candidates(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k_hash: int = K_HASH,
+    n_bands: int = N_BANDS,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup candidates of `batch` against the persisted corpus state:
+    (incoming_doc_id, corpus_doc_id, est_jaccard) with est_jaccard =
+    matching-lane fraction of the two signatures, filtered >= threshold.
+
+    The batch side is computed map-only (same expressions the state was
+    built with — geometry must match the state's or the join finds
+    nothing meaningful); state buckets above `hot_bucket_cap` members are
+    dropped via broadcast anti-join before pairing, the minhash_pairs
+    hot-bucket doctrine applied to the incremental probe."""
+    _validate_geometry(k_hash, n_bands)
+    digest_exprs, lane_exprs = minhash_lane_exprs(k_hash)
+    isig = (
+        batch.selectExpr(
+            f"{id_col} AS doc_id", f"{shingle_expr(text_col)} AS shingles"
+        )
+        .selectExpr("doc_id", *digest_exprs)
+        .selectExpr("doc_id", *lane_exprs)
+        .selectExpr(
+            "doc_id",
+            f"array({', '.join(f'h{j}' for j in range(k_hash))}) AS sig",
+            f"{band_keys_expr(k_hash, n_bands)} AS bands",
+        )
+    )
+    state = spark.read.parquet(state_dir).select("doc_id", "sig", "bands")
+    sbuck = state.selectExpr("doc_id", "sig", "explode(bands) AS bkey")
+    hot = (
+        sbuck.groupBy("bkey")
+        .count()
+        .filter(F.col("count") > hot_bucket_cap)
+        .select("bkey")
+    )
+    sbuck = sbuck.join(F.broadcast(hot), "bkey", "left_anti")
+    ibuck = isig.selectExpr("doc_id", "sig", "explode(bands) AS bkey")
+    pairs = (
+        ibuck.alias("i")
+        .join(sbuck.alias("c"), "bkey")
+        .selectExpr(
+            "i.doc_id AS incoming_doc_id",
+            "c.doc_id AS corpus_doc_id",
+            "i.sig AS isig",
+            "c.sig AS csig",
+        )
+        .dropDuplicates(["incoming_doc_id", "corpus_doc_id"])
+    )
+    est = pairs.selectExpr(
+        "incoming_doc_id",
+        "corpus_doc_id",
+        f"ROUND(size(filter(zip_with(isig, csig, (x, y) -> x = y),"
+        f" b -> b)) / CAST({k_hash} AS DOUBLE), 6) AS est_jaccard",
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).orderBy(
+        "incoming_doc_id", "corpus_doc_id"
+    )

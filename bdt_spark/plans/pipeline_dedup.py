@@ -895,6 +895,114 @@ sql_query(
 )
 
 
+def _incremental_minhash_sql(
+    dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS
+) -> str:
+    """Incremental NEAR-dup: a new batch probes the persisted corpus
+    band-bucket state; verification is signature lane agreement (the
+    state carries signatures, never text). One SQL text per dialect,
+    modeling operators/dedup.update_minhash_state +
+    incremental_minhash_candidates (pinned row-identical in
+    tests/test_dedup_ops.py)."""
+    spark = dialect == "spark"
+    shingles = _shingles(dialect)
+    bkeys = _band_keys(dialect, k_hash, n_bands)
+    explode = f"explode({bkeys})" if spark else f"unnest({bkeys})"
+    from bdt_spark.operators.dedup import HOT_BUCKET_CAP
+
+    def sig_ctes(src: str, p: str) -> str:
+        if spark:
+            digests = ", ".join(
+                f"transform(shingles, s -> md5(concat('{i}#', s))) AS d{i}"
+                for i in range(k_hash // 4)
+            )
+            lanes = ",\n         ".join(
+                f"array_min(transform(d{j // 4}, x -> substring(x,"
+                f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
+                for j in range(k_hash)
+            )
+            return f"""
+    {p}sh AS (SELECT doc_id, {shingles} AS shingles FROM {src}),
+    {p}dig AS (SELECT doc_id, {digests} FROM {p}sh),
+    {p}sig AS (SELECT doc_id,
+         {lanes}
+      FROM {p}dig)"""
+        return f"""
+    {p}sh AS (SELECT doc_id, {shingles} AS shingles FROM {src}),
+    {p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM {p}sh),
+    {p}h AS (SELECT doc_id, {_md5_cols(dialect, k_hash)} FROM {p}ex),
+    {p}sig AS (SELECT doc_id,
+         {_lane_mins(dialect, k_hash)}
+      FROM {p}h GROUP BY doc_id)"""
+
+    agree = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k_hash)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),{sig_ctes("corpus", "c")},{sig_ctes("incoming", "i")},
+    state AS (
+      SELECT doc_id, {explode} AS bkey FROM csig
+    ),
+    capped AS (
+      -- hot-bucket cap over the STATE side, the minhash_pairs doctrine
+      -- applied to the incremental probe
+      SELECT doc_id, bkey FROM state
+      WHERE bkey NOT IN (
+        SELECT bkey FROM state GROUP BY bkey
+        HAVING COUNT(*) > {HOT_BUCKET_CAP}
+      )
+    ),
+    ibuck AS (
+      SELECT doc_id, {explode} AS bkey FROM isig
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id
+      FROM ibuck i JOIN capped c ON i.bkey = c.bkey
+    ),
+    est AS (
+      SELECT incoming_doc_id, corpus_doc_id,
+             ROUND(({agree}) / CAST({k_hash} AS DOUBLE), 6) AS est_jaccard
+      FROM cand
+      JOIN isig a ON a.doc_id = incoming_doc_id
+      JOIN csig b ON b.doc_id = corpus_doc_id
+    )
+    SELECT incoming_doc_id, corpus_doc_id, est_jaccard
+    FROM est WHERE est_jaccard >= {JACCARD_T}
+    ORDER BY incoming_doc_id, corpus_doc_id
+    """
+
+
+sql_query(
+    "dedup_incremental_minhash",
+    _incremental_minhash_sql("spark"),
+    oracle=_incremental_minhash_sql("duck"),
+    tags=("dedup", "minhash", "incremental", "lsh"),
+    doc="Incremental NEAR-dup dedup (VERDICT r13 #6) — the production "
+    "ingest shape dedup_incremental_snapshot covers only exactly: a NEW "
+    "batch (odd doc_ids + every-10th corpus copies under shifted ids) "
+    "probes the EXISTING corpus's persisted band-bucket state. The "
+    "corpus side reduces once to (doc_id, signature, band keys) — "
+    "O(docs x k) small strings, no text — then each ingest batch "
+    "computes its signatures MAP-ONLY and equi-joins the state's bucket "
+    "table; candidate verification is signature lane agreement, so no "
+    "second corpus pass ever happens. The exact copies surface at "
+    "est_jaccard 1.0; state buckets above the hot-bucket cap are "
+    "dropped exactly as in dedup_minhash_lsh. The cross-run persistent "
+    "analog (hive-partitioned, replay-idempotent batch state) is "
+    "operators/dedup.update_minhash_state / "
+    "incremental_minhash_candidates, pinned row-identical to this "
+    "oracled plan in tests/test_dedup_ops.py.",
+)
+
+
 def _containment_sql(dialect: str) -> str:
     spark = dialect == "spark"
     shingles = _shingles(dialect)
