@@ -142,7 +142,26 @@ def broadcast_over_generate(df: DataFrame) -> list[str]:
     return out
 
 
-def broadcast_over_big_scan(df: DataFrame, big_tables: set[str]) -> list[str]:
+def _scan_root_names(node) -> list[str] | None:
+    """Basenames of a file scan's root paths, resolved from its FileIndex
+    (FileSourceScanExec.relation.location.rootPaths) — exact, immune to
+    spark.sql.maxToStringFields truncation of the rendered Location
+    string and to partitioned-subdir paths (r13 ADVICE: substring
+    matching over toString() is a silent-false-negative vector). None
+    when the node has no resolvable relation (v2/exotic scans)."""
+    try:
+        paths = node.relation().location().rootPaths()
+        return [
+            str(paths.apply(i).getName()).lower()
+            for i in range(paths.size())
+        ]
+    except Exception:
+        return None
+
+
+def broadcast_over_big_scan(
+    df: DataFrame, big_tables: set[str], seen_roots: set[str] | None = None
+) -> list[str]:
     """BroadcastExchange nodes whose MAP-ONLY build subtree scans one of
     the named fact tables — the r13 q21 midpoint lesson, generalized: a
     selective filter over a corpus-scale scan (o_orderstatus='F' over 45M
@@ -161,11 +180,17 @@ def broadcast_over_big_scan(df: DataFrame, big_tables: set[str]) -> list[str]:
     filter or an honestly-estimated full scan (the estimate tracks true
     size linearly, so bigger shards flip to SMJ on their own);
     q21-class when a filter's estimate shrinks while its true output
-    scales with the corpus."""
+    scales with the corpus.
+
+    Matching is FileIndex-first: the scan's actual root-path basenames
+    (exact) with the rendered-string needle only as fallback for scans
+    without a resolvable relation. Pass `seen_roots` to collect every
+    root name observed under a BroadcastExchange — an audit's "no hits"
+    is only a clean bill alongside the evidence of what it resolved."""
     out = []
-    # match the fixture FILE name, not a bare substring: "part" is inside
-    # both "parquet" and every "part-00001" file of a dir layout, and a
-    # scan's simpleString ends with its Location path
+    # fallback needles match the fixture FILE name, not a bare substring:
+    # "part" is inside both "parquet" and every "part-00001" file of a
+    # dir layout, and a scan's simpleString ends with its Location path
     needles = {t.lower(): f"/{t.lower()}.parq" for t in big_tables}
 
     def _maponly_scan_hit(node):
@@ -174,8 +199,25 @@ def broadcast_over_big_scan(df: DataFrame, big_tables: set[str]) -> list[str]:
         if name.startswith("Exchange") or name.startswith("ShuffleExchange"):
             return None  # stage boundary: AQE re-sizes everything above
         if "Scan" in name or name.startswith("FileScan"):
-            text = node.toString().lower()
-            hit = next((t for t, n in needles.items() if n in text), None)
+            roots = _scan_root_names(node)
+            if roots is not None:
+                if seen_roots is not None:
+                    seen_roots.update(roots)
+                hit = next(
+                    (
+                        t
+                        for t in needles
+                        if any(
+                            r == t or r.startswith(f"{t}.") for r in roots
+                        )
+                    ),
+                    None,
+                )
+            else:
+                text = node.toString().lower()
+                if seen_roots is not None:
+                    seen_roots.add(f"<unresolved: {name}>")
+                hit = next((t for t, n in needles.items() if n in text), None)
             if hit is not None:
                 return (hit, node.toString().splitlines()[0][:90])
         for c in _children(node):

@@ -92,6 +92,7 @@ def test_first_diff_is_row_major(files):
     assert "Row 1" in res.message and "position 1" in res.message
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon(spark, files):
     a = files("ha.parquet", {"k": [1, 2], "y": [1.00004, 2.0]})
     b = files("hb.parquet", {"k": [1, 2], "y": [1.00001, 2.0]})
@@ -113,6 +114,7 @@ def test_hash_mode_epsilon_boundary_pairs_exact(spark, files):
     assert compare_files(spark, a, b, epsilon=1e-3, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_null_vs_value_differ(spark, files):
     """A NULL float against a value is a MISMATCH. Regression: the
     three-valued |l-r|<eps predicate evaluated to NULL for such a pair,
@@ -315,6 +317,7 @@ def test_hash_mode_epsilon_float_tied_rows_rematch(spark, files):
     assert not compare_files(spark, c, a, epsilon=0.08, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_duplicate_exact_prefixes(spark, files):
     """VERDICT r9 #6 'done' condition: duplicate exact-column prefixes +
     epsilon floats passing both directions. Three rows share k='dup';
@@ -485,6 +488,7 @@ def _map_table(x, y, entries, value_type=pa.int64()):
     )
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_map_entry_order(spark, files, tmp_path):
     """Maps inside a float-tied group fold into the rematch group key as
     canonical sorted entries (r10 advice item): equal maps stored with

@@ -8,14 +8,26 @@ import bdt_spark.plans as plans
 
 ALL = sorted(plans.all_queries())
 
+# One-query-per-family sample for the quick iteration subset
+# (`-m "not slow"`, VERDICT r13 #7): the full ~215-query smoke sweep is
+# ~163 s and belongs in CI/judge runs, not every local loop. Family =
+# primary tag; the sample is the sorted-first member of each, so it is
+# deterministic and grows automatically with new families.
+_SAMPLE = sorted(
+    {
+        (plans.get_query(n).tags or ("misc",))[0]: n
+        for n in reversed(ALL)
+    }.values()
+)
+_REST = [n for n in ALL if n not in set(_SAMPLE)]
+
 
 def test_inventory_size():
     assert len(ALL) >= 80
 
 
-@pytest.mark.parametrize("name", ALL)
-def test_query_runs(spark, sf_dir, name):
-    """Every query runs AND cleans up after itself: once the result is
+def _run_query_and_check(spark, sf_dir, name):
+    """The query runs AND cleans up after itself: once the result is
     consumed and released (the standardized cacheutil ownership
     contract), no persisted RDDs may remain — operator-internal caches,
     checkpoint blocks, and eager-path results are all accounted for."""
@@ -31,6 +43,17 @@ def test_query_runs(spark, sf_dir, name):
     assert after - before == set(), (
         f"{name} left persisted RDDs behind: {sorted(after - before)}"
     )
+
+
+@pytest.mark.parametrize("name", _SAMPLE)
+def test_query_runs_sample(spark, sf_dir, name):
+    _run_query_and_check(spark, sf_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _REST)
+def test_query_runs(spark, sf_dir, name):
+    _run_query_and_check(spark, sf_dir, name)
 
 
 def test_bench_stable_set_frozen():

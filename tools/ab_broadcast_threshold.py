@@ -20,7 +20,9 @@ Usage: python tools/ab_broadcast_threshold.py [sf_dir] [reps]
 
 from __future__ import annotations
 
+import difflib
 import os
+import re
 import statistics
 import sys
 import time
@@ -29,6 +31,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEY = "spark.sql.autoBroadcastJoinThreshold"
 ARMS = {"64MB": "64MB", "10MB": "10MB"}
+
+
+def skel(s: str) -> str:
+    """Normalize build-to-build renumbering (expr ids, plan ids, cached
+    subquery/exchange/cte ids) out of a rendered plan so only real
+    threshold-driven differences survive. Module-scope (r13 ADVICE: was
+    re-defined per loop iteration) so the regexes are compiled once and
+    the A/B's membership logic is importable/testable."""
+    s = re.sub(r"#\d+L?", "#x", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
+    s = re.sub(r"subquery#x, \[id=x\]", "subquery", s)
+    s = re.sub(r"(Subquery|ReusedExchange|cteId=|statefulOperatorId=)\d+", r"\1x", s)
+    return s
 
 
 def main() -> None:
@@ -57,20 +73,19 @@ def main() -> None:
         except Exception as e:
             print(f"skip {name}: {type(e).__name__}", flush=True)
             continue
-        # ignore build-to-build renumbering (expr ids, plan ids, cached
-        # subquery/exchange ids): compare opcode skeletons
-        import re
-
-        def skel(s: str) -> str:
-            s = re.sub(r"#\d+L?", "#x", s)
-            s = re.sub(r"plan_id=\d+", "plan_id=x", s)
-            s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
-            s = re.sub(r"subquery#x, \[id=x\]", "subquery", s)
-            s = re.sub(r"(Subquery|ReusedExchange|cteId=|statefulOperatorId=)\d+", r"\1x", s)
-            return s
-
-        if skel(p64) != skel(p10):
+        # ignore build-to-build renumbering: compare opcode skeletons
+        s64, s10 = skel(p64), skel(p10)
+        if s64 != s10:
             differing.append(name)
+            # surface the skeleton diff so a spurious entry (a
+            # renumbering pattern skel() misses) is visible instead of
+            # silently inflating the timed set (r13 ADVICE)
+            diff = list(difflib.unified_diff(
+                s64.splitlines(), s10.splitlines(),
+                "64MB", "10MB", lineterm="", n=0))
+            print(f"-- {name} plan diff ({len(diff)} lines):", flush=True)
+            for line in diff[:40]:
+                print(f"   {line}")
     print(f"{len(differing)} queries plan differently: {differing}", flush=True)
 
     runs: dict[str, dict[str, list[float]]] = {

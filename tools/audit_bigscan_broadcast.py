@@ -44,6 +44,7 @@ def main() -> None:
 
     hits: dict[str, list[str]] = {}
     skipped: list[str] = []
+    seen: set[str] = set()
     n_built = 0
     for name in sorted(plans.all_queries()):
         try:
@@ -52,7 +53,7 @@ def main() -> None:
             skipped.append(f"{name}: {type(e).__name__}")
             continue
         n_built += 1
-        flagged = broadcast_over_big_scan(df, big)
+        flagged = broadcast_over_big_scan(df, big, seen_roots=seen)
         if flagged:
             hits[name] = flagged
     print(f"built {n_built} queries at {sf_dir}; {len(skipped)} skipped "
@@ -62,7 +63,12 @@ def main() -> None:
         for f in fl:
             print(f"  {f}")
     if not hits:
+        # a clean bill only means something next to the evidence of what
+        # the matcher actually resolved (r13 ADVICE: substring misses
+        # were silent) — print every scan root seen under a broadcast
         print("no BroadcastExchange over a fact-table scan at this shard")
+    print(f"\nscan roots seen under BroadcastExchange ({len(seen)}): "
+          f"{sorted(seen)}")
     spark.stop()
 
 
