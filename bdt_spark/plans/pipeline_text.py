@@ -1393,23 +1393,70 @@ def _winnowing_sql(dialect: str) -> str:
     # k = 8 char-gram, w = 4 window (guarantee: any shared run of
     # >= w + k - 1 = 11 chars yields a shared fingerprint).
     if dialect == "spark":
-        pos = (
-            "SELECT doc_id, text, p FROM documents "
-            "LATERAL VIEW explode(sequence(1, "
-            "GREATEST(LENGTH(text) - 7, 0))) t AS p "
-            "WHERE LENGTH(text) >= 8"
-        )
-        h = "CAST(CONV(SUBSTR(md5(SUBSTR(text, p, 8)), 1, 8), 16, 10) AS BIGINT)"
-    else:
-        # DuckDB cannot take a column bound in lateral generate_series;
-        # unroll a constant upper bound (fixture max text length is 874)
-        # guarded by the WHERE.
-        pos = (
-            "SELECT doc_id, text, CAST(p AS BIGINT) AS p "
-            "FROM documents, GENERATE_SERIES(1, 1024) t(p) "
-            "WHERE LENGTH(text) >= 8 AND p <= LENGTH(text) - 7"
-        )
-        h = "CAST('0x' || SUBSTR(md5(SUBSTR(text, CAST(p AS INT), 8)), 1, 8) AS BIGINT)"
+        # ARRAY-DOMAIN winnowing (r14, from the stage profile in
+        # SCALE.md): the explode->window form shuffled the full 250M-row
+        # gram stream on doc_id and sorted it by position — at sf10 that
+        # was 2.5 GB of shuffle and 17.9 GB of sort spill across the two
+        # dominant stages. Grams, window mins, and the per-doc distinct
+        # all live inside one document row, so compute them as
+        # higher-order functions over the text: ZERO shuffle until the
+        # already-winnowed fingerprint stream (~2/(w+1) of the grams)
+        # enters the rare-fp COUNT window, whose minh exchange the
+        # self-join needs anyway. Only docs with >= 4 grams (length >=
+        # 11) can produce a complete window — same set the old plan's
+        # p <= n_grams - 3 filter kept. Per-doc memory is O(text length)
+        # longs (a 1 MB doc is an 8 MB lane array — bounded by the max
+        # document size, not the corpus).
+        return f"""
+    WITH docs AS (
+      SELECT doc_id, text, LENGTH(text) - 7 AS n
+      FROM documents WHERE LENGTH(text) >= 11
+    ),
+    lanes AS (
+      SELECT doc_id, n,
+             transform(sequence(1, n), p ->
+               CAST(CONV(SUBSTR(md5(SUBSTR(text, p, 8)), 1, 8), 16, 10)
+                    AS BIGINT)) AS hs
+      FROM docs
+    ),
+    fp AS (
+      SELECT doc_id,
+             explode(array_distinct(transform(sequence(1, n - 3), p ->
+               LEAST(element_at(hs, p), element_at(hs, p + 1),
+                     element_at(hs, p + 2), element_at(hs, p + 3)))))
+               AS minh
+      FROM lanes
+    ),
+    rare_fp AS (
+      SELECT doc_id, minh FROM (
+        SELECT doc_id, minh,
+               COUNT(*) OVER (PARTITION BY minh) AS fp_df
+        FROM fp
+      ) f WHERE fp_df <= 10
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM rare_fp a
+      JOIN rare_fp b ON b.minh = a.minh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM shared
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT 50
+    """
+    # DuckDB oracle keeps the declarative explode->window form (it
+    # cannot take a column bound in lateral generate_series; unroll a
+    # constant upper bound — fixture max text length is 874 — guarded
+    # by the WHERE).
+    pos = (
+        "SELECT doc_id, text, CAST(p AS BIGINT) AS p "
+        "FROM documents, GENERATE_SERIES(1, 1024) t(p) "
+        "WHERE LENGTH(text) >= 8 AND p <= LENGTH(text) - 7"
+    )
+    h = "CAST('0x' || SUBSTR(md5(SUBSTR(text, CAST(p AS INT), 8)), 1, 8) AS BIGINT)"
     return f"""
     WITH pos AS ({pos}),
     grams AS (

@@ -25,24 +25,40 @@ DEFAULT_QUERIES = ("text_winnowing_fingerprints", "dedup_minhash_lsh_k64")
 
 
 def stage_rows(spark):
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark._jvm.java.util.ArrayList()
-    stages = store.stageList(empty)
+    """Stage metrics via the UI REST API (the profiling session runs with
+    spark.ui.enabled=true): /api/v1/applications/<id>/stages."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        data = _json.load(r)
     out = []
-    for i in range(stages.size()):
-        s = stages.apply(i)
+    for s in data:
+        if s.get("status") not in ("COMPLETE", "FAILED"):
+            continue
         out.append(
             {
-                "stage": s.stageId(),
-                "name": str(s.name()).split("\n")[0][:70],
-                "tasks": s.numCompleteTasks(),
-                "run_s": round(s.executorRunTime() / 1e3, 1),
-                "cpu_s": round(s.executorCpuTime() / 1e9, 1),
-                "input_mb": round(s.inputBytes() / 1e6, 1),
-                "sh_read_mb": round(s.shuffleReadBytes() / 1e6, 1),
-                "sh_write_mb": round(s.shuffleWriteBytes() / 1e6, 1),
+                "stage": s["stageId"],
+                "name": s.get("name", "").split("\n")[0][:70],
+                "tasks": s.get("numCompleteTasks", 0),
+                "run_s": round(s.get("executorRunTime", 0) / 1e3, 1),
+                "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "sh_read_mb": round(
+                    s.get("shuffleReadBytes", 0) / 1e6, 1
+                ),
+                "sh_write_mb": round(
+                    s.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
                 "spill_mb": round(
-                    (s.memoryBytesSpilled() + s.diskBytesSpilled()) / 1e6, 1
+                    (
+                        s.get("memoryBytesSpilled", 0)
+                        + s.get("diskBytesSpilled", 0)
+                    )
+                    / 1e6,
+                    1,
                 ),
             }
         )
@@ -57,7 +73,13 @@ def main() -> None:
     from bdt_spark.session import get_spark
     from bdt_spark.sources.io import load_fixture_tables
 
-    spark = get_spark("profile_stages")
+    spark = get_spark(
+        "profile_stages",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "5000",
+        },
+    )
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
