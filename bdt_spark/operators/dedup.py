@@ -743,3 +743,132 @@ def incremental_minhash_candidates(
     return est.filter(F.col("est_jaccard") >= threshold).orderBy(
         "incoming_doc_id", "corpus_doc_id"
     )
+
+
+# --- incremental embedding near-dup state (cross-run) -----------------------
+#
+# Completes the incremental-ingest family (exact fingerprints ->
+# dedup_incremental_snapshot; MinHash near-dup -> update_minhash_state):
+# the corpus's sign-LSH bucket index persists as hive-partitioned batch
+# state, and each NEW embedding batch probes it map-only. Unlike minhash
+# (where the signature is the sketch), cosine verification needs the
+# vectors themselves, so state rows carry (vec_id, embedding, nrm,
+# bkeys) — O(corpus x dim), i.e. the same order as the embedding table:
+# this state is an INDEX colocating vectors with their bucket keys, not
+# a compression, and that is the honest production shape (an ANN/near-
+# dup service stores its vectors; what the increment saves is
+# re-bucketing and re-scanning the corpus per ingest batch).
+
+
+def update_embedding_state(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = NEARDUP_BANDS,
+    n_planes: int = NEARDUP_PLANES,
+    batch_id: str | None = None,
+) -> str:
+    """Fold one embedding batch into the sign-LSH bucket state; returns
+    the batch_id. Map-only over the batch; idempotent on replay
+    (dynamic partition overwrite of `batch=<id>`)."""
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:12]
+    planes = sparse_planes(n_bands * n_planes, dim=dim)
+    band_exprs = [
+        f"{b} * {1 << n_planes} + "
+        + sparse_band_bucket_sql(
+            planes[b * n_planes : (b + 1) * n_planes], emb_col
+        )
+        for b in range(n_bands)
+    ]
+    rows = batch.selectExpr(
+        f"{id_col} AS vec_id",
+        f"{emb_col} AS embedding",
+        f"{flat_norm_sql(emb_col, dim)} AS nrm",
+        f"array({', '.join(band_exprs)}) AS bkeys",
+    )
+    (
+        rows.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_dir)
+    )
+    return batch_id
+
+
+def incremental_embedding_candidates(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_bands: int = NEARDUP_BANDS,
+    n_planes: int = NEARDUP_PLANES,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup candidates of `batch` against the persisted bucket state:
+    (incoming_vec_id, corpus_vec_id, cos_sim) with exact cosine >=
+    threshold. Geometry must match the state's. State buckets above
+    `hot_bucket_cap` are dropped via broadcast anti-join before pairing
+    (the shared LSH hot-bucket doctrine); candidates are linear in
+    batch x bucket occupancy, never corpus x corpus."""
+    planes = sparse_planes(n_bands * n_planes, dim=dim)
+    band_exprs = [
+        f"{b} * {1 << n_planes} + "
+        + sparse_band_bucket_sql(
+            planes[b * n_planes : (b + 1) * n_planes], emb_col
+        )
+        for b in range(n_bands)
+    ]
+    iv = batch.selectExpr(
+        f"{id_col} AS vec_id",
+        f"{emb_col} AS embedding",
+        f"{flat_norm_sql(emb_col, dim)} AS nrm",
+        f"array({', '.join(band_exprs)}) AS bkeys",
+    )
+    state = spark.read.parquet(state_dir).select(
+        "vec_id", "embedding", "nrm", "bkeys"
+    )
+    sbuck = state.selectExpr(
+        "vec_id", "embedding", "nrm", "explode(bkeys) AS bkey"
+    )
+    hot = (
+        sbuck.groupBy("bkey")
+        .count()
+        .filter(F.col("count") > hot_bucket_cap)
+        .select("bkey")
+    )
+    sbuck = sbuck.join(F.broadcast(hot), "bkey", "left_anti")
+    ibuck = iv.selectExpr(
+        "vec_id", "embedding", "nrm", "explode(bkeys) AS bkey"
+    )
+    pairs = (
+        ibuck.alias("i")
+        .join(sbuck.alias("c"), "bkey")
+        .selectExpr(
+            "i.vec_id AS incoming_vec_id",
+            "c.vec_id AS corpus_vec_id",
+            "i.embedding AS iemb",
+            "i.nrm AS inrm",
+            "c.embedding AS cemb",
+            "c.nrm AS cnrm",
+        )
+        .dropDuplicates(["incoming_vec_id", "corpus_vec_id"])
+    )
+    cos = f"({flat_dot_sql('iemb', 'cemb', dim)} / (inrm * cnrm))"
+    out = pairs.selectExpr(
+        "incoming_vec_id",
+        "corpus_vec_id",
+        f"ROUND({cos}, 6) AS cos_sim",
+    )
+    return out.filter(F.col("cos_sim") >= threshold).orderBy(
+        "incoming_vec_id", "corpus_vec_id"
+    )

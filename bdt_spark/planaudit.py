@@ -304,6 +304,14 @@ BROADCAST_GENERATE_JUSTIFIED: dict[str, tuple[int, str]] = {
         "same operator as dedup_minhash_lsh at k=64 geometry — same "
         "bounds, same materialized scale arm (0 flags)"
     ),
+    "dedup_incremental_minhash": (2,
+        "both flagged builds are the hot-bucket NOT-IN anti-join key "
+        "set (HAVING COUNT(*) > cap over state buckets — hard-bounded "
+        "at n_rows/cap keys by construction, the minhash_pairs "
+        "doctrine; the CTE inlines into two consumers, hence 2). The "
+        "probe/verify joins themselves are pinned MERGE — no "
+        "corpus-derived side can be statically broadcast"
+    ),
     "text_duplicate_span_ratio": (1,
         "build is the per-shingle frequency table above the shingle agg "
         "shuffle (AQE re-plans from its true bytes); no HAVING "

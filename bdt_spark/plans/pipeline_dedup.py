@@ -938,6 +938,16 @@ def _incremental_minhash_sql(
     agree = " + ".join(
         f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(k_hash)
     )
+    # Spark side: every relation in the probe/verify joins is either
+    # explode-derived (bucket tables — Generate output, whose static
+    # estimate is the known column-ratio lie) or corpus-derived (sig
+    # tables, candidate set), so NO side may be statically broadcast:
+    # pin MERGE and let AQE demote to broadcast from TRUE runtime sizes
+    # (the q21 doctrine; caught by the repo-wide
+    # broadcast-over-Generate audit when this query first landed
+    # unhinted).
+    cand_hint = "/*+ MERGE(i), MERGE(c) */ " if spark else ""
+    est_hint = "/*+ MERGE(a), MERGE(b) */ " if spark else ""
     return f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -964,11 +974,12 @@ def _incremental_minhash_sql(
       SELECT doc_id, {explode} AS bkey FROM isig
     ),
     cand AS (
-      SELECT DISTINCT i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id
+      SELECT {cand_hint}DISTINCT
+             i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id
       FROM ibuck i JOIN capped c ON i.bkey = c.bkey
     ),
     est AS (
-      SELECT incoming_doc_id, corpus_doc_id,
+      SELECT {est_hint}incoming_doc_id, corpus_doc_id,
              ROUND(({agree}) / CAST({k_hash} AS DOUBLE), 6) AS est_jaccard
       FROM cand
       JOIN isig a ON a.doc_id = incoming_doc_id
@@ -1000,6 +1011,114 @@ sql_query(
     "operators/dedup.update_minhash_state / "
     "incremental_minhash_candidates, pinned row-identical to this "
     "oracled plan in tests/test_dedup_ops.py.",
+)
+
+
+def _incremental_embedding_sql(dialect: str) -> str:
+    """Incremental EMBEDDING near-dup: a new vector batch probes the
+    corpus's persisted sign-LSH bucket index; candidates verify by exact
+    cosine. Both dialects generated from the operator's own plane table
+    (operators/dedup.update_embedding_state /
+    incremental_embedding_candidates — pinned row-identical in
+    tests/test_dedup_ops.py)."""
+    spark = dialect == "spark"
+    if spark:
+        perturbed = (
+            "transform(embedding, (x, i) -> CASE WHEN i % 2 = 0 THEN"
+            " CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END)"
+        )
+    else:
+        perturbed = (
+            "list_transform(range(1, len(embedding) + 1), i ->"
+            " CASE WHEN (i - 1) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE)"
+            " * 1.1 ELSE CAST(embedding[i] AS DOUBLE) END)"
+        )
+    planes = _sparse_planes(NEARDUP_BANDS * NEARDUP_PLANES)
+    band_cols = ", ".join(
+        f"{_sparse_band_bucket(dialect, planes[b * NEARDUP_PLANES:(b + 1) * NEARDUP_PLANES])}"
+        f" AS bucket{b}"
+        for b in range(NEARDUP_BANDS)
+    )
+
+    def band_union(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            f"      SELECT vec_id, {b} * {1 << NEARDUP_PLANES} + bucket{b}"
+            f" AS bkey FROM {src}"
+            for b in range(NEARDUP_BANDS)
+        )
+
+    cos = _cos_pre(dialect, "a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    from bdt_spark.operators.dedup import HOT_BUCKET_CAP
+
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, {perturbed} AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    cv AS (
+      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm,
+             {band_cols}
+      FROM corpus
+    ),
+    iv AS (
+      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm,
+             {band_cols}
+      FROM incoming
+    ),
+    state AS (
+{band_union("cv")}
+    ),
+    capped AS (
+      SELECT vec_id, bkey FROM state
+      WHERE bkey NOT IN (
+        SELECT bkey FROM state GROUP BY bkey
+        HAVING COUNT(*) > {HOT_BUCKET_CAP}
+      )
+    ),
+    ibuck AS (
+{band_union("iv")}
+    ),
+    cand AS (
+      SELECT DISTINCT i.vec_id AS incoming_vec_id, c.vec_id AS corpus_vec_id
+      FROM ibuck i JOIN capped c ON i.bkey = c.bkey
+    ),
+    pairs AS (
+      SELECT incoming_vec_id, corpus_vec_id, ROUND({cos}, 6) AS cos_sim
+      FROM cand
+      JOIN iv a ON a.vec_id = incoming_vec_id
+      JOIN cv b ON b.vec_id = corpus_vec_id
+    )
+    SELECT incoming_vec_id, corpus_vec_id, cos_sim
+    FROM pairs WHERE cos_sim >= 0.9
+    ORDER BY incoming_vec_id, corpus_vec_id
+    """
+
+
+sql_query(
+    "dedup_incremental_embedding",
+    _incremental_embedding_sql("spark"),
+    oracle=_incremental_embedding_sql("duck"),
+    tags=("dedup", "embedding", "incremental", "lsh"),
+    doc="Incremental embedding near-dup (r14) — completes the incremental "
+    "ingest family (exact fingerprints, MinHash text near-dup, and now "
+    "vector near-dup): a new batch (odd vec_ids + every-20th perturbed "
+    "corpus copies, cosine ~0.9989 vs their sources) probes the "
+    "EXISTING corpus's persisted sign-LSH bucket index "
+    f"({NEARDUP_BANDS} bands x {NEARDUP_PLANES}-bit keys from the same "
+    "plane table as dedup_embedding_cosine). Batch-side bucketing is "
+    "map-only; candidates = incoming buckets equi-joined to the state "
+    "bucket table (hot state buckets capped, the shared LSH doctrine); "
+    "verification is exact cosine on candidates only. No corpus rescan "
+    "per ingest batch — the bucket index IS the carried state. The "
+    "cross-run persistent analog (hive-partitioned, replay-idempotent) "
+    "is operators/dedup.update_embedding_state / "
+    "incremental_embedding_candidates, pinned row-identical in "
+    "tests/test_dedup_ops.py.",
 )
 
 

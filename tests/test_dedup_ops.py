@@ -483,3 +483,70 @@ def test_incremental_minhash_operator_matches_oracled_query(spark, sf_dir, tmp_p
     ours = incremental_minhash_candidates(spark, state, incoming).collect()
     ref = plans.get_query("dedup_incremental_minhash").fn(spark, sf_dir).collect()
     assert ours == ref and len(ref) > 0
+
+
+def test_incremental_embedding_state_replay_idempotent(spark, tmp_path):
+    """Cross-run embedding bucket state: replay of a batch_id overwrites
+    exactly its own partition; a perturbed copy of a corpus vector is
+    found at cosine ~1; an orthogonal vector is not."""
+    from bdt_spark.operators.dedup import (
+        incremental_embedding_candidates,
+        update_embedding_state,
+    )
+
+    dim = 64
+    base = [1.0 if i % 3 == 0 else 0.5 for i in range(dim)]
+    near = [v * (1.1 if i % 2 == 0 else 1.0) for i, v in enumerate(base)]
+    ortho = [1.0 if i % 2 else -1.0 for i in range(dim)]
+    state = str(tmp_path / "emb_state")
+    corpus = spark.createDataFrame(
+        [(0, base), (2, ortho)], "vec_id long, embedding array<double>"
+    )
+    update_embedding_state(spark, state, corpus, batch_id="b0")
+    batch = spark.createDataFrame(
+        [(101, near), (103, [float(i) for i in range(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    first = incremental_embedding_candidates(spark, state, batch).collect()
+    assert [(r.incoming_vec_id, r.corpus_vec_id) for r in first] == [(101, 0)]
+    assert first[0].cos_sim > 0.99
+
+    update_embedding_state(spark, state, corpus, batch_id="b0")  # replay
+    assert spark.read.parquet(state).count() == 2
+    got = incremental_embedding_candidates(spark, state, batch).collect()
+    assert got == first
+
+
+def test_incremental_embedding_operator_matches_oracled_query(
+    spark, sf_dir, tmp_path
+):
+    """update_embedding_state + incremental_embedding_candidates must be
+    row-identical to the oracled dedup_incremental_embedding plan on the
+    same corpus/incoming split."""
+    import bdt_spark.plans as plans
+    from bdt_spark.operators.dedup import (
+        incremental_embedding_candidates,
+        update_embedding_state,
+    )
+    from bdt_spark.sources.io import load_fixture_tables
+
+    load_fixture_tables(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id % 2 = 0")
+    incoming = emb.filter("vec_id % 2 = 1").unionAll(
+        emb.filter("vec_id % 20 = 0").selectExpr(
+            "vec_id + 1000000 AS vec_id",
+            "transform(embedding, (x, i) -> CASE WHEN i % 2 = 0 THEN"
+            " CAST(x AS DOUBLE) * 1.1 ELSE CAST(x AS DOUBLE) END)"
+            " AS embedding",
+        )
+    )
+    state = str(tmp_path / "emb_state")
+    update_embedding_state(spark, state, corpus, batch_id="snap")
+    ours = incremental_embedding_candidates(spark, state, incoming).collect()
+    ref = (
+        plans.get_query("dedup_incremental_embedding")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert ours == ref and len(ref) > 0

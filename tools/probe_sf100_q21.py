@@ -33,7 +33,9 @@ def one_run(sf_dir: str, tag: str) -> None:
     from bdt_spark.session import get_spark
     from bdt_spark.sources.io import load_fixture_tables
 
-    spark = get_spark("probe_sf100_q21")
+    spark = get_spark(
+        "probe_sf100_q21", extra_conf={"spark.ui.enabled": "true"}
+    )
     master = spark.sparkContext.master
     load_fixture_tables(spark, sf_dir, force=True)
     t0 = time.time()
@@ -42,11 +44,17 @@ def one_run(sf_dir: str, tag: str) -> None:
     rows = df.collect()
     wall = round(time.time() - t0, 1)
 
-    store = spark.sparkContext._jsc.sc().statusStore()
-    stages = store.stageList(spark._jvm.java.util.ArrayList())
-    failed_tasks = sum(
-        stages.apply(i).numFailedTasks() for i in range(stages.size())
-    )
+    # retried-task accounting via the UI REST API (stageList's py4j
+    # signature needs the full Scala default-arg list — not callable)
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages"
+    ) as r:
+        failed_tasks = sum(s.get("numFailedTasks", 0) for s in _json.load(r))
     out = {
         "wall_s": wall,
         "rows": len(rows),
