@@ -132,6 +132,7 @@ def test_hash_mode_epsilon_null_vs_value_differ(spark, files):
     assert compare_files(spark, b, c, epsilon=0.001, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_with_map_column(spark, tmp_path):
     """Epsilon mode must not apply eqNullSafe to map columns (Spark
     defines no map ordering and rejects the comparison); maps compare by
@@ -169,6 +170,7 @@ def test_hash_mode_epsilon_with_map_column(spark, tmp_path):
     assert not compare_files(spark, a, c, epsilon=0.001, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_order_insensitive(spark, files):
     """Epsilon mode keys the zip on the canonical sort, not file order:
     same rows shuffled with eps-noise still match; a beyond-eps value
@@ -273,6 +275,7 @@ def test_hash_mode_map_entry_order_equal(spark, tmp_path):
     assert not compare_files(spark, a, c, method="hash").ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_nonfloat_sort_prevents_cross_zip(spark, files):
     """The adversarial bipartite construction from the in-code caveat:
     eps-close float values whose order REVERSES across rows with
@@ -399,6 +402,7 @@ def test_hash_mode_epsilon_rematch_big_group_small_components_certifies(
     assert not res.ok
 
 
+@pytest.mark.slow
 def test_hash_mode_epsilon_rematch_component_cap_raises(spark, files):
     """A single DENSE eps-connected component past _REMATCH_CAP is the
     one remaining non-exact corner: every float column is an unbroken

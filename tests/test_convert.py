@@ -71,6 +71,7 @@ def test_partition_by_single_file_conflict(spark, sf_dir, tmp_path):
                 single_file=True, partition_by=["o_orderstatus"])
 
 
+@pytest.mark.slow
 def test_nested_struct_roundtrip(spark, tmp_path):
     # nested struct/array columns must survive parquet round-trips (the
     # reference's compare todo!()s on nested; we support them end-to-end)

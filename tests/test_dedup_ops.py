@@ -458,6 +458,7 @@ def test_incremental_minhash_state_replay_idempotent(spark, tmp_path):
     assert got == first  # batch still matches only doc 0
 
 
+@pytest.mark.slow
 def test_incremental_minhash_operator_matches_oracled_query(spark, sf_dir, tmp_path):
     """The persistent operator pair (update_minhash_state +
     incremental_minhash_candidates) must be row-identical to the oracled
@@ -517,6 +518,7 @@ def test_incremental_embedding_state_replay_idempotent(spark, tmp_path):
     assert got == first
 
 
+@pytest.mark.slow
 def test_incremental_embedding_operator_matches_oracled_query(
     spark, sf_dir, tmp_path
 ):

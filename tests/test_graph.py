@@ -1,6 +1,8 @@
 """connected_components: correctness on known graphs and bounded lineage
 across iterations (periodic localCheckpoint)."""
 
+import pytest
+
 from bdt_spark.operators.graph import connected_components
 
 
@@ -28,6 +30,7 @@ def test_two_components_and_dup_edges(spark):
     assert got == {(1, 1), (1, 2), (1, 3), (10, 10), (10, 11)}
 
 
+@pytest.mark.slow
 def test_lineage_is_truncated(spark):
     """After N iterations the result plan must hang off a checkpointed RDD
     scan with a strictly shorter join chain than the uncheckpointed loop.
