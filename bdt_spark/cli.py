@@ -166,6 +166,72 @@ def cmd_dedup(args) -> None:
 
     spark = get_spark("bdt_dedup")
     df = read_file(spark, args.table)
+    if args.state_dir:
+        # incremental mode: the table is an ingest BATCH probed against
+        # the persisted corpus state (exact mode has its own snapshot
+        # query shape; the CLI exposes the minhash/embedding states)
+        import os as _os
+
+        from bdt_spark.operators.dedup import (
+            incremental_embedding_candidates,
+            incremental_minhash_candidates,
+            update_embedding_state,
+            update_minhash_state,
+        )
+
+        if args.method == "exact":
+            raise SystemExit(
+                "--state-dir supports --method minhash|embedding"
+            )
+        has_state = _os.path.isdir(args.state_dir)
+        if args.method == "embedding":
+            out = (
+                incremental_embedding_candidates(
+                    spark, args.state_dir, df,
+                    id_col=args.id_col, emb_col=args.embedding_col,
+                    dim=args.embedding_dim,
+                    threshold=0.9 if args.threshold is None else args.threshold,
+                )
+                if has_state
+                else None
+            )
+        else:
+            out = (
+                incremental_minhash_candidates(
+                    spark, args.state_dir, df,
+                    id_col=args.id_col, text_col=args.text_col,
+                    threshold=0.5 if args.threshold is None else args.threshold,
+                    k_hash=args.minhash_k, n_bands=args.minhash_bands,
+                )
+                if has_state
+                else None
+            )
+        if out is not None:
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                n_rows = spark.read.parquet(args.output).count()
+                print(f"wrote {n_rows} rows to {args.output}")
+            else:
+                out.show(50, truncate=False)
+        else:
+            print("no existing state: skipping probe")
+        if args.update_state:
+            upd = (
+                update_embedding_state
+                if args.method == "embedding"
+                else update_minhash_state
+            )
+            kw = (
+                {"emb_col": args.embedding_col, "dim": args.embedding_dim}
+                if args.method == "embedding"
+                else {"text_col": args.text_col}
+            )
+            bid = upd(
+                spark, args.state_dir, df, id_col=args.id_col,
+                batch_id=args.batch_id, **kw,
+            )
+            print(f"state updated: batch={bid}")
+        return
     if args.method == "exact":
         cols = args.columns.split(",") if args.columns else [
             c for c in df.columns if c != args.id_col
@@ -376,6 +442,23 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--minhash-bands", type=int, default=4,
         help="LSH bands (must divide --minhash-k; rows per band = k/bands)",
+    )
+    dd.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: probe --table (an ingest batch) against "
+        "the persisted corpus state in this directory instead of "
+        "self-deduping it (minhash: band-bucket signatures; embedding: "
+        "sign-LSH bucket index)",
+    )
+    dd.add_argument(
+        "--update-state", action="store_true",
+        help="with --state-dir: fold the batch into the state after the "
+        "probe (replay-idempotent per --batch-id)",
+    )
+    dd.add_argument(
+        "--batch-id", default=None,
+        help="with --update-state: stable id for replay idempotence "
+        "(default: random)",
     )
     dd.add_argument("--output")
     dd.set_defaults(fn=cmd_dedup)
