@@ -55,6 +55,17 @@ def main() -> None:
 
     minhash_pairs(tables["documents"]).show(5)
 
+    print("== 4b. Incremental ingest: probe a batch against corpus state ==")
+    from bdt_spark.operators.dedup import (
+        incremental_minhash_candidates, update_minhash_state,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    update_minhash_state(spark, f"{tmp}/mh_state",
+                         docs.filter("doc_id % 2 = 0"), batch_id="seed")
+    incremental_minhash_candidates(
+        spark, f"{tmp}/mh_state", docs.filter("doc_id % 2 = 1")).show(5)
+
     print("== 5. Persistent ANN index ==")
     from bdt_spark.operators.ann import build_ivf_index, ivf_probe
 
