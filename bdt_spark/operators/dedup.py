@@ -872,3 +872,62 @@ def incremental_embedding_candidates(
     return out.filter(F.col("cos_sim") >= threshold).orderBy(
         "incoming_vec_id", "corpus_vec_id"
     )
+
+
+def _compact_dedup_state(spark, state_dir: str, id_col: str) -> str:
+    """Fold every batch partition of an incremental dedup state into one
+    compacted partition so the state stays O(corpus rows), not
+    O(corpus rows x batches-touched). One row survives per id: the
+    lexicographically LATEST batch wins — deterministic, and exact
+    whenever re-ingested rows are recomputations of unchanged inputs
+    (identical payloads, any winner equal); callers that re-ingest
+    CHANGED documents should pass monotonically ordered batch_ids so
+    "latest" means newest. Same crash-safe ordering as
+    sketchstate.compact_sketch_state: the compacted partition is
+    written FIRST, old partitions deleted after (a racing reader sees
+    old or old+compacted — per-id duplicates across those are identical
+    rows, so probe results are unchanged), and a failed delete raises
+    instead of leaving double rows."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    state = spark.read.parquet(state_dir)
+    old_batches = [
+        r["batch"] for r in state.select("batch").distinct().collect()
+    ]
+    compact_id = "compact-" + uuid.uuid4().hex[:12]
+    w = Window.partitionBy(id_col).orderBy(F.col("batch").desc())
+    merged = (
+        state.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "batch")
+    )
+    (
+        merged.withColumn("batch", F.lit(compact_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_dir)
+    )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in old_batches:
+        part = jvm_path(f"{state_dir}/batch={b}")
+        if fs.exists(part) and not fs.delete(part, True):
+            raise IOError(
+                f"compact_dedup_state: failed to delete old partition "
+                f"batch={b} under {state_dir}; duplicate per-id rows "
+                f"would double candidate pairs"
+            )
+    return compact_id
+
+
+def compact_minhash_state(spark, state_dir: str) -> str:
+    """Compact an update_minhash_state directory (keyed by doc_id)."""
+    return _compact_dedup_state(spark, state_dir, "doc_id")
+
+
+def compact_embedding_state(spark, state_dir: str) -> str:
+    """Compact an update_embedding_state directory (keyed by vec_id)."""
+    return _compact_dedup_state(spark, state_dir, "vec_id")

@@ -552,3 +552,46 @@ def test_incremental_embedding_operator_matches_oracled_query(
         .collect()
     )
     assert ours == ref and len(ref) > 0
+
+
+def test_incremental_state_compaction_probe_invariant(spark, tmp_path):
+    """Compaction folds N batch partitions into one without changing any
+    probe result; per-id the lexicographically latest batch wins (the
+    re-ingest contract); old partitions are gone afterwards."""
+    from bdt_spark.operators.dedup import (
+        compact_minhash_state,
+        incremental_minhash_candidates,
+        update_minhash_state,
+    )
+
+    state = str(tmp_path / "mh_state")
+    d0 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(4, "sphinx of black quartz judge my vow said the king"),
+         # re-ingest doc 2 with CHANGED text in a LATER batch: the
+         # compacted state must keep this version
+         (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    update_minhash_state(spark, state, d0, batch_id="b0")
+    update_minhash_state(spark, state, d1, batch_id="b1")
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    before = incremental_minhash_candidates(spark, state, batch).collect()
+    # doc 2's b1 version now matches the probe text too
+    assert {(r.incoming_doc_id, r.corpus_doc_id) for r in before} == {
+        (101, 0), (101, 2)
+    }
+
+    compact_minhash_state(spark, state)
+    st = spark.read.parquet(state)
+    assert st.count() == 3  # one row per doc, latest batch won for doc 2
+    assert st.select("batch").distinct().count() == 1
+    after = incremental_minhash_candidates(spark, state, batch).collect()
+    assert after == before
