@@ -366,3 +366,73 @@ sql_query(
     "Dialect split: posexplode+split('') vs generate_series indexing "
     "(constant 64 unrolled, guarded by i <= LENGTH).",
 )
+
+
+# --- round 14: document chunking (tokenize -> CHUNK -> pack) ----------------
+
+CHUNK_TOKENS = 64   # tokens per training chunk
+CHUNK_STRIDE = 48   # window stride (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+
+
+def _doc_chunking_sql(dialect: str) -> str:
+    """Fixed token-window chunking with stride — the pretraining prep
+    step between tokenization and sequence packing: long documents
+    split into <= CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens
+    (16-token overlap keeps context across boundaries), short documents
+    pass through as one chunk. All map-only per document: token split,
+    window starts, slices, and the chunk hash all live inside the row —
+    zero shuffle until the final ORDER BY. chunk_idx = start/stride is
+    derived, not positional, so both engines agree without a window
+    function."""
+    spark = dialect == "spark"
+    if spark:
+        toks = "split(text, ' ')"
+        starts = "explode(sequence(0, n - 1, {s}))"
+        chunk = "slice(tokens, s + 1, {c})"
+        join = "array_join(chunk, ' ')"
+        size = "size"
+    else:
+        toks = "string_split(text, ' ')"
+        starts = "unnest(range(0, CAST(n AS BIGINT), {s}))"
+        chunk = "tokens[s + 1 : s + {c}]"
+        join = "array_to_string(chunk, ' ')"
+        size = "len"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens, {size}({toks}) AS n
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    starts AS (
+      SELECT doc_id, tokens, n,
+             {starts.format(s=CHUNK_STRIDE)} AS s
+      FROM toks WHERE n >= 1
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             {chunk.format(c=CHUNK_TOKENS)} AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx,
+           CAST({size}(chunk) AS BIGINT) AS n_tokens,
+           md5({join}) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+sql_query(
+    "tokens_doc_chunking",
+    _doc_chunking_sql("spark"),
+    oracle=_doc_chunking_sql("duck"),
+    tags=("tokens", "chunking"),
+    doc=f"Document chunking for pretraining: whitespace-token windows of "
+    f"{CHUNK_TOKENS} tokens every {CHUNK_STRIDE} (overlap "
+    f"{CHUNK_TOKENS - CHUNK_STRIDE}) — the step between tokenization "
+    "and tokens_sequence_packing. Entirely map-only per document "
+    "(higher-order functions over the token array, same array-domain "
+    "doctrine as the r14 winnowing rewrite: no explode->shuffle of the "
+    "token stream), so at 100 TB the chunker adds zero exchanges to "
+    "the scan; the chunk hash doubles as the downstream chunk-level "
+    "exact-dedup key. Trailing windows keep their true (shorter) "
+    "token count.",
+)

@@ -93,9 +93,10 @@ PIPELINE = [
     "lineitem_pareto_abc",
     "quality_split_drift_ks",
     "text_feature_auc_mann_whitney",
-    # round-14: incremental ingest family (state probe plans)
+    # round-14: incremental ingest family (state probe plans) + chunking
     "dedup_incremental_minhash",
     "dedup_incremental_embedding",
+    "tokens_doc_chunking",
 ]
 
 # FROZEN cross-round comparison set (VERDICT r10 #1): exactly the 23
