@@ -646,3 +646,74 @@ def streaming_frequent_items(events: DataFrame, k: int = 12) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def neardup_stream_to_state(
+    docs: DataFrame,
+    state_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming incremental NEAR-dup: each micro-batch of documents is
+    (a) probed against the persisted MinHash band-bucket state — matches
+    land in `matches_dir`, partitioned by batch — and (b) folded into
+    the state, so later batches dedup against everything seen so far.
+
+    The batch operators (operators/dedup.update_minhash_state /
+    incremental_minhash_candidates) ARE the implementation; this sink
+    only supplies the exactly-once glue. foreachBatch's monotone
+    batch_id is used as the state batch key — precisely the
+    "monotonically ordered batch_ids" contract compact_minhash_state
+    documents for changed-document re-ingest — and BOTH writes are
+    batch_id-keyed dynamic partition overwrites, so a replayed batch
+    (restart between the two writes, or after either) overwrites its
+    own partitions and converges: at-least-once delivery, exactly-once
+    state and match output. Probe BEFORE update, so a batch never
+    matches itself through the state (self-dups within a batch are the
+    batch operator's own job upstream if wanted).
+
+    Scale shape per micro-batch: state update is map-only over the
+    batch; the probe joins batch buckets to state buckets (state side
+    hot-capped). State grows one hive partition per batch —
+    compact_minhash_state folds it back to O(corpus docs) offline."""
+    from bdt_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        update_minhash_state,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        import os as _os
+
+        bid = f"{batch_id:020d}"  # zero-pad: lexicographic == numeric
+        if _os.path.isdir(state_dir):
+            matches = incremental_minhash_candidates(
+                spark, state_dir, batch_df,
+                id_col=id_col, text_col=text_col, threshold=threshold,
+            )
+        else:
+            matches = None
+        if matches is not None:
+            (
+                matches.withColumn("batch", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(matches_dir)
+            )
+        update_minhash_state(
+            spark, state_dir, batch_df,
+            id_col=id_col, text_col=text_col, batch_id=bid,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

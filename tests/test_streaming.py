@@ -545,3 +545,62 @@ def test_streaming_frequent_items_mg_invariants(spark, sf_dir, tmp_path):
         for (s, item), true in exact.items():
             if s == shard and true > err:
                 assert item in summary, (shard, item, true, err)
+
+
+def test_neardup_stream_to_state(spark, tmp_path):
+    """Streaming incremental near-dup: batch 2's docs match batch 1's
+    via the persisted state (probe-before-update: a batch never matches
+    itself); a restart from the same checkpoint reprocesses nothing;
+    re-delivering a processed file under a NEW checkpoint overwrites
+    the same batch partitions (exactly-once state + matches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.streaming.windows import neardup_stream_to_state
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    matches = str(tmp_path / "matches")
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            str(src / name),
+        )
+
+    schema = "doc_id long, text string"
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "pack my box with five dozen liquor jugs right now"
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = neardup_stream_to_state(
+            stream, state, matches, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    write_file("f1.parquet", [(0, a), (2, b)])
+    run("ckpt")
+    # batch 0 had no prior state: no matches, state seeded
+    assert spark.read.parquet(state).count() == 2
+
+    write_file("f2.parquet", [(10, a), (11, "entirely unrelated words here")])
+    run("ckpt")  # same checkpoint: only f2 is a new batch
+    got = spark.read.parquet(matches).drop("batch").collect()
+    assert [(r.incoming_doc_id, r.corpus_doc_id) for r in got] == [(10, 0)]
+    assert spark.read.parquet(state).count() == 4
+
+    # no-op restart: nothing new, nothing duplicated
+    run("ckpt")
+    assert spark.read.parquet(state).count() == 4
+    assert spark.read.parquet(matches).count() == 1
