@@ -717,3 +717,56 @@ def neardup_stream_to_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def embedding_neardup_stream_to_state(
+    vecs: DataFrame,
+    state_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> "StreamingQuery":  # noqa: F821
+    """Vector analog of neardup_stream_to_state: micro-batches of
+    embeddings probe the persisted sign-LSH bucket index, then fold
+    into it. Same exactly-once contract (zero-padded monotone batch_id
+    keys both dynamic-partition-overwrite writes; probe before
+    update)."""
+    from bdt_spark.operators.dedup import (
+        incremental_embedding_candidates,
+        update_embedding_state,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        import os as _os
+
+        bid = f"{batch_id:020d}"
+        if _os.path.isdir(state_dir):
+            (
+                incremental_embedding_candidates(
+                    spark, state_dir, batch_df,
+                    id_col=id_col, emb_col=emb_col, dim=dim,
+                    threshold=threshold,
+                )
+                .withColumn("batch", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(matches_dir)
+            )
+        update_embedding_state(
+            spark, state_dir, batch_df,
+            id_col=id_col, emb_col=emb_col, dim=dim, batch_id=bid,
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -604,3 +604,59 @@ def test_neardup_stream_to_state(spark, tmp_path):
     run("ckpt")
     assert spark.read.parquet(state).count() == 4
     assert spark.read.parquet(matches).count() == 1
+
+
+def test_embedding_neardup_stream_to_state(spark, tmp_path):
+    """Vector analog: batch 2's near-copy of a batch 1 vector is found
+    via the persisted sign-LSH index; restart is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.streaming.windows import embedding_neardup_stream_to_state
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    state = str(tmp_path / "vstate")
+    matches = str(tmp_path / "vmatches")
+    dim = 64
+    base = [1.0 if i % 3 == 0 else 0.5 for i in range(dim)]
+    near = [v * (1.1 if i % 2 == 0 else 1.0) for i, v in enumerate(base)]
+    ortho = [1.0 if i % 2 else -1.0 for i in range(dim)]
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = embedding_neardup_stream_to_state(
+            stream, state, matches, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    write_file("f1.parquet", [(0, base), (2, ortho)])
+    run("ckpt")
+    assert spark.read.parquet(state).count() == 2
+
+    write_file("f2.parquet", [(10, near)])
+    run("ckpt")
+    got = spark.read.parquet(matches).collect()
+    assert [(r.incoming_vec_id, r.corpus_vec_id) for r in got] == [(10, 0)]
+    assert got[0].cos_sim > 0.99
+
+    run("ckpt")  # no-op restart
+    assert spark.read.parquet(matches).count() == 1
+    assert spark.read.parquet(state).count() == 3
