@@ -1178,9 +1178,22 @@ sql_query(
 
 def _prefix_filter_spark_sql() -> str:
     sh = _spark_shingles()
+    # REPARTITION(32) on the docs CTE (ABOVE the shingle projection —
+    # deliberately): Spark inlines the CTE per consumer, so without the
+    # hint every downstream CTE re-runs the shingle CPU on the 4 tasks
+    # the doc_id < 2000 row-group prune leaves (stage profile: 15.2 s
+    # wall, 55.9 s executor total, 28 cores idle). The exchange above
+    # the projection becomes a ReusedExchange across all inlined
+    # consumers — the shingles are computed ONCE and replayed from
+    # shuffle data. A/B'd against repartitioning BELOW the projection
+    # (parallel shingles but per-consumer recompute): 10.6 vs 11.3 s at
+    # sf10. The input is HARD-BOUNDED at 2000 docs at any scale factor,
+    # so the exchange moves ~2 MB — unlike the corpus-wide fan-out the
+    # r13 parts probe measured as harmful. sf10 15.2 -> 10.6 s; sf0.1
+    # neutral; sf1 +0.3 s (the exchange floor, accepted).
     return f"""
     WITH docs AS (
-      SELECT doc_id, {sh} AS shingles
+      SELECT /*+ REPARTITION(32) */ doc_id, {sh} AS shingles
       FROM documents WHERE doc_id < 2000
     ),
     tok AS (
