@@ -921,10 +921,16 @@ def _incremental_minhash_sql(
                 f" {(j % 4) * 8 + 1}, 8))) AS h{j}"
                 for j in range(k_hash)
             )
+            # REPARTITION above the signature projection: each sig CTE
+            # is inlined into TWO consumers (bucket explode + lane-
+            # agreement verify), so without the exchange the md5
+            # signature CPU — the operator's dominant cost — runs
+            # twice; the hint makes it a ReusedExchange computed once
+            # (~100 B/doc shuffled). Measured sf10: 35.7 -> 19.4 s.
             return f"""
     {p}sh AS (SELECT doc_id, {shingles} AS shingles FROM {src}),
     {p}dig AS (SELECT doc_id, {digests} FROM {p}sh),
-    {p}sig AS (SELECT doc_id,
+    {p}sig AS (SELECT /*+ REPARTITION(32) */ doc_id,
          {lanes}
       FROM {p}dig)"""
         return f"""
