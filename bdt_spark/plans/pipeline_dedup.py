@@ -1067,12 +1067,19 @@ def _incremental_embedding_sql(dialect: str) -> str:
       FROM embeddings WHERE vec_id % 20 = 0
     ),
     cv AS (
-      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm,
+      -- REPARTITION above the bucketed projection: cv/iv inline into
+      -- three consumers each (two band-union selects + the cosine
+      -- verify), so the 48 sparse-plane dots + norm would compute 3x;
+      -- the exchange makes them a ReusedExchange computed once.
+      -- Measured sf100: 28.8 -> 24.4 s (spark dialect only).
+      SELECT {"/*+ REPARTITION(32) */ " if spark else ""}vec_id,
+             embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM corpus
     ),
     iv AS (
-      SELECT vec_id, embedding, {_norm(dialect, "embedding")} AS nrm,
+      SELECT {"/*+ REPARTITION(32) */ " if spark else ""}vec_id,
+             embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM incoming
     ),
