@@ -1020,7 +1020,7 @@ sql_query(
 )
 
 
-def _incremental_embedding_sql(dialect: str) -> str:
+def _incremental_embedding_sql(dialect: str, exchange: bool = False) -> str:
     """Incremental EMBEDDING near-dup: a new vector batch probes the
     corpus's persisted sign-LSH bucket index; candidates verify by exact
     cosine. Both dialects generated from the operator's own plane table
@@ -1067,18 +1067,21 @@ def _incremental_embedding_sql(dialect: str) -> str:
       FROM embeddings WHERE vec_id % 20 = 0
     ),
     cv AS (
-      -- REPARTITION above the bucketed projection: cv/iv inline into
-      -- three consumers each (two band-union selects + the cosine
-      -- verify), so the 48 sparse-plane dots + norm would compute 3x;
-      -- the exchange makes them a ReusedExchange computed once.
-      -- Measured sf100: 28.8 -> 24.4 s (spark dialect only).
-      SELECT {"/*+ REPARTITION(32) */ " if spark else ""}vec_id,
+      -- `exchange` arm (spark, size-gated at registration): cv/iv
+      -- inline into three consumers each (two band-union selects + the
+      -- cosine verify), so the 48 sparse-plane dots + norm compute 3x;
+      -- a REPARTITION above the bucketed projection makes them a
+      -- ReusedExchange computed once. The exchange is FIXED overhead,
+      -- the recompute saving PROPORTIONAL to corpus size, so small
+      -- corpora keep the bare plan (measured: sf100 28.8 -> 24.4 s
+      -- with the exchange; sf0.1 ~1 s slower with it).
+      SELECT {"/*+ REPARTITION(32) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM corpus
     ),
     iv AS (
-      SELECT {"/*+ REPARTITION(32) */ " if spark else ""}vec_id,
+      SELECT {"/*+ REPARTITION(32) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM incoming
@@ -1112,9 +1115,18 @@ def _incremental_embedding_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+# Embeddings scan bytes above which the cv/iv exchange-reuse arm is
+# taken (see the `exchange` comment in _incremental_embedding_sql):
+# shares the EAGER_PERSIST_MIN_BYTES doctrine — fixed exchange overhead
+# vs corpus-proportional recompute saving. 10 MB sits between sf1
+# (1.4 MB, bare wins) and sf10 (11 MB, exchange measured faster).
+_INC_EMB_EXCHANGE_MIN_BYTES = 10 << 20
+_INC_EMB_SPARK_BARE = _incremental_embedding_sql("spark")
+_INC_EMB_SPARK_EXCH = _incremental_embedding_sql("spark", exchange=True)
+
+
+@query(
     "dedup_incremental_embedding",
-    _incremental_embedding_sql("spark"),
     oracle=_incremental_embedding_sql("duck"),
     tags=("dedup", "embedding", "incremental", "lsh"),
     doc="Incremental embedding near-dup (r14) — completes the incremental "
@@ -1131,8 +1143,20 @@ sql_query(
     "cross-run persistent analog (hive-partitioned, replay-idempotent) "
     "is operators/dedup.update_embedding_state / "
     "incremental_embedding_candidates, pinned row-identical in "
-    "tests/test_dedup_ops.py.",
+    "tests/test_dedup_ops.py. Spark plan is size-gated on exact "
+    "embeddings scan bytes: bare below _INC_EMB_EXCHANGE_MIN_BYTES, "
+    "cv/iv exchange-reuse above (both arms pinned row-identical in "
+    "tests/test_dedup_ops.py).",
 )
+def dedup_incremental_embedding(spark, sf_dir):
+    from bdt_spark.sources.io import fixture_scan_bytes
+
+    load_fixture_tables(spark, sf_dir)
+    big = (
+        fixture_scan_bytes(spark, "embeddings")
+        >= _INC_EMB_EXCHANGE_MIN_BYTES
+    )
+    return spark.sql(_INC_EMB_SPARK_EXCH if big else _INC_EMB_SPARK_BARE)
 
 
 def _containment_sql(dialect: str) -> str:

@@ -595,3 +595,27 @@ def test_incremental_state_compaction_probe_invariant(spark, tmp_path):
     assert st.select("batch").distinct().count() == 1
     after = incremental_minhash_candidates(spark, state, batch).collect()
     assert after == before
+
+
+def test_incremental_embedding_gate_both_arms_agree(spark, sf_dir):
+    """dedup_incremental_embedding picks bare vs exchange-reuse from
+    exact embeddings scan bytes; both arms must return identical rows
+    (the plan gate changes exchanges, never semantics)."""
+    import bdt_spark.plans as plans
+    from bdt_spark.sources import io as bio
+
+    fn = plans.get_query("dedup_incremental_embedding").fn
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    bio.load_fixture_tables(spark, sf_dir)
+    small_rows = fn(spark, sf_dir).collect()
+    recorded = bio._TABLE_BYTES[key]["embeddings"]
+    bio._TABLE_BYTES[key]["embeddings"] = 1 << 40
+    try:
+        assert fn(spark, sf_dir).collect() == small_rows
+        assert len(small_rows) > 0
+    finally:
+        bio._TABLE_BYTES[key]["embeddings"] = recorded
