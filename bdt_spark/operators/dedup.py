@@ -679,6 +679,83 @@ def update_minhash_state(
     return batch_id
 
 
+def _state_batch_ids(spark, state_dir: str) -> list[str]:
+    """Batch-partition ids of an incremental dedup state dir — a
+    driver-side Hadoop FS listing (no Spark job), the same handle
+    _compact_dedup_state uses for deletes."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    p = jvm_path(state_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            out.append(name[len("batch="):])
+    return out
+
+
+def _read_state_untyped(spark, state_dir: str) -> DataFrame:
+    """Read a batch-partitioned state dir with the `batch` partition
+    column kept as a raw STRING. Partition type inference would read an
+    all-numeric id set (the streaming sinks' zero-padded `%020d` ids)
+    as longs — stripping the zero padding and silently breaking every
+    `batch` comparison this module's ordering contract relies on
+    (lexicographic == monotone), while a later `.compact` id would
+    flip the same dir back to strings. Discovery runs eagerly inside
+    `read.parquet`, so flipping the session conf around the call is
+    complete and leak-free."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.parquet(state_dir)
+    finally:
+        spark.conf.set(key, old)
+
+
+def _read_dedup_state(
+    spark, state_dir: str, id_col: str, payload_cols: list[str],
+    max_batch: str | None,
+) -> DataFrame:
+    """Read an incremental dedup state with deterministic version
+    resolution: optionally drop partitions `batch >= max_batch`
+    (partition-pruned — `batch` is the hive key), then, iff more than
+    one batch partition survives, keep only the LATEST version of each
+    id (max_by over the batch id — the exact ordering
+    _compact_dedup_state applies), so probe semantics are identical
+    with or without compaction even when a changed document was
+    re-ingested across batches (ADVICE r14: without this, candidate
+    dedup kept an arbitrary version's signature and the probe result
+    flipped run to run).
+
+    Scale shape: the latest-wins pass is one partial-aggregatable
+    max_by shuffle over the compact signature state — the same order
+    of cost as the probe's existing hot-bucket count, and skipped
+    entirely (map-only read restored) when the state is a single
+    partition, i.e. right after compaction. The gate is a driver-side
+    directory listing, not a job."""
+    live = [
+        b for b in _state_batch_ids(spark, state_dir)
+        if max_batch is None or b < max_batch
+    ]
+    state = _read_state_untyped(spark, state_dir).select(
+        id_col, *payload_cols, "batch"
+    )
+    if max_batch is not None:
+        state = state.filter(F.col("batch") < max_batch)
+    if len(live) > 1:
+        state = (
+            state.groupBy(id_col)
+            .agg(F.max_by(F.struct(*payload_cols), F.col("batch")).alias("_s"))
+            .select(id_col, *[f"_s.{c}" for c in payload_cols])
+        )
+    else:
+        state = state.drop("batch")
+    return state
+
+
 def incremental_minhash_candidates(
     spark,
     state_dir: str,
@@ -689,6 +766,8 @@ def incremental_minhash_candidates(
     k_hash: int = K_HASH,
     n_bands: int = N_BANDS,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
+    max_batch: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidates of `batch` against the persisted corpus state:
     (incoming_doc_id, corpus_doc_id, est_jaccard) with est_jaccard =
@@ -698,7 +777,16 @@ def incremental_minhash_candidates(
     built with — geometry must match the state's or the join finds
     nothing meaningful); state buckets above `hot_bucket_cap` members are
     dropped via broadcast anti-join before pairing, the minhash_pairs
-    hot-bucket doctrine applied to the incremental probe."""
+    hot-bucket doctrine applied to the incremental probe. Pass a `stats`
+    dict to receive {"hot_buckets_dropped": n, "hot_bucket_cap": cap} —
+    the same recall-loss visibility minhash_pairs gives its callers
+    (counting runs one small aggregate job). `max_batch` (exclusive,
+    compared as the state's string batch ids compare) restricts the
+    probe to partitions `batch < max_batch` — the replay guard the
+    streaming sinks use so a re-run batch probes exactly the state the
+    original run saw. When multiple versions of a corpus doc exist
+    across batches (changed-doc re-ingest), the LATEST batch's
+    signature wins deterministically (see _read_dedup_state)."""
     _validate_geometry(k_hash, n_bands)
     digest_exprs, lane_exprs = minhash_lane_exprs(k_hash)
     isig = (
@@ -713,7 +801,9 @@ def incremental_minhash_candidates(
             f"{band_keys_expr(k_hash, n_bands)} AS bands",
         )
     )
-    state = spark.read.parquet(state_dir).select("doc_id", "sig", "bands")
+    state = _read_dedup_state(
+        spark, state_dir, "doc_id", ["sig", "bands"], max_batch
+    )
     sbuck = state.selectExpr("doc_id", "sig", "explode(bands) AS bkey")
     hot = (
         sbuck.groupBy("bkey")
@@ -721,6 +811,9 @@ def incremental_minhash_candidates(
         .filter(F.col("count") > hot_bucket_cap)
         .select("bkey")
     )
+    if stats is not None:
+        stats["hot_bucket_cap"] = hot_bucket_cap
+        stats["hot_buckets_dropped"] = hot.count()
     sbuck = sbuck.join(F.broadcast(hot), "bkey", "left_anti")
     ibuck = isig.selectExpr("doc_id", "sig", "explode(bands) AS bkey")
     pairs = (
@@ -813,13 +906,17 @@ def incremental_embedding_candidates(
     n_bands: int = NEARDUP_BANDS,
     n_planes: int = NEARDUP_PLANES,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
+    max_batch: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidates of `batch` against the persisted bucket state:
     (incoming_vec_id, corpus_vec_id, cos_sim) with exact cosine >=
     threshold. Geometry must match the state's. State buckets above
     `hot_bucket_cap` are dropped via broadcast anti-join before pairing
     (the shared LSH hot-bucket doctrine); candidates are linear in
-    batch x bucket occupancy, never corpus x corpus."""
+    batch x bucket occupancy, never corpus x corpus. `max_batch` /
+    `stats` / latest-batch-wins version resolution as in
+    incremental_minhash_candidates."""
     planes = sparse_planes(n_bands * n_planes, dim=dim)
     band_exprs = [
         f"{b} * {1 << n_planes} + "
@@ -834,8 +931,8 @@ def incremental_embedding_candidates(
         f"{flat_norm_sql(emb_col, dim)} AS nrm",
         f"array({', '.join(band_exprs)}) AS bkeys",
     )
-    state = spark.read.parquet(state_dir).select(
-        "vec_id", "embedding", "nrm", "bkeys"
+    state = _read_dedup_state(
+        spark, state_dir, "vec_id", ["embedding", "nrm", "bkeys"], max_batch
     )
     sbuck = state.selectExpr(
         "vec_id", "embedding", "nrm", "explode(bkeys) AS bkey"
@@ -846,6 +943,9 @@ def incremental_embedding_candidates(
         .filter(F.col("count") > hot_bucket_cap)
         .select("bkey")
     )
+    if stats is not None:
+        stats["hot_bucket_cap"] = hot_bucket_cap
+        stats["hot_buckets_dropped"] = hot.count()
     sbuck = sbuck.join(F.broadcast(hot), "bkey", "left_anti")
     ibuck = iv.selectExpr(
         "vec_id", "embedding", "nrm", "explode(bkeys) AS bkey"
@@ -882,21 +982,32 @@ def _compact_dedup_state(spark, state_dir: str, id_col: str) -> str:
     whenever re-ingested rows are recomputations of unchanged inputs
     (identical payloads, any winner equal); callers that re-ingest
     CHANGED documents should pass monotonically ordered batch_ids so
-    "latest" means newest. Same crash-safe ordering as
+    "latest" means newest. The compacted partition's id is
+    `<max(folded batches)>.compact` so it sorts exactly where the
+    newest folded batch sat — GREATER than every batch it merged,
+    SMALLER than any later monotone batch id (ADVICE r14: a
+    uuid-prefixed id sorted above the streaming sink's numeric ids,
+    so after one compaction a document re-ingested with changed
+    content in a later batch lost to the stale compacted row on the
+    NEXT compaction). Corollary of the same ordering contract: only
+    compact batches whose upstream delivery is COMMITTED — a replay
+    of the newest folded batch after compaction would sort below the
+    compacted id and lose. Same crash-safe ordering as
     sketchstate.compact_sketch_state: the compacted partition is
     written FIRST, old partitions deleted after (a racing reader sees
     old or old+compacted — per-id duplicates across those are identical
     rows, so probe results are unchanged), and a failed delete raises
     instead of leaving double rows."""
-    import uuid
-
     from pyspark.sql import Window
 
-    state = spark.read.parquet(state_dir)
+    state = _read_state_untyped(spark, state_dir)
     old_batches = [
         r["batch"] for r in state.select("batch").distinct().collect()
     ]
-    compact_id = "compact-" + uuid.uuid4().hex[:12]
+    if len(old_batches) <= 1:
+        # already compact — re-writing would only grow the id
+        return old_batches[0] if old_batches else ""
+    compact_id = f"{max(old_batches)}.compact"
     w = Window.partitionBy(id_col).orderBy(F.col("batch").desc())
     merged = (
         state.withColumn("_rk", F.row_number().over(w))

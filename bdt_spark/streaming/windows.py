@@ -671,9 +671,13 @@ def neardup_stream_to_state(
     batch_id-keyed dynamic partition overwrites, so a replayed batch
     (restart between the two writes, or after either) overwrites its
     own partitions and converges: at-least-once delivery, exactly-once
-    state and match output. Probe BEFORE update, so a batch never
-    matches itself through the state (self-dups within a batch are the
-    batch operator's own job upstream if wanted).
+    state and match output. The probe passes `max_batch=bid` so it
+    reads exactly the state partitions `batch < bid` — a replay that
+    restarts AFTER the state write but before the checkpoint commit
+    probes the same pre-batch state the first attempt saw (ADVICE r14:
+    without the bound, the replayed probe saw the batch's own
+    partition and emitted self-match pairs into matches_dir). Probe
+    ordered before update anyway — it is the cheaper failure mode.
 
     Scale shape per micro-batch: state update is map-only over the
     batch; the probe joins batch buckets to state buckets (state side
@@ -695,6 +699,7 @@ def neardup_stream_to_state(
             matches = incremental_minhash_candidates(
                 spark, state_dir, batch_df,
                 id_col=id_col, text_col=text_col, threshold=threshold,
+                max_batch=bid,
             )
         else:
             matches = None
@@ -732,8 +737,9 @@ def embedding_neardup_stream_to_state(
     """Vector analog of neardup_stream_to_state: micro-batches of
     embeddings probe the persisted sign-LSH bucket index, then fold
     into it. Same exactly-once contract (zero-padded monotone batch_id
-    keys both dynamic-partition-overwrite writes; probe before
-    update)."""
+    keys both dynamic-partition-overwrite writes; probe bounded to
+    `batch < bid` so replay after a completed state write still sees
+    the pre-batch state; probe before update)."""
     from bdt_spark.operators.dedup import (
         incremental_embedding_candidates,
         update_embedding_state,
@@ -751,7 +757,7 @@ def embedding_neardup_stream_to_state(
                 incremental_embedding_candidates(
                     spark, state_dir, batch_df,
                     id_col=id_col, emb_col=emb_col, dim=dim,
-                    threshold=threshold,
+                    threshold=threshold, max_batch=bid,
                 )
                 .withColumn("batch", F.lit(bid))
                 .write.mode("overwrite")

@@ -619,3 +619,181 @@ def test_incremental_embedding_gate_both_arms_agree(spark, sf_dir):
         assert len(small_rows) > 0
     finally:
         bio._TABLE_BYTES[key]["embeddings"] = recorded
+
+
+def test_incremental_probe_max_batch_replay_guard(spark, tmp_path):
+    """`max_batch` bounds the probe to partitions batch < bid: a
+    replayed batch whose state write already landed (restart before the
+    streaming checkpoint commit) probes exactly the pre-batch state the
+    first attempt saw — no self matches (ADVICE r14)."""
+    from bdt_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        update_minhash_state,
+    )
+
+    state = str(tmp_path / "mh_state")
+    a = "the quick brown fox jumps over the lazy dog today"
+    corpus = spark.createDataFrame([(0, a)], "doc_id long, text string")
+    update_minhash_state(
+        spark, state, corpus, batch_id="00000000000000000000"
+    )
+    batch = spark.createDataFrame([(101, a)], "doc_id long, text string")
+    want = incremental_minhash_candidates(spark, state, batch).collect()
+    assert [(r.incoming_doc_id, r.corpus_doc_id) for r in want] == [(101, 0)]
+
+    # the crash window: this batch's state write landed, then replay
+    update_minhash_state(
+        spark, state, batch, batch_id="00000000000000000001"
+    )
+    replayed = incremental_minhash_candidates(
+        spark, state, batch, max_batch="00000000000000000001"
+    ).collect()
+    assert replayed == want  # no (101, 101) self match
+    # an unbounded probe DOES see the batch's own partition — the
+    # exact divergence the bound exists to prevent
+    unbounded = incremental_minhash_candidates(spark, state, batch).collect()
+    assert (101, 101) in [
+        (r.incoming_doc_id, r.corpus_doc_id) for r in unbounded
+    ]
+
+
+def test_incremental_probe_multi_version_latest_wins(spark, tmp_path):
+    """A corpus doc re-ingested with CHANGED content across batches:
+    the probe resolves to the LATEST version before bucketing, so the
+    result is deterministic and identical to probing the compacted
+    state (ADVICE r14: an arbitrary colliding version's signature used
+    to win the candidate dedup)."""
+    from bdt_spark.operators.dedup import (
+        compact_minhash_state,
+        incremental_minhash_candidates,
+        update_minhash_state,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "entirely different words about spark shuffles and joins now"
+    state = str(tmp_path / "mh_state")
+    update_minhash_state(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(0, b), (2, a)], "doc_id long, text string"
+        ),
+        batch_id="00000000000000000000",
+    )
+    # doc 2 changed: its OLD version matches the probe text, the NEW
+    # one does not — only the new one may count
+    update_minhash_state(
+        spark,
+        state,
+        spark.createDataFrame([(2, b)], "doc_id long, text string"),
+        batch_id="00000000000000000001",
+    )
+    probe = spark.createDataFrame([(101, a)], "doc_id long, text string")
+    before = incremental_minhash_candidates(spark, state, probe).collect()
+    assert before == []  # stale v1 of doc 2 must not match
+
+    compact_minhash_state(spark, state)
+    after = incremental_minhash_candidates(spark, state, probe).collect()
+    assert after == before
+
+
+def test_compaction_id_sorts_with_monotone_batches(spark, tmp_path):
+    """The compacted partition id is '<max folded batch>.compact', so a
+    doc re-ingested with changed content in a LATER monotone batch
+    still wins the NEXT compaction (ADVICE r14: 'compact-<hex>' sorted
+    above zero-padded numeric ids and stale rows silently won)."""
+    from bdt_spark.operators.dedup import (
+        compact_minhash_state,
+        incremental_minhash_candidates,
+        update_minhash_state,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "pack my box with five dozen liquor jugs right now"
+    state = str(tmp_path / "mh_state")
+    s = "doc_id long, text string"
+    update_minhash_state(
+        spark, state, spark.createDataFrame([(0, b)], s),
+        batch_id="00000000000000000000",
+    )
+    update_minhash_state(
+        spark, state, spark.createDataFrame([(2, a)], s),
+        batch_id="00000000000000000001",
+    )
+    cid = compact_minhash_state(spark, state)
+    assert cid == "00000000000000000001.compact"
+
+    # doc 2 changes AFTER the compaction, in a later monotone batch
+    update_minhash_state(
+        spark, state, spark.createDataFrame([(2, b)], s),
+        batch_id="00000000000000000002",
+    )
+    compact_minhash_state(spark, state)
+    st = spark.read.parquet(state)
+    assert st.count() == 2 and st.select("batch").distinct().count() == 1
+
+    # the probe must see doc 2's NEW content (text b), not the stale a
+    hits_b = incremental_minhash_candidates(
+        spark, state, spark.createDataFrame([(101, b)], s)
+    ).collect()
+    assert {(r.incoming_doc_id, r.corpus_doc_id) for r in hits_b} == {
+        (101, 0), (101, 2)
+    }
+    hits_a = incremental_minhash_candidates(
+        spark, state, spark.createDataFrame([(102, a)], s)
+    ).collect()
+    assert hits_a == []
+
+
+def test_incremental_probe_stats_surface_hot_buckets(spark, tmp_path):
+    """The incremental probes surface dropped-hot-bucket counts via the
+    `stats` out-param, mirroring minhash_pairs (VERDICT r14 #4): a
+    production ingest can see recall loss instead of silent drops."""
+    from bdt_spark.operators.dedup import (
+        N_BANDS,
+        incremental_embedding_candidates,
+        incremental_minhash_candidates,
+        update_embedding_state,
+        update_minhash_state,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    state = str(tmp_path / "mh_state")
+    corpus = spark.createDataFrame(
+        [(i, a) for i in range(4)], "doc_id long, text string"
+    )
+    update_minhash_state(spark, state, corpus, batch_id="b0")
+    batch = spark.createDataFrame([(101, a)], "doc_id long, text string")
+    stats = {}
+    got = incremental_minhash_candidates(
+        spark, state, batch, hot_bucket_cap=2, stats=stats
+    ).collect()
+    # 4 identical docs -> every band bucket exceeds cap 2 and is dropped
+    assert got == []
+    assert stats == {"hot_bucket_cap": 2, "hot_buckets_dropped": N_BANDS}
+
+    dim = 64
+    base = [1.0 if i % 3 == 0 else 0.5 for i in range(dim)]
+    estate = str(tmp_path / "emb_state")
+    update_embedding_state(
+        spark,
+        estate,
+        spark.createDataFrame(
+            [(i, base) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        ),
+        batch_id="b0",
+    )
+    estats = {}
+    egot = incremental_embedding_candidates(
+        spark,
+        estate,
+        spark.createDataFrame(
+            [(101, base)], "vec_id long, embedding array<double>"
+        ),
+        hot_bucket_cap=2,
+        stats=estats,
+    ).collect()
+    assert egot == []
+    assert estats["hot_bucket_cap"] == 2
+    assert estats["hot_buckets_dropped"] > 0

@@ -605,6 +605,17 @@ def test_neardup_stream_to_state(spark, tmp_path):
     assert spark.read.parquet(state).count() == 4
     assert spark.read.parquet(matches).count() == 1
 
+    # full replay under a NEW checkpoint with the state RETAINED — the
+    # at-least-once worst case (every batch re-delivered after its
+    # state write landed). The probe's max_batch bound makes each
+    # replayed batch see exactly the pre-batch state, so the final
+    # output is byte-identical: no (0,0)/(2,2) self matches from a
+    # batch probing its own partition (ADVICE r14).
+    run("ckpt2")
+    got = spark.read.parquet(matches).drop("batch").collect()
+    assert [(r.incoming_doc_id, r.corpus_doc_id) for r in got] == [(10, 0)]
+    assert spark.read.parquet(state).count() == 4
+
 
 def test_embedding_neardup_stream_to_state(spark, tmp_path):
     """Vector analog: batch 2's near-copy of a batch 1 vector is found
