@@ -896,7 +896,10 @@ sql_query(
 
 
 def _incremental_minhash_sql(
-    dialect: str, k_hash: int = K_HASH, n_bands: int = N_BANDS
+    dialect: str,
+    k_hash: int = K_HASH,
+    n_bands: int = N_BANDS,
+    width: int = 32,
 ) -> str:
     """Incremental NEAR-dup: a new batch probes the persisted corpus
     band-bucket state; verification is signature lane agreement (the
@@ -927,10 +930,14 @@ def _incremental_minhash_sql(
             # signature CPU — the operator's dominant cost — runs
             # twice; the hint makes it a ReusedExchange computed once
             # (~100 B/doc shuffled). Measured sf10: 35.7 -> 19.4 s.
+            # `width` is derived from the documents scan bytes at call
+            # time (io.exchange_width_for_bytes) — an explicit-width
+            # exchange is AQE-exempt, so a literal here was the r14
+            # verdict's one coded-in 100x bottleneck.
             return f"""
     {p}sh AS (SELECT doc_id, {shingles} AS shingles FROM {src}),
     {p}dig AS (SELECT doc_id, {digests} FROM {p}sh),
-    {p}sig AS (SELECT /*+ REPARTITION(32) */ doc_id,
+    {p}sig AS (SELECT /*+ REPARTITION({width}) */ doc_id,
          {lanes}
       FROM {p}dig)"""
         return f"""
@@ -997,9 +1004,8 @@ def _incremental_minhash_sql(
     """
 
 
-sql_query(
+@query(
     "dedup_incremental_minhash",
-    _incremental_minhash_sql("spark"),
     oracle=_incremental_minhash_sql("duck"),
     tags=("dedup", "minhash", "incremental", "lsh"),
     doc="Incremental NEAR-dup dedup (VERDICT r13 #6) — the production "
@@ -1016,11 +1022,25 @@ sql_query(
     "analog (hive-partitioned, replay-idempotent batch state) is "
     "operators/dedup.update_minhash_state / "
     "incremental_minhash_candidates, pinned row-identical to this "
-    "oracled plan in tests/test_dedup_ops.py.",
+    "oracled plan in tests/test_dedup_ops.py. The sig-CTE exchange "
+    "width is derived from exact documents scan bytes at call time "
+    "(io.exchange_width_for_bytes — VERDICT r14 #1: the fixed 32 was "
+    "an AQE-exempt coded bottleneck at the 100 TB design point).",
 )
+def dedup_incremental_minhash(spark, sf_dir):
+    from bdt_spark.sources.io import (
+        exchange_width_for_bytes,
+        fixture_scan_bytes,
+    )
+
+    load_fixture_tables(spark, sf_dir)
+    w = exchange_width_for_bytes(fixture_scan_bytes(spark, "documents"))
+    return spark.sql(_incremental_minhash_sql("spark", width=w))
 
 
-def _incremental_embedding_sql(dialect: str, exchange: bool = False) -> str:
+def _incremental_embedding_sql(
+    dialect: str, exchange: bool = False, width: int = 32
+) -> str:
     """Incremental EMBEDDING near-dup: a new vector batch probes the
     corpus's persisted sign-LSH bucket index; candidates verify by exact
     cosine. Both dialects generated from the operator's own plane table
@@ -1075,13 +1095,13 @@ def _incremental_embedding_sql(dialect: str, exchange: bool = False) -> str:
       -- the recompute saving PROPORTIONAL to corpus size, so small
       -- corpora keep the bare plan (measured: sf100 28.8 -> 24.4 s
       -- with the exchange; sf0.1 ~1 s slower with it).
-      SELECT {"/*+ REPARTITION(32) */ " if exchange else ""}vec_id,
+      SELECT {f"/*+ REPARTITION({width}) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM corpus
     ),
     iv AS (
-      SELECT {"/*+ REPARTITION(32) */ " if exchange else ""}vec_id,
+      SELECT {f"/*+ REPARTITION({width}) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM incoming
@@ -1122,7 +1142,6 @@ def _incremental_embedding_sql(dialect: str, exchange: bool = False) -> str:
 # (1.4 MB, bare wins) and sf10 (11 MB, exchange measured faster).
 _INC_EMB_EXCHANGE_MIN_BYTES = 10 << 20
 _INC_EMB_SPARK_BARE = _incremental_embedding_sql("spark")
-_INC_EMB_SPARK_EXCH = _incremental_embedding_sql("spark", exchange=True)
 
 
 @query(
@@ -1149,14 +1168,22 @@ _INC_EMB_SPARK_EXCH = _incremental_embedding_sql("spark", exchange=True)
     "tests/test_dedup_ops.py).",
 )
 def dedup_incremental_embedding(spark, sf_dir):
-    from bdt_spark.sources.io import fixture_scan_bytes
+    from bdt_spark.sources.io import (
+        exchange_width_for_bytes,
+        fixture_scan_bytes,
+    )
 
     load_fixture_tables(spark, sf_dir)
-    big = (
-        fixture_scan_bytes(spark, "embeddings")
-        >= _INC_EMB_EXCHANGE_MIN_BYTES
+    b = fixture_scan_bytes(spark, "embeddings")
+    if b < _INC_EMB_EXCHANGE_MIN_BYTES:
+        return spark.sql(_INC_EMB_SPARK_BARE)
+    # exchange arm: width from the same exact scan bytes as the gate
+    # (VERDICT r14 #1 — a literal width is AQE-exempt)
+    return spark.sql(
+        _incremental_embedding_sql(
+            "spark", exchange=True, width=exchange_width_for_bytes(b)
+        )
     )
-    return spark.sql(_INC_EMB_SPARK_EXCH if big else _INC_EMB_SPARK_BARE)
 
 
 def _containment_sql(dialect: str) -> str:

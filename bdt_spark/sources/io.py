@@ -486,6 +486,30 @@ def fixture_scan_bytes(spark: SparkSession, table: str) -> int:
 _HEAVY_BYTES_PER_SHUFFLE_PARTITION = 16 << 20
 
 
+def exchange_width_for_bytes(b: int, floor: int = 32) -> int:
+    """Partition width for an EXPLICIT exchange hint (`REPARTITION(n)`),
+    derived from the exact scan bytes feeding it.
+
+    An explicit-width repartition is exempt from AQE coalescing AND
+    splitting, so a literal width is a coded-in bottleneck at 100x
+    scale (VERDICT r14 #1: the exchange-reuse hints on the incremental
+    dedup signature streams were pinned at 32 — hundreds of GB through
+    32 tasks at the design point). Same doctrine as
+    ensure_heavy_arm_geometry: one partition per
+    _HEAVY_BYTES_PER_SHUFFLE_PARTITION (16 MiB) of scan bytes,
+    power-of-two steps, raised from `floor` (the local session
+    default), clamped at 4096. The exchanged stream (signatures,
+    bucketed projections) is strictly smaller than its input scan, so
+    the width errs WIDE — err-wide costs scheduling overhead on small
+    data, err-narrow costs a straggler/spill stage at scale. The
+    unknown-table sentinel (1<<60) clamps to 4096, failing wide like
+    the heavy-arm hook."""
+    w = floor
+    while w < 4096 and w * _HEAVY_BYTES_PER_SHUFFLE_PARTITION < b:
+        w *= 2
+    return w
+
+
 def ensure_heavy_arm_geometry(spark: SparkSession, table: str) -> int:
     """Execution geometry for a size-gated heavy plan arm: derive shuffle
     partitions from the fact table's EXACT scan bytes and raise the

@@ -797,3 +797,44 @@ def test_incremental_probe_stats_surface_hot_buckets(spark, tmp_path):
     assert egot == []
     assert estats["hot_bucket_cap"] == 2
     assert estats["hot_buckets_dropped"] > 0
+
+
+def test_exchange_width_for_bytes_scales_with_scan():
+    """Exchange-reuse hint widths derive from exact scan bytes
+    (VERDICT r14 #1): small scans keep the local floor, big scans scale
+    at 16 MiB/partition in power-of-two steps, unknown-table sentinel
+    fails wide at the 4096 clamp — an explicit-width REPARTITION is
+    AQE-exempt, so the literal must never be a fixed constant."""
+    from bdt_spark.sources.io import exchange_width_for_bytes
+
+    assert exchange_width_for_bytes(1 << 20) == 32
+    assert exchange_width_for_bytes(0) == 32
+    mib = 1 << 20
+    assert exchange_width_for_bytes(6400 * mib) == 512
+    assert exchange_width_for_bytes(100 * (1 << 40)) == 4096
+    assert exchange_width_for_bytes(1 << 60) == 4096  # unknown sentinel
+    assert exchange_width_for_bytes(1 << 20, floor=64) == 64
+
+
+def test_incremental_minhash_width_arms_agree(spark, sf_dir):
+    """dedup_incremental_minhash derives its sig-CTE exchange width from
+    documents scan bytes; a forced 100x-bytes width must return
+    identical rows (the width changes exchanges, never semantics)."""
+    import bdt_spark.plans as plans
+    from bdt_spark.sources import io as bio
+
+    fn = plans.get_query("dedup_incremental_minhash").fn
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    bio.load_fixture_tables(spark, sf_dir)
+    small_rows = fn(spark, sf_dir).collect()
+    recorded = bio._TABLE_BYTES[key]["documents"]
+    bio._TABLE_BYTES[key]["documents"] = 10 << 30  # -> width 1024
+    try:
+        assert fn(spark, sf_dir).collect() == small_rows
+        assert len(small_rows) > 0
+    finally:
+        bio._TABLE_BYTES[key]["documents"] = recorded
