@@ -27,6 +27,29 @@ an `isin` literal before planning (this is static pruning, not Spark's
 dynamic partition pruning mechanism), so a probe OPENS only its
 clusters' files — proved by executed-scan metrics in tests/test_ann.py;
 centroids stay driver-size.
+
+Incremental maintenance (VERDICT r14 #3 — production ingest must not
+rebuild the index per batch):
+- `update_ivf_index` assigns a NEW batch to the EXISTING centroids with
+  a zero-shuffle argmin projection (the k centroid arrays are embedded
+  as literals — k is driver-size by construction) and appends it as a
+  replay-idempotent increment partition
+  `{path}/increments/batch=<id>/cluster_id=N/` (dynamic partition
+  overwrite, the dedup-state layout). Per-batch ingest cost is
+  map-only over the batch; the corpus is never rescanned.
+- `ivf_probe` unions live increments into its pruned candidate set
+  (same cluster_id partition filter, one directory level deeper) and
+  resolves latest-batch-wins per vec_id over the PRUNED rows only —
+  base-only indexes keep their unchanged plan.
+- `compact_ivf_index` folds increments back into the cluster-local base
+  layout offline (write-new / swap / delete ordering; a crash between
+  steps leaves duplicates that the probe's latest-wins already
+  resolves, never a missing index).
+- `ivf_index_stats` reads per-cluster row counts from parquet FOOTERS
+  (driver-side, no Spark job) and flags recluster_recommended when the
+  max/mean cluster skew crosses a threshold — assignment to frozen
+  centroids degrades as the distribution drifts; the gate says when to
+  pay for a full `build_ivf_index` re-train.
 """
 
 from __future__ import annotations
@@ -265,10 +288,57 @@ def ivf_probe(
         if probe_ids
         else assignments.filter(F.lit(False))
     )
-    if "nrm" in pruned.columns:  # norms precomputed at build time
-        indexed = pruned.withColumnRenamed("nrm", "v_nrm")
-    else:  # pre-norm index layout: fall back to computing per probe
-        indexed = pruned.withColumn("v_nrm", F.expr(_norm("embedding")))
+    if "nrm" not in pruned.columns:  # pre-norm legacy layout
+        pruned = pruned.withColumn("nrm", F.expr(_norm("embedding")))
+    inc_path = f"{path}/increments"
+    if _hadoop_exists(spark, inc_path):
+        # live increments (update_ivf_index batches not yet compacted):
+        # union them into the candidate set under the SAME cluster_id
+        # pruning — one directory level deeper, still a partition
+        # filter — then resolve latest-batch-wins per vec_id over the
+        # PRUNED rows only (base sorts as batch '', below every
+        # increment id), so a replayed or re-ingested id scores once.
+        # The resolution shuffle is candidate-sized (nprobe clusters),
+        # never corpus-sized; base-only indexes skip this block
+        # entirely. Caveat: a CHANGED re-ingested vector that moved
+        # cluster resolves correctly only when its new cluster is
+        # probed or after compact_ivf_index — same contract as the
+        # dedup state's compaction note.
+        from bdt_spark.operators.dedup import _read_state_untyped
+
+        inc = _read_state_untyped(spark, inc_path)
+        inc_pruned = (
+            # raw string comparison: with inference pinned off both
+            # partition columns read as strings, so the filter stays a
+            # partition filter at planning time
+            inc.filter(F.col("cluster_id").isin([str(c) for c in probe_ids]))
+            if probe_ids
+            else inc.filter(F.lit(False))
+        )
+        both = (
+            pruned.select("vec_id", "embedding", "nrm", "cluster_id")
+            .withColumn("batch", F.lit(""))
+            .unionByName(
+                inc_pruned.select(
+                    "vec_id",
+                    "embedding",
+                    "nrm",
+                    F.col("cluster_id").cast("int").alias("cluster_id"),
+                    "batch",
+                )
+            )
+        )
+        pruned = (
+            both.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("embedding", "nrm", "cluster_id"),
+                    F.col("batch"),
+                ).alias("_s")
+            )
+            .select("vec_id", "_s.embedding", "_s.nrm", "_s.cluster_id")
+        )
+    indexed = pruned.withColumnRenamed("nrm", "v_nrm")
     cand = probes.withColumn("q_nrm", F.expr(_norm("q_vec"))).join(
         indexed, "cluster_id"
     ).filter(F.col("vec_id") != F.col("q_id"))
@@ -291,3 +361,224 @@ def ivf_probe(
         .orderBy("q_id", "rk")
     )
     return transfer_ownership(result, probes)
+
+def _hadoop_exists(spark: SparkSession, p: str) -> bool:
+    """Driver-side existence check through the Hadoop FS abstraction
+    (works on any filesystem the session can read, not just local)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    jp = jvm_path(p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+
+
+def _centroid_argmin_expr(cent_rows) -> str:
+    """Nearest-cluster id as a single ZERO-SHUFFLE projection: the k
+    centroid arrays are embedded as double literals (k rows are
+    driver-size by construction) and `array_min` over (rounded
+    distance, cluster_id) structs reproduces _assign's exact ordering —
+    ROUND(d, 9) ascending then cluster_id ascending — without the
+    per-vec_id window shuffle. repr() round-trips doubles exactly, so
+    the embedded literals are bit-identical to the parquet centroid
+    values and the two assignment paths agree (pinned in
+    tests/test_ann.py)."""
+    structs = []
+    for r in sorted(cent_rows, key=lambda x: x["cluster_id"]):
+        arr = (
+            "array("
+            + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in r["centroid"])
+            + ")"
+        )
+        structs.append(
+            f"named_struct('d', ROUND({_dist2('embedding', arr)}, 9),"
+            f" 'c', {int(r['cluster_id'])})"
+        )
+    return f"array_min(array({', '.join(structs)})).c"
+
+
+def update_ivf_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    batch_id: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+    skew_threshold: float = 4.0,
+) -> str:
+    """Fold one NEW batch of vectors into the persisted IVF index
+    without retraining or rescanning the corpus; returns the batch_id.
+
+    The batch is assigned to the EXISTING centroids with the
+    zero-shuffle argmin projection (_centroid_argmin_expr — per-batch
+    ingest cost is one map-only pass over the batch), its norms are
+    materialized like the base build's, and the rows land in
+    `{path}/increments/batch=<id>/cluster_id=N/` via dynamic partition
+    overwrite — replaying a batch_id overwrites exactly its own
+    partitions, so at-least-once delivery converges to exactly-once
+    index state (the dedup-state contract; pass monotonically ordered
+    batch_ids if re-ingesting CHANGED vectors, so latest-wins means
+    newest). Probes see increments immediately (ivf_probe unions them
+    under the same cluster pruning); run compact_ivf_index offline to
+    fold them into the cluster-local base layout.
+
+    Assignment quality degrades as the data distribution drifts from
+    the frozen centroids — pass a `stats` dict to receive
+    {"assigned": n, "cluster_counts": ..., "skew": max/mean,
+    "recluster_recommended": bool} (footer-derived, no extra job) and
+    re-train with build_ivf_index when recluster_recommended."""
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:12]
+    emb = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    [dup_check] = (
+        emb.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("vec_id").alias("d"),
+        ).collect()
+    )
+    if dup_check.n != dup_check.d:
+        raise ValueError(
+            f"{id_col!r} must be unique within the batch: {dup_check.n} "
+            f"rows but only {dup_check.d} distinct ids"
+        )
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()  # k rows
+    if not cent_rows:
+        raise ValueError(f"no centroids at {path}/centroids — build first")
+    rows = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_norm('embedding')} AS nrm",
+        f"{_centroid_argmin_expr(cent_rows)} AS cluster_id",
+    )
+    (
+        rows.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cluster_id")
+        .parquet(f"{path}/increments")
+    )
+    if stats is not None:
+        stats["assigned"] = dup_check.n
+        stats.update(ivf_index_stats(path, skew_threshold=skew_threshold))
+    return batch_id
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold every increment batch back into the cluster-local base
+    layout (`assignments/cluster_id=N/`, one file per cluster) so probe
+    pruning stays one partition level and the per-probe latest-wins
+    resolution is skipped again. Latest-batch-wins per vec_id — the
+    base sorts as batch '' below every increment. Returns the number of
+    increment batches folded (0 = nothing to do).
+
+    Offline maintenance ordering: the merged layout is written to a
+    side directory, swapped in via rename, and the old base +
+    increments deleted LAST — a crash after the swap leaves increments
+    whose rows duplicate the new base identically, which the probe's
+    latest-wins already resolves; a failed rename/delete raises rather
+    than leaving a half-swapped index. Do not run concurrently with
+    update_ivf_index."""
+    from bdt_spark.operators.dedup import _read_state_untyped
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    inc_path = f"{path}/increments"
+    if not fs.exists(jvm_path(inc_path)):
+        return 0
+    inc = _read_state_untyped(spark, inc_path)
+    n_batches = inc.select("batch").distinct().count()
+    base = spark.read.parquet(f"{path}/assignments")
+    if "nrm" not in base.columns:  # legacy pre-norm layout: upgrade
+        base = base.withColumn("nrm", F.expr(_norm("embedding")))
+    merged = (
+        base.select("vec_id", "embedding", "nrm", "cluster_id")
+        .withColumn("batch", F.lit(""))
+        .unionByName(
+            inc.select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.col("cluster_id").cast("int").alias("cluster_id"),
+                "batch",
+            )
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "nrm", "cluster_id"), F.col("batch")
+            ).alias("_s")
+        )
+        .select("vec_id", "_s.embedding", "_s.nrm", "_s.cluster_id")
+    )
+    tmp = f"{path}/assignments__compact"
+    old = f"{path}/assignments__old"
+    (
+        merged.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(tmp)
+    )
+    if fs.exists(jvm_path(old)):
+        fs.delete(jvm_path(old), True)
+    if not fs.rename(jvm_path(f"{path}/assignments"), jvm_path(old)):
+        raise IOError(f"compact_ivf_index: failed to move old base at {path}")
+    if not fs.rename(jvm_path(tmp), jvm_path(f"{path}/assignments")):
+        raise IOError(f"compact_ivf_index: failed to swap new base at {path}")
+    for p in (old, inc_path):
+        if fs.exists(jvm_path(p)) and not fs.delete(jvm_path(p), True):
+            raise IOError(
+                f"compact_ivf_index: failed to delete {p}; duplicate "
+                "rows would remain (probe latest-wins still resolves "
+                "them, but the layout is not compact)"
+            )
+    return n_batches
+
+
+def ivf_index_stats(path: str, skew_threshold: float = 4.0) -> dict:
+    """Per-cluster row counts and skew for a persisted IVF index, read
+    from parquet FOOTERS on the driver (no Spark job — the same
+    metadata-peek pattern as io._parquet_scan_splits). Counts are
+    physical rows (base + increments; an id re-ingested across batches
+    counts each version until compaction — the gate is a heuristic, not
+    an exact census). skew = max/mean cluster count;
+    recluster_recommended flips when it crosses `skew_threshold`:
+    frozen centroids stop fitting a drifted distribution, and the
+    symptom is exactly a hot cluster that makes probes scan a
+    corpus-sized bucket again."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for sub in ("assignments", "increments"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            cid = None
+            for comp in dirpath.split(os.sep):
+                if comp.startswith("cluster_id="):
+                    cid = int(comp[len("cluster_id="):])
+            if cid is None:
+                continue
+            for f in files:
+                if f.endswith((".parquet", ".parq")) and not f.startswith(
+                    ("_", ".")
+                ):
+                    n = pq.read_metadata(os.path.join(dirpath, f)).num_rows
+                    counts[cid] = counts.get(cid, 0) + n
+    total = sum(counts.values())
+    skew = (
+        max(counts.values()) / (total / len(counts))
+        if counts and total
+        else 0.0
+    )
+    return {
+        "cluster_counts": counts,
+        "skew": skew,
+        "skew_threshold": skew_threshold,
+        "recluster_recommended": skew >= skew_threshold,
+    }

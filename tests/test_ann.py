@@ -223,3 +223,224 @@ def test_ivf_probe_release_leaves_no_residue(spark, sf_dir, index_path):
     assert after - before == set(), sorted(after - before)
     # recompute-after-release: same answer, no missing-block failure
     assert [(r.q_id, r.vec_id) for r in out.collect()] == first
+
+
+# --- incremental index maintenance (VERDICT r14 #3) ------------------------
+
+
+def _vecs(spark, ids, dim=8, scale=1.0, shift=0):
+    """Deterministic synthetic vectors: vec i has a distinct direction."""
+    rows = [
+        (
+            i,
+            [
+                scale * (1.0 + ((i * 7 + j * 3 + shift) % 11))
+                for j in range(dim)
+            ],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_update_assignment_matches_assign(spark, tmp_path):
+    """The zero-shuffle literal-argmin assignment in update_ivf_index
+    must agree with the window-based _assign the build uses, per id —
+    the two paths share rounding and tie-break order by construction."""
+    from bdt_spark.operators.ann import (
+        _assign,
+        build_ivf_index,
+        update_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = _vecs(spark, range(0, 40))
+    build_ivf_index(spark, base, path, k=4, n_iters=2)
+    batch = _vecs(spark, range(100, 130), shift=5)
+    update_ivf_index(spark, path, batch, batch_id="b0")
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    want = {
+        (r.vec_id, r.cluster_id)
+        for r in _assign(batch, centroids).collect()
+    }
+    inc = spark.read.parquet(f"{path}/increments")
+    got = {
+        (r.vec_id, int(r.cluster_id)) for r in inc.collect()
+    }
+    assert got == want and len(got) == 30
+
+
+def test_incremental_probe_exact_at_full_nprobe(spark, tmp_path):
+    """With nprobe = k the incremental index (base + increments) must
+    reproduce brute-force top-k over the UNION corpus bit-for-bit —
+    the same exactness property the base index satisfies, now covering
+    the increment union + latest-wins resolution plumbing."""
+    from pyspark.sql import Window
+
+    from bdt_spark.operators.ann import (
+        _cos_sim_pre,
+        _norm,
+        build_ivf_index,
+        ivf_probe,
+        update_ivf_index,
+    )
+    from bdt_spark.operators.cacheutil import release
+
+    path = str(tmp_path / "idx")
+    base = _vecs(spark, range(0, 30))
+    batch = _vecs(spark, range(100, 120), shift=3)
+    build_ivf_index(spark, base, path, k=4, n_iters=2)
+    update_ivf_index(spark, path, batch, batch_id="b0")
+
+    queries = _vecs(spark, [0, 5, 101])
+    got_df = ivf_probe(spark, path, queries, topk=5, nprobe=4)
+    got = {(r.q_id, r.vec_id, r.rk) for r in got_df.collect()}
+    release(got_df)
+
+    union = base.unionByName(batch)
+    sim = F.expr(_cos_sim_pre("q_vec", "embedding", "q_nrm", "v_nrm"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(sim, 9).desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        queries.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        .withColumn("q_nrm", F.expr(_norm("q_vec")))
+        .crossJoin(union.select("vec_id", "embedding"))
+        .withColumn("v_nrm", F.expr(_norm("embedding")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "rk")
+        .collect()
+    )
+    assert got == {(r.q_id, r.vec_id, r.rk) for r in truth}
+    # increment vectors actually surface in results
+    assert any(v >= 100 for (_, v, _) in got)
+
+
+def test_update_replay_idempotent_and_compaction(spark, tmp_path):
+    """Replaying a batch_id overwrites exactly its own increment
+    partitions (at-least-once -> exactly-once index state); compaction
+    folds increments into the cluster-local base without changing any
+    probe result and restores the single-level layout."""
+    import os
+
+    from bdt_spark.operators.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe,
+        update_ivf_index,
+    )
+    from bdt_spark.operators.cacheutil import release
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _vecs(spark, range(0, 30)), path, k=4, n_iters=2)
+    batch = _vecs(spark, range(100, 115), shift=3)
+    update_ivf_index(spark, path, batch, batch_id="00000000000000000001")
+    queries = _vecs(spark, [2, 104])
+
+    def probe_rows():
+        df = ivf_probe(spark, path, queries, topk=5, nprobe=2)
+        rows = df.collect()
+        release(df)
+        return rows
+
+    first = probe_rows()
+    assert len(first) == 10
+
+    # replay: same batch_id, same rows — state and probes unchanged
+    update_ivf_index(spark, path, batch, batch_id="00000000000000000001")
+    assert spark.read.parquet(f"{path}/increments").count() == 15
+    assert probe_rows() == first
+
+    folded = compact_ivf_index(spark, path)
+    assert folded == 1
+    assert not os.path.exists(f"{path}/increments")
+    asg = spark.read.parquet(f"{path}/assignments")
+    assert asg.count() == 45
+    assert probe_rows() == first
+    # compacting an already-compact index is a no-op
+    assert compact_ivf_index(spark, path) == 0
+
+
+def test_update_reingest_latest_wins(spark, tmp_path):
+    """A vec_id re-ingested with CHANGED values in a later monotone
+    batch scores against its NEW embedding (probe-side latest-wins),
+    and compaction keeps exactly the new version."""
+    from bdt_spark.operators.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe,
+        update_ivf_index,
+    )
+    from bdt_spark.operators.cacheutil import release
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _vecs(spark, range(0, 30)), path, k=4, n_iters=2)
+    v1 = _vecs(spark, [100], shift=1)
+    # changed content, same id — a geometric direction no (mod-11 grid)
+    # base vector is parallel to, so cos_sim 1.0 is unique to vec 100
+    v2 = spark.createDataFrame(
+        [(100, [float(2**j) for j in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    update_ivf_index(spark, path, v1, batch_id="00000000000000000001")
+    update_ivf_index(spark, path, v2, batch_id="00000000000000000002")
+
+    # query with exactly v2's direction: the re-ingested vector must
+    # rank with cos_sim 1.0 (scored against v2, not the stale v1)
+    q = spark.createDataFrame(
+        [(999, v2.collect()[0].embedding)],
+        "vec_id long, embedding array<double>",
+    )
+    df = ivf_probe(spark, path, q, topk=1, nprobe=4)
+    rows = df.collect()
+    release(df)
+    assert [(r.vec_id, r.cos_sim) for r in rows] == [(100, 1.0)]
+
+    compact_ivf_index(spark, path)
+    asg = spark.read.parquet(f"{path}/assignments")
+    assert asg.filter("vec_id = 100").count() == 1
+    df = ivf_probe(spark, path, q, topk=1, nprobe=4)
+    rows2 = df.collect()
+    release(df)
+    assert [(r.vec_id, r.cos_sim) for r in rows2] == [(100, 1.0)]
+
+
+def test_index_stats_skew_gate(spark, tmp_path):
+    """update_ivf_index surfaces footer-derived cluster counts and a
+    recluster recommendation once max/mean skew crosses the threshold —
+    the signal that the frozen centroids stopped fitting the data."""
+    from bdt_spark.operators.ann import build_ivf_index, update_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _vecs(spark, range(0, 40)), path, k=4, n_iters=2)
+    stats = {}
+    # a batch of near-identical vectors: all land in ONE cluster
+    skewed = spark.createDataFrame(
+        [(200 + i, [100.0 + i * 1e-6] * 8) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    update_ivf_index(
+        spark, path, skewed, batch_id="b0", stats=stats, skew_threshold=2.0
+    )
+    assert stats["assigned"] == 120
+    assert sum(stats["cluster_counts"].values()) == 160
+    assert stats["skew"] > 2.0 and stats["recluster_recommended"]
+
+    # balanced follow-up state on a fresh index: no recommendation
+    path2 = str(tmp_path / "idx2")
+    build_ivf_index(spark, _vecs(spark, range(0, 40)), path2, k=4, n_iters=2)
+    stats2 = {}
+    update_ivf_index(
+        spark,
+        path2,
+        _vecs(spark, range(300, 340), shift=2),
+        batch_id="b0",
+        stats=stats2,
+        skew_threshold=4.0,
+    )
+    assert not stats2["recluster_recommended"]
