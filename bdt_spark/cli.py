@@ -264,6 +264,56 @@ def cmd_dedup(args) -> None:
         out.show(50, truncate=False)
 
 
+def cmd_stream_dedup(args) -> None:
+    # extension: streaming incremental near-dup ingest over a watched
+    # parquet directory (VERDICT r14 #6). Drains every available file
+    # via trigger(availableNow), then exits — re-invoking with the same
+    # --checkpoint-dir processes only NEW files, and the sinks'
+    # batch-keyed dynamic partition overwrites make redelivery
+    # converge (exactly-once state and matches; see
+    # streaming/windows.neardup_stream_to_state). The CLI stays a thin
+    # shell over the library sinks, the reference's library-first
+    # split (Cargo.toml:12-18).
+    import os as _os
+
+    from bdt_spark.streaming.windows import (
+        embedding_neardup_stream_to_state,
+        neardup_stream_to_state,
+    )
+
+    spark = get_spark("bdt_stream_dedup")
+    # file streams need a declared schema: take it from the files
+    # already in the source dir (a metadata-only batch read; the source
+    # is a parquet DIRECTORY, so no extension dispatch)
+    schema = spark.read.parquet(args.source).schema
+    reader = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    stream = reader.parquet(args.source)
+    if args.method == "embedding":
+        q = embedding_neardup_stream_to_state(
+            stream, args.state_dir, args.matches_dir, args.checkpoint_dir,
+            id_col=args.id_col, emb_col=args.embedding_col,
+            dim=args.embedding_dim,
+            threshold=0.9 if args.threshold is None else args.threshold,
+        )
+    else:
+        q = neardup_stream_to_state(
+            stream, args.state_dir, args.matches_dir, args.checkpoint_dir,
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=0.5 if args.threshold is None else args.threshold,
+        )
+    q.awaitTermination()
+    n = (
+        spark.read.parquet(args.matches_dir).count()
+        if _os.path.isdir(args.matches_dir)
+        else 0
+    )
+    print(f"stream drained: {n} match rows in {args.matches_dir}")
+
+
 def cmd_cluster_write(args) -> None:
     # extension: range-clustered sorted parquet (row-group skipping layout)
     from bdt_spark.operators.layout import write_clustered
@@ -491,6 +541,37 @@ def build_parser() -> argparse.ArgumentParser:
     vc.add_argument("table", help="versioned table root")
     vc.add_argument("--keep-last", type=int, default=2)
     vc.set_defaults(fn=cmd_vacuum)
+
+    sd = sub.add_parser(
+        "stream-dedup",
+        help="streaming incremental near-dup ingest: drain a watched "
+        "parquet dir through the minhash/embedding state sinks, then exit",
+    )
+    sd.add_argument(
+        "--source", required=True,
+        help="parquet directory consumed as a file stream (re-invoke with "
+        "the same --checkpoint-dir to process only new files)",
+    )
+    sd.add_argument(
+        "--method", choices=["minhash", "embedding"], default="minhash"
+    )
+    sd.add_argument("--state-dir", required=True)
+    sd.add_argument("--matches-dir", required=True)
+    sd.add_argument("--checkpoint-dir", required=True)
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--embedding-col", default="embedding")
+    sd.add_argument("--embedding-dim", type=int, default=64)
+    sd.add_argument(
+        "--threshold", type=float, default=None,
+        help="Jaccard for minhash (default 0.5), cosine for embedding "
+        "(default 0.9)",
+    )
+    sd.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="micro-batch size in files (default: all available in one)",
+    )
+    sd.set_defaults(fn=cmd_stream_dedup)
 
     ab = sub.add_parser("ann-build", help="build a persistent IVF ANN index")
     ab.add_argument("embeddings")

@@ -42,6 +42,11 @@ from bdt_spark.sources.io import file_format, read_file
 class ComparisonResult:
     ok: bool
     message: str
+    # "positional" | "hash" — stamped by compare_files so programmatic
+    # callers can detect which semantics actually ran (the auto gate
+    # switches to order-INSENSITIVE hash mode above _POSITIONAL_MAX_BYTES
+    # and previously said so only on stderr — ADVICE r14)
+    method: str = ""
 
     def __str__(self) -> str:  # CLI-friendly, mirrors compare.rs:92-113
         return self.message
@@ -132,8 +137,13 @@ def compare_files(
             from bdt_spark.session import get_spark
 
             spark = get_spark("bdt_compare")
-        return _compare_hash(spark, path1, path2, epsilon=epsilon, header=header)
-    return _compare_positional(path1, path2, epsilon=epsilon, header=header)
+        res = _compare_hash(
+            spark, path1, path2, epsilon=epsilon, header=header
+        )
+    else:
+        res = _compare_positional(path1, path2, epsilon=epsilon, header=header)
+    res.method = method  # surface which semantics ran (ADVICE r14)
+    return res
 
 
 def _compare_positional(

@@ -304,3 +304,37 @@ def test_readme_documented_ux_contract(tmp_path, capsys):
     ):
         assert f"Registering table '{t}' for {SF_DIR}/{t}.parquet" in out
     assert "AFRICA" in out and "EUROPE" in out
+
+
+def test_cli_stream_dedup(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = "the quick brown fox jumps over the lazy dog today"
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 2], pa.int64()),
+             "text": [a, "pack my box with five dozen liquor jugs"]}
+        ),
+        str(src / "f1.parquet"),
+    )
+    args = [
+        "stream-dedup", "--source", str(src),
+        "--state-dir", str(tmp_path / "state"),
+        "--matches-dir", str(tmp_path / "matches"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "0 match rows" in out  # first batch seeds the state
+
+    # a second file with a near-dup of doc 0: re-invoking drains only
+    # the new file and the probe finds the match in the carried state
+    pq.write_table(
+        pa.table({"doc_id": pa.array([10], pa.int64()), "text": [a]}),
+        str(src / "f2.parquet"),
+    )
+    assert main(args) == 0
+    assert "1 match rows" in capsys.readouterr().out

@@ -581,13 +581,16 @@ def test_auto_mode_size_gate(files, spark, monkeypatch, capsys):
     b = files("b.parquet", {"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
     c = files("c.parquet", {"x": [1, 2, 9], "y": [1.0, 2.0, 3.0]})
 
-    # below the gate: positional, no switch note
-    assert compare_files(spark, a, b).ok
+    # below the gate: positional, no switch note; the mode that ran is
+    # stamped on the result for programmatic callers (ADVICE r14)
+    res = compare_files(spark, a, b)
+    assert res.ok and res.method == "positional"
     assert "hash mode" not in capsys.readouterr().err
 
     # force the gate: tiny threshold -> auto picks hash, notes the switch
     monkeypatch.setattr(cmp, "_POSITIONAL_MAX_BYTES", 1)
-    assert compare_files(spark, a, b).ok
+    res = compare_files(spark, a, b)
+    assert res.ok and res.method == "hash"
     assert "hash mode" in capsys.readouterr().err
 
     # equal VERDICT across the gate on a differing pair
