@@ -222,6 +222,64 @@ def timed_reps(fn, reps: int, name: str | None = None) -> tuple[float, list[floa
     return round(median(runs), 3), runs
 
 
+def _prev_round_common(timings: dict[str, float]) -> dict | None:
+    """Self-interpreting round-over-round delta (VERDICT r14 #7): the
+    headline set grows as new queries enter the tracked list, so
+    `value` is not like-for-like across rounds. Alongside the frozen
+    23-metric stable set, emit the sum over the queries COMMON to this
+    run and the newest committed BENCH_r{N}.json — both sides of the
+    comparison in one line, so the driver's number explains itself
+    without anyone re-deriving the intersection by hand."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not cands:
+        return None
+    latest = cands[-1]  # zero-padded rNN: lexicographic == numeric
+    try:
+        with open(latest) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    # The driver wraps our stdout line: {"parsed": {...}} when the full
+    # line fit its capture, else a front-TRUNCATED "tail" string —
+    # brace-match the headline queries map out of it (the negative
+    # lookbehind skips "sf1_queries", which could be the first match if
+    # the truncation ate the headline map's key).
+    pq = (prev.get("parsed") or {}).get("queries")
+    if not pq:
+        tail = prev.get("tail") or ""
+        m0 = re.search(r'(?<!sf1_)"queries":\{', tail)
+        pq = None
+        if m0:
+            j = tail.index("{", m0.start())
+            depth = 0
+            for k in range(j, len(tail)):
+                if tail[k] == "{":
+                    depth += 1
+                elif tail[k] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        try:
+                            pq = json.loads(tail[j : k + 1])
+                        except ValueError:
+                            pass
+                        break
+    pq = pq or {}
+    common = [q for q, v in timings.items() if v > 0 and pq.get(q, -1) > 0]
+    if not common:
+        return None
+    m = re.search(r"BENCH_(r\d+)", latest)
+    return {
+        "common_set_round": m.group(1) if m else "?",
+        "common_set_n": len(common),
+        "common_set_total": round(sum(timings[q] for q in common), 3),
+        "common_set_total_prev": round(sum(pq[q] for q in common), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -315,6 +373,7 @@ def main() -> None:
         sum(timings.get(q, 0.0) for q in STABLE_SET if timings.get(q, 0) > 0),
         3,
     )
+    common = _prev_round_common(timings)
     # Compact driver-facing envelope (VERDICT r9 #1): the driver records
     # only the LAST ~2000 bytes of stdout, so the final line must carry
     # medians only — per-run arrays and loadavg diagnostics go to the
@@ -327,6 +386,11 @@ def main() -> None:
         # set (VERDICT r10 #1) — diff THIS against prior rounds, not
         # `value`, which grows as queries enter the tracked set
         "stable_set_total": stable_total,
+        # sum over queries present in BOTH this run and the last
+        # committed BENCH_r{N}.json, with the previous round's sum over
+        # the same set — the growing headline list stops confounding
+        # round-over-round deltas (VERDICT r14 #7)
+        **(common or {}),
         "queries": timings,
         "sf": sf,
         "reps": reps,
