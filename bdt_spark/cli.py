@@ -394,6 +394,45 @@ def cmd_ann_build(args) -> None:
     print(f"built IVF index (k={args.k}) at {args.index_dir}")
 
 
+def cmd_ann_update(args) -> None:
+    # extension: incremental IVF maintenance (VERDICT r14 #3)
+    from bdt_spark.operators.ann import update_ivf_index
+
+    spark = get_spark("bdt_ann")
+    batch = read_file(spark, args.batch)
+    stats: dict = {}
+    bid = update_ivf_index(
+        spark, args.index_dir, batch, batch_id=args.batch_id,
+        id_col=args.id_col, vec_col=args.vec_col, stats=stats,
+        skew_threshold=args.skew_threshold,
+    )
+    print(
+        f"index updated: batch={bid} assigned={stats['assigned']} "
+        f"skew={stats['skew']:.2f}"
+        + (" RECLUSTER RECOMMENDED" if stats["recluster_recommended"] else "")
+    )
+
+
+def cmd_ann_compact(args) -> None:
+    from bdt_spark.operators.ann import compact_ivf_index
+
+    spark = get_spark("bdt_ann")
+    folded = compact_ivf_index(spark, args.index_dir)
+    print(f"compacted {folded} increment batch(es) into the base layout")
+
+
+def cmd_ann_stats(args) -> None:
+    from bdt_spark.operators.ann import ivf_index_stats
+
+    stats = ivf_index_stats(args.index_dir, skew_threshold=args.skew_threshold)
+    for cid in sorted(stats["cluster_counts"]):
+        print(f"cluster_id={cid}\t{stats['cluster_counts'][cid]} rows")
+    print(
+        f"skew={stats['skew']:.2f} (threshold {stats['skew_threshold']})"
+        + (" RECLUSTER RECOMMENDED" if stats["recluster_recommended"] else "")
+    )
+
+
 def cmd_ann_probe(args) -> None:
     from bdt_spark.operators.ann import ivf_probe
     from bdt_spark.operators.cacheutil import release
@@ -580,6 +619,33 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--id-col", default="vec_id")
     ab.add_argument("--vec-col", default="embedding")
     ab.set_defaults(fn=cmd_ann_build)
+
+    au = sub.add_parser(
+        "ann-update",
+        help="fold a new vector batch into an IVF index (no retrain)",
+    )
+    au.add_argument("index_dir")
+    au.add_argument("batch", help="file of new vectors to ingest")
+    au.add_argument("--batch-id", default=None,
+                    help="stable id for replay idempotence (default: random)")
+    au.add_argument("--id-col", default="vec_id")
+    au.add_argument("--vec-col", default="embedding")
+    au.add_argument("--skew-threshold", type=float, default=4.0)
+    au.set_defaults(fn=cmd_ann_update)
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="fold IVF increments back into the cluster-local base layout",
+    )
+    ac.add_argument("index_dir")
+    ac.set_defaults(fn=cmd_ann_compact)
+
+    an = sub.add_parser(
+        "ann-stats", help="per-cluster counts + skew of an IVF index"
+    )
+    an.add_argument("index_dir")
+    an.add_argument("--skew-threshold", type=float, default=4.0)
+    an.set_defaults(fn=cmd_ann_stats)
 
     ap = sub.add_parser("ann-probe", help="probe an IVF ANN index")
     ap.add_argument("index_dir")

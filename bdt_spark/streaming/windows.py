@@ -776,3 +776,66 @@ def embedding_neardup_stream_to_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_stream_to_index(
+    vecs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_threshold: float = 4.0,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming ANN index ingest: each micro-batch of vectors folds
+    into the persisted IVF index via operators/ann.update_ivf_index —
+    zero-shuffle assignment to the frozen centroids, one increment
+    partition per batch. Completes the incremental-ingest sink family
+    (exact fingerprints / minhash / embedding near-dup -> now the
+    similarity index).
+
+    Exactly-once contract: foreachBatch's monotone batch_id is
+    zero-padded into the increment partition key and the write is a
+    dynamic partition overwrite, so a replayed batch overwrites exactly
+    its own partitions (probes are read-only here — no output stream to
+    guard, unlike the near-dup sinks). The index must exist
+    (build_ivf_index) before the stream starts: streaming ingest
+    maintains an index, it cannot train one.
+
+    Cluster-skew drift is surfaced instead of silently degrading:
+    after each batch the footer-derived stats run and a
+    recluster_recommended flag prints to stderr — the operational
+    signal to schedule a full re-train. Run compact_ivf_index
+    offline between streams to fold increments down."""
+    from bdt_spark.operators.ann import update_ivf_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        import sys as _sys
+
+        spark = batch_df.sparkSession
+        stats: dict = {}
+        update_ivf_index(
+            spark,
+            index_dir,
+            batch_df,
+            batch_id=f"{batch_id:020d}",
+            id_col=id_col,
+            vec_col=vec_col,
+            stats=stats,
+            skew_threshold=skew_threshold,
+        )
+        if stats.get("recluster_recommended"):
+            print(
+                f"ann_stream_to_index: cluster skew {stats['skew']:.2f} >= "
+                f"{skew_threshold} after batch {batch_id} — schedule a "
+                "full build_ivf_index re-train",
+                file=_sys.stderr,
+            )
+
+    return (
+        vecs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

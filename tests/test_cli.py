@@ -338,3 +338,41 @@ def test_cli_stream_dedup(tmp_path, capsys):
     )
     assert main(args) == 0
     assert "1 match rows" in capsys.readouterr().out
+
+
+def test_cli_ann_incremental(tmp_path, capsys, spark):
+    """ann-update / ann-stats / ann-compact: the CLI surface of the
+    incremental IVF maintenance (VERDICT r14 #3)."""
+    import pyarrow.parquet as pq
+
+    from bdt_spark.cli import main
+
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", f"{SF_DIR}/embeddings.parquet", idx, "-k", "5"]) == 0
+    capsys.readouterr()
+
+    # a new batch: shifted ids over the same embedding payloads
+    batch = str(tmp_path / "batch.parquet")
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    ).limit(20).coalesce(1).write.parquet(batch)
+
+    assert main(["ann-update", idx, batch, "--batch-id",
+                 "00000000000000000001"]) == 0
+    out = capsys.readouterr().out
+    assert "batch=00000000000000000001" in out and "assigned=20" in out
+
+    assert main(["ann-stats", idx]) == 0
+    out = capsys.readouterr().out
+    assert "cluster_id=" in out and "skew=" in out
+
+    assert main(["ann-compact", idx]) == 0
+    assert "compacted 1 increment" in capsys.readouterr().out
+    import os
+    assert not os.path.exists(f"{idx}/increments")
+    n = sum(
+        pq.read_metadata(os.path.join(r, f)).num_rows
+        for r, _, fs in os.walk(f"{idx}/assignments")
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n == pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows + 20

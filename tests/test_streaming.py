@@ -671,3 +671,60 @@ def test_embedding_neardup_stream_to_state(spark, tmp_path):
     run("ckpt")  # no-op restart
     assert spark.read.parquet(matches).count() == 1
     assert spark.read.parquet(state).count() == 3
+
+
+def test_ann_stream_to_index(spark, tmp_path):
+    """Streaming IVF ingest: micro-batches fold into the persisted index
+    (replay-idempotent increment partitions); a probe after the drain
+    finds streamed vectors; a restart from the checkpoint is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.operators.ann import build_ivf_index, ivf_probe
+    from bdt_spark.operators.cacheutil import release
+    from bdt_spark.streaming.windows import ann_stream_to_index
+
+    dim = 8
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, [1.0 + ((i * 7 + j * 3) % 11) for j in range(dim)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(spark, base, idx, k=3, n_iters=2)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    uniq = [float(2**j) for j in range(dim)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([100, 101], pa.int64()),
+                "embedding": pa.array([uniq, [v * 2 for v in uniq]],
+                                      pa.list_(pa.float64())),
+            }
+        ),
+        str(src / "f1.parquet"),
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(str(src))
+        )
+        q = ann_stream_to_index(stream, idx, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    run()
+    qdf = spark.createDataFrame(
+        [(999, uniq)], "vec_id long, embedding array<double>"
+    )
+    df = ivf_probe(spark, idx, qdf, topk=2, nprobe=3)
+    rows = df.collect()
+    release(df)
+    # the two streamed vectors are parallel -> both cos_sim 1.0
+    assert [(r.vec_id, r.cos_sim) for r in rows] == [(100, 1.0), (101, 1.0)]
+
+    run()  # restart: nothing new, increments unchanged
+    inc = spark.read.parquet(f"{idx}/increments")
+    assert inc.count() == 2
