@@ -362,12 +362,8 @@ def ivf_probe(
     )
     return transfer_ownership(result, probes)
 
-def _hadoop_exists(spark: SparkSession, p: str) -> bool:
-    """Driver-side existence check through the Hadoop FS abstraction
-    (works on any filesystem the session can read, not just local)."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    jp = jvm_path(p)
-    return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+# canonical home: sources/io.hadoop_exists (streaming sinks import it too)
+from bdt_spark.sources.io import hadoop_exists as _hadoop_exists  # noqa: E402
 
 
 def _centroid_argmin_expr(cent_rows) -> str:

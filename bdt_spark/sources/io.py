@@ -446,6 +446,15 @@ _UNDERSPLIT: dict[int, dict[str, int]] = {}
 _TABLE_BYTES: dict[int, dict[str, int]] = {}
 
 
+def hadoop_exists(spark: SparkSession, p: str) -> bool:
+    """Driver-side existence check through the Hadoop FS abstraction —
+    works on any filesystem the session can reach, unlike
+    os.path.isdir; used by the incremental state/index guards."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    jp = jvm_path(p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+
+
 def _path_bytes(path: str) -> int:
     """On-disk bytes of a data file or a directory of part files."""
     if os.path.isdir(path):

@@ -692,10 +692,10 @@ def neardup_stream_to_state(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        import os as _os
+        from bdt_spark.operators.ann import _hadoop_exists
 
         bid = f"{batch_id:020d}"  # zero-pad: lexicographic == numeric
-        if _os.path.isdir(state_dir):
+        if _hadoop_exists(spark, state_dir):
             matches = incremental_minhash_candidates(
                 spark, state_dir, batch_df,
                 id_col=id_col, text_col=text_col, threshold=threshold,
@@ -749,10 +749,10 @@ def embedding_neardup_stream_to_state(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        import os as _os
+        from bdt_spark.operators.ann import _hadoop_exists
 
         bid = f"{batch_id:020d}"
-        if _os.path.isdir(state_dir):
+        if _hadoop_exists(spark, state_dir):
             (
                 incremental_embedding_candidates(
                     spark, state_dir, batch_df,
