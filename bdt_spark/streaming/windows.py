@@ -656,6 +656,8 @@ def neardup_stream_to_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    stats_out: dict | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Streaming incremental NEAR-dup: each micro-batch of documents is
     (a) probed against the persisted MinHash band-bucket state — matches
@@ -681,8 +683,14 @@ def neardup_stream_to_state(
 
     Scale shape per micro-batch: state update is map-only over the
     batch; the probe joins batch buckets to state buckets (state side
-    hot-capped). State grows one hive partition per batch —
-    compact_minhash_state folds it back to O(corpus docs) offline."""
+    hot-capped; pass `hot_bucket_cap` to tune — it must stay constant
+    across a state's lifetime for probes to be comparable). Pass a
+    `stats_out` dict to receive per-batch dropped-hot-bucket counts
+    keyed by batch id (with a stderr note when drops happen —
+    VERDICT r14 #4: recall loss must be visible, not silent; costs one
+    extra aggregate job per batch, so it is opt-in). State grows one
+    hive partition per batch — compact_minhash_state folds it back to
+    O(corpus docs) offline."""
     from bdt_spark.operators.dedup import (
         incremental_minhash_candidates,
         update_minhash_state,
@@ -696,11 +704,34 @@ def neardup_stream_to_state(
 
         bid = f"{batch_id:020d}"  # zero-pad: lexicographic == numeric
         if _hadoop_exists(spark, state_dir):
+            # stats_out (VERDICT r14 #4): per-batch dropped-hot-bucket
+            # counts keyed by batch id, with a stderr note — recall
+            # loss is visible instead of silent. Opt-in: the count is
+            # one extra aggregate job over the state's bucket stream
+            # per micro-batch.
+            bstats: dict | None = {} if stats_out is not None else None
+            kw = (
+                {}
+                if hot_bucket_cap is None
+                else {"hot_bucket_cap": hot_bucket_cap}
+            )
             matches = incremental_minhash_candidates(
                 spark, state_dir, batch_df,
                 id_col=id_col, text_col=text_col, threshold=threshold,
-                max_batch=bid,
+                max_batch=bid, stats=bstats, **kw,
             )
+            if bstats is not None:
+                stats_out[bid] = bstats
+                if bstats.get("hot_buckets_dropped"):
+                    import sys as _sys
+
+                    print(
+                        f"neardup_stream_to_state: batch {bid} dropped "
+                        f"{bstats['hot_buckets_dropped']} hot state "
+                        f"bucket(s) (cap {bstats['hot_bucket_cap']}) — "
+                        "recall loss on boilerplate clusters",
+                        file=_sys.stderr,
+                    )
         else:
             matches = None
         if matches is not None:
@@ -733,6 +764,8 @@ def embedding_neardup_stream_to_state(
     emb_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.9,
+    stats_out: dict | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Vector analog of neardup_stream_to_state: micro-batches of
     embeddings probe the persisted sign-LSH bucket index, then fold
@@ -753,11 +786,17 @@ def embedding_neardup_stream_to_state(
 
         bid = f"{batch_id:020d}"
         if _hadoop_exists(spark, state_dir):
+            bstats: dict | None = {} if stats_out is not None else None
+            kw = (
+                {}
+                if hot_bucket_cap is None
+                else {"hot_bucket_cap": hot_bucket_cap}
+            )
             (
                 incremental_embedding_candidates(
                     spark, state_dir, batch_df,
                     id_col=id_col, emb_col=emb_col, dim=dim,
-                    threshold=threshold, max_batch=bid,
+                    threshold=threshold, max_batch=bid, stats=bstats, **kw,
                 )
                 .withColumn("batch", F.lit(bid))
                 .write.mode("overwrite")
@@ -765,6 +804,17 @@ def embedding_neardup_stream_to_state(
                 .partitionBy("batch")
                 .parquet(matches_dir)
             )
+            if bstats is not None:
+                stats_out[bid] = bstats
+                if bstats.get("hot_buckets_dropped"):
+                    import sys as _sys
+
+                    print(
+                        f"embedding_neardup_stream_to_state: batch {bid} "
+                        f"dropped {bstats['hot_buckets_dropped']} hot "
+                        f"state bucket(s) (cap {bstats['hot_bucket_cap']})",
+                        file=_sys.stderr,
+                    )
         update_embedding_state(
             spark, state_dir, batch_df,
             id_col=id_col, emb_col=emb_col, dim=dim, batch_id=bid,

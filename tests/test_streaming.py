@@ -728,3 +728,57 @@ def test_ann_stream_to_index(spark, tmp_path):
     run()  # restart: nothing new, increments unchanged
     inc = spark.read.parquet(f"{idx}/increments")
     assert inc.count() == 2
+
+
+def test_neardup_stream_stats_surface_hot_buckets(spark, tmp_path):
+    """The streaming sink surfaces per-batch dropped-hot-bucket counts
+    via stats_out (VERDICT r14 #4): a boilerplate cluster in the state
+    that exceeds the cap is reported, not silently dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.streaming.windows import neardup_stream_to_state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = "the quick brown fox jumps over the lazy dog today"
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                 "text": [r[1] for r in rows]}
+            ),
+            str(src / name),
+        )
+
+    # batch 0 seeds the state with 4 identical docs (one hot cluster)
+    write_file("f1.parquet", [(i, a) for i in range(4)])
+    stats: dict = {}
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = neardup_stream_to_state(
+            stream, str(tmp_path / "state"), str(tmp_path / "matches"),
+            str(tmp_path / "ckpt"), stats_out=stats, hot_bucket_cap=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert stats == {}  # batch 0 had no state to probe
+
+    write_file("f2.parquet", [(100, a)])
+    run()
+    bid = "00000000000000000001"
+    assert stats[bid]["hot_bucket_cap"] == 2
+    assert stats[bid]["hot_buckets_dropped"] > 0
+    # every bucket for the probe text was hot -> no match rows emitted
+    import glob
+    parts = glob.glob(
+        str(tmp_path / "matches" / "**" / "*.parquet"), recursive=True
+    )
+    assert parts == []
