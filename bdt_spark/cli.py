@@ -165,6 +165,29 @@ def cmd_dedup(args) -> None:
     )
 
     spark = get_spark("bdt_dedup")
+    if args.compact_state:
+        # state lifecycle maintenance: no table read, no probe
+        from bdt_spark.operators.dedup import (
+            compact_embedding_state,
+            compact_minhash_state,
+        )
+
+        if not args.state_dir:
+            raise SystemExit("--compact-state requires --state-dir")
+        if args.method == "exact":
+            raise SystemExit(
+                "--compact-state supports --method minhash|embedding"
+            )
+        fold = (
+            compact_embedding_state
+            if args.method == "embedding"
+            else compact_minhash_state
+        )
+        cid = fold(spark, args.state_dir)
+        print(f"state compacted: batch={cid}")
+        return
+    if not args.table:
+        raise SystemExit("--table is required (except with --compact-state)")
     df = read_file(spark, args.table)
     if args.state_dir:
         # incremental mode: the table is an ingest BATCH probed against
@@ -502,7 +525,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     # --- extensions beyond the reference surface ---
     dd = sub.add_parser("dedup", help="find duplicate rows / near-dup text")
-    dd.add_argument("--table", required=True)
+    dd.add_argument(
+        "--table",
+        help="input table (required except with --compact-state)",
+    )
     dd.add_argument(
         "--method", choices=["exact", "minhash", "embedding"], default="exact"
     )
@@ -548,6 +574,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch-id", default=None,
         help="with --update-state: stable id for replay idempotence "
         "(default: random)",
+    )
+    dd.add_argument(
+        "--compact-state", action="store_true",
+        help="with --state-dir: fold all batch partitions into one "
+        "(latest-batch-wins per id) and exit — no table read, no probe",
     )
     dd.add_argument("--output")
     dd.set_defaults(fn=cmd_dedup)

@@ -376,3 +376,41 @@ def test_cli_ann_incremental(tmp_path, capsys, spark):
         for f in fs if f.endswith(".parquet")
     )
     assert n == pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows + 20
+
+
+def test_cli_dedup_compact_state(tmp_path, capsys, spark):
+    """--compact-state folds the incremental state from the CLI (the
+    missing lifecycle step between --update-state runs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bdt_spark.cli import main
+
+    batch = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()),
+             "text": ["the quick brown fox jumps over the lazy dog",
+                      "pack my box with five dozen liquor jugs"]}
+        ),
+        batch,
+    )
+    state = str(tmp_path / "state")
+    for bid in ("00000000000000000000", "00000000000000000001"):
+        assert main([
+            "dedup", "--table", batch, "--method", "minhash",
+            "--state-dir", state, "--update-state", "--batch-id", bid,
+        ]) == 0
+    capsys.readouterr()
+    assert main([
+        "dedup", "--method", "minhash", "--state-dir", state,
+        "--compact-state",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "state compacted: batch=00000000000000000001.compact" in out
+    st = spark.read.parquet(state)
+    assert st.count() == 2
+
+    # --compact-state without --state-dir is a usage error
+    with pytest.raises(SystemExit):
+        main(["dedup", "--method", "minhash", "--compact-state"])
