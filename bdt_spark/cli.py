@@ -337,6 +337,33 @@ def cmd_stream_dedup(args) -> None:
     print(f"stream drained: {n} match rows in {args.matches_dir}")
 
 
+def cmd_stream_ann(args) -> None:
+    # extension: streaming IVF ingest (drain-available), the vector
+    # analog of stream-dedup — the index must already exist (ann-build)
+    from bdt_spark.streaming.windows import ann_stream_to_index
+
+    spark = get_spark("bdt_stream_ann")
+    schema = spark.read.parquet(args.source).schema
+    reader = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    q = ann_stream_to_index(
+        reader.parquet(args.source), args.index_dir, args.checkpoint_dir,
+        id_col=args.id_col, vec_col=args.vec_col,
+        skew_threshold=args.skew_threshold,
+    )
+    q.awaitTermination()
+    from bdt_spark.operators.ann import ivf_index_stats
+
+    stats = ivf_index_stats(args.index_dir, skew_threshold=args.skew_threshold)
+    print(
+        f"stream drained: index skew={stats['skew']:.2f}"
+        + (" RECLUSTER RECOMMENDED" if stats["recluster_recommended"] else "")
+    )
+
+
 def cmd_cluster_write(args) -> None:
     # extension: range-clustered sorted parquet (row-group skipping layout)
     from bdt_spark.operators.layout import write_clustered
@@ -650,6 +677,20 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--id-col", default="vec_id")
     ab.add_argument("--vec-col", default="embedding")
     ab.set_defaults(fn=cmd_ann_build)
+
+    sa = sub.add_parser(
+        "stream-ann",
+        help="streaming IVF ingest: drain a watched parquet dir of "
+        "vectors into an existing index, then exit",
+    )
+    sa.add_argument("--source", required=True)
+    sa.add_argument("--index-dir", required=True)
+    sa.add_argument("--checkpoint-dir", required=True)
+    sa.add_argument("--id-col", default="vec_id")
+    sa.add_argument("--vec-col", default="embedding")
+    sa.add_argument("--skew-threshold", type=float, default=4.0)
+    sa.add_argument("--max-files-per-trigger", type=int, default=None)
+    sa.set_defaults(fn=cmd_stream_ann)
 
     au = sub.add_parser(
         "ann-update",

@@ -414,3 +414,29 @@ def test_cli_dedup_compact_state(tmp_path, capsys, spark):
     # --compact-state without --state-dir is a usage error
     with pytest.raises(SystemExit):
         main(["dedup", "--method", "minhash", "--compact-state"])
+
+
+def test_cli_stream_ann(tmp_path, capsys, spark):
+    """stream-ann drains vector files into an existing IVF index."""
+    from bdt_spark.cli import main
+
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", f"{SF_DIR}/embeddings.parquet", idx, "-k", "5"]) == 0
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    ).limit(10).coalesce(1).write.parquet(str(src / "f1"))
+    # file source wants files directly under source; move the part file
+    import glob
+    import shutil
+    part = glob.glob(str(src / "f1" / "*.parquet"))[0]
+    shutil.move(part, str(src / "f1.parquet"))
+    shutil.rmtree(str(src / "f1"))
+    capsys.readouterr()
+    assert main([
+        "stream-ann", "--source", str(src), "--index-dir", idx,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]) == 0
+    assert "stream drained: index skew=" in capsys.readouterr().out
+    assert spark.read.parquet(f"{idx}/increments").count() == 10
