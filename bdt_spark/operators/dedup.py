@@ -180,7 +180,7 @@ def minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
     stats: dict | None = None,
     k_hash: int = K_HASH,
@@ -230,12 +230,22 @@ def minhash_pairs(
     from pyspark import StorageLevel
 
     _validate_geometry(k_hash, n_bands)
+    in_bytes = _plan_size_bytes(df)
+    if n_partitions is None:
+        # default repartition width derives from the same input-size
+        # estimate as the persist gate (io.exchange_width_for_bytes
+        # doctrine — a fixed literal on a corpus-proportional exchange
+        # is the VERDICT r14 #1 class). Explicit caller values — e.g.
+        # the oracled plans passing the session shuffle count — win.
+        from bdt_spark.sources.io import exchange_width_for_bytes
+
+        n_partitions = exchange_width_for_bytes(in_bytes)
     # eager materialization (gated on input size, see
     # EAGER_PERSIST_MIN_BYTES): four downstream branches consume the
     # shingle subtree; a lazy cache lets concurrent branches of one job
     # recompute it. Below the gate the recompute is cheaper than the
     # three count() actions.
-    eager = _plan_size_bytes(df) >= eager_persist_min_bytes
+    eager = in_bytes >= eager_persist_min_bytes
 
     def _mat(d: DataFrame) -> DataFrame:
         if not eager:
@@ -500,7 +510,7 @@ def embedding_neardup_pairs(
     window: int = NEARDUP_WINDOW,
     rungs: tuple[int, ...] = NEARDUP_RUNGS,
     hot_bucket_cap: int = HOT_BUCKET_CAP,
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
     eager_persist_min_bytes: int = EAGER_PERSIST_MIN_BYTES,
 ) -> DataFrame:
     """Verified cosine>=threshold near-dup pairs via sparse sign-LSH
@@ -547,7 +557,13 @@ def embedding_neardup_pairs(
     # EAGER_PERSIST_MIN_BYTES): every branch below reuses these blocks;
     # under the gate, recomputing the projection is cheaper than the
     # count() actions
-    eager = _plan_size_bytes(df) >= eager_persist_min_bytes
+    in_bytes = _plan_size_bytes(df)
+    if n_partitions is None:
+        # derived default width — see minhash_pairs
+        from bdt_spark.sources.io import exchange_width_for_bytes
+
+        n_partitions = exchange_width_for_bytes(in_bytes)
+    eager = in_bytes >= eager_persist_min_bytes
 
     def _mat(d: DataFrame) -> DataFrame:
         if not eager:

@@ -14,11 +14,36 @@ from bdt_spark.sources.io import load_fixture_tables
 from bdt_spark.plans._pipecommon import _cos_pre, _norm
 
 
-def _topk_bruteforce_sql(dialect: str) -> str:
+def _emb_width_query(name: str, sql_fn, tags: tuple, doc: str):
+    """Register a spark-SQL query whose corpus-projection REPARTITION
+    width derives from the exact embeddings scan bytes at call time
+    (io.exchange_width_for_bytes). The hints exist to parallelize a
+    one-file corpus scan (1 task otherwise) AND, where the projection
+    has multiple consumers, to reuse the exchange — but a fixed literal
+    width on a corpus-proportional stream is AQE-exempt and becomes the
+    bottleneck at 100x (the VERDICT r14 #1 class; found in this family
+    by the round-15 repo-wide audit). Width evaluates to the 32 floor
+    at every local sf, so measured plans are unchanged."""
+
+    @query(name, oracle=sql_fn("duck"), tags=tags, doc=doc)
+    def _fn(spark, sf_dir):
+        from bdt_spark.sources.io import (
+            exchange_width_for_bytes,
+            fixture_scan_bytes,
+        )
+
+        load_fixture_tables(spark, sf_dir)
+        w = exchange_width_for_bytes(fixture_scan_bytes(spark, "embeddings"))
+        return spark.sql(sql_fn("spark", width=w))
+
+    return _fn
+
+
+def _topk_bruteforce_sql(dialect: str, width: int = 32) -> str:
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: one-file corpus = one partition; without it the whole
     # query x corpus scoring runs as a single task (see _cosine_neardup_sql)
-    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
     return f"""
     WITH v AS (
       SELECT {hint}vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
@@ -44,14 +69,14 @@ def _topk_bruteforce_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+_emb_width_query(
     "similarity_topk_bruteforce",
-    _topk_bruteforce_sql("spark"),
-    oracle=_topk_bruteforce_sql("duck"),
+    _topk_bruteforce_sql,
     tags=("similarity", "ann", "topk"),
     doc="Brute-force cosine top-10 for 5 query vectors. The query side is "
     "broadcast (tiny); the corpus scan stays fully partitioned; ranking is a "
-    "per-query window — the exact-ANN baseline at any scale.",
+    "per-query window — the exact-ANN baseline at any scale. Corpus "
+    "projection width derives from exact scan bytes (_emb_width_query).",
 )
 
 
@@ -114,12 +139,12 @@ sql_query(
 )
 
 
-def _lsh_topk_sql(dialect: str) -> str:
+def _lsh_topk_sql(dialect: str, width: int = 32) -> str:
     """ANN via LSH: probe only the query's bucket, exact cosine inside."""
     bucket = _plane_bucket_expr(dialect)
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: see _cosine_neardup_sql — avoids a 1-task bucket join
-    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
     return f"""
     WITH bucketed AS (
       SELECT {hint}vec_id, embedding, CAST({bucket} AS INT) AS bucket,
@@ -147,13 +172,13 @@ def _lsh_topk_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+_emb_width_query(
     "similarity_topk_lsh",
-    _lsh_topk_sql("spark"),
-    oracle=_lsh_topk_sql("duck"),
+    _lsh_topk_sql,
     tags=("similarity", "ann", "lsh", "topk"),
     doc="Approximate top-5 neighbors: candidates restricted to the query's "
-    "sign-LSH bucket, exact cosine + window rank inside the bucket only.",
+    "sign-LSH bucket, exact cosine + window rank inside the bucket only. "
+    "Corpus projection width derives from exact scan bytes.",
 )
 
 
@@ -205,7 +230,7 @@ sql_query(
 )
 
 
-def _ivf_topk_sql(dialect: str) -> str:
+def _ivf_topk_sql(dialect: str, width: int = 32) -> str:
     spark = dialect == "spark"
     if spark:
         q_exploded = (
@@ -222,7 +247,7 @@ def _ivf_topk_sql(dialect: str) -> str:
         )
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: see _cosine_neardup_sql — parallelize the probe scoring
-    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
     return f"""
     WITH {_centroids_cte(dialect)},
     v AS (
@@ -263,15 +288,15 @@ def _ivf_topk_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+_emb_width_query(
     "similarity_topk_ivf",
-    _ivf_topk_sql("spark"),
-    oracle=_ivf_topk_sql("duck"),
+    _ivf_topk_sql,
     tags=("similarity", "ann", "ivf", "topk"),
     doc="IVF ANN search: assign each query to its nearest per-label "
     "centroid (decimal-exact L2), then exact cosine top-5 ONLY within that "
     "cluster. At scale the corpus is bucketed by cluster id, so each probe "
-    "scans one bucket instead of the full corpus.",
+    "scans one bucket instead of the full corpus. Corpus projection width "
+    "derives from exact scan bytes.",
 )
 
 
