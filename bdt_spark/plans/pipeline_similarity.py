@@ -496,10 +496,22 @@ sql_query(
 )
 
 
-def _pca_power_sql(dialect: str) -> str:
+def _pca_power_sql(dialect: str, width: int = 32) -> str:
     if dialect == "spark":
+        # REPARTITION(width, vec_id) on the exploded projection: the
+        # covariance step self-joins x on vec_id and EXPANDS dim^2-fold
+        # (sf10: 12.8M exploded rows -> 819M joined rows). AQE sizes the
+        # join from its INPUT shuffle bytes, so it coalesced the join to
+        # 3 partitions at sf10 — 3 tasks chewing 273M rows each on an
+        # idle 32-core host (found by the r15 sf10 sweep). An explicit
+        # hash partitioning by the join key at a width derived from the
+        # EXPLODED bytes (scan x dim — io.exchange_width_for_bytes) is
+        # AQE-exempt, both join branches reuse the one exchange (the
+        # explode computes once), and no further join exchange exists
+        # to coalesce.
         exploded = (
-            "SELECT vec_id, pos + 1 AS pos1, CAST(v AS DOUBLE) AS v\n"
+            f"SELECT /*+ REPARTITION({width}, vec_id) */"
+            " vec_id, pos + 1 AS pos1, CAST(v AS DOUBLE) AS v\n"
             "      FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos, v"
         )
     else:
@@ -571,9 +583,8 @@ def _pca_power_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+@query(
     "embedding_pca_power_iteration",
-    _pca_power_sql("spark"),
     oracle=_pca_power_sql("duck"),
     tags=("embedding", "pca", "iterative", "linear-algebra"),
     doc="Top principal component of the embedding cloud by POWER ITERATION "
@@ -591,8 +602,23 @@ sql_query(
     "quotient u2' C u2. Every SUM decimal-pinned -> bit-identical "
     "cross-engine; output rounded to 8 decimals. The realistic use: "
     "top-component removal (all-but-the-top common-component "
-    "denoising) and PCA whitening ahead of ANN indexing.",
+    "denoising) and PCA whitening ahead of ANN indexing. The exploded "
+    "projection's join-key partition width derives from scan x dim "
+    "bytes at call time (see the hint comment in _pca_power_sql: AQE "
+    "coalesced the dim^2-expanding self-join to 3 tasks at sf10).",
 )
+def embedding_pca_power_iteration(spark, sf_dir):
+    from bdt_spark.sources.io import (
+        exchange_width_for_bytes,
+        fixture_scan_bytes,
+    )
+
+    load_fixture_tables(spark, sf_dir)
+    # the exchanged stream is the EXPLODED projection: dim x scan rows
+    w = exchange_width_for_bytes(
+        fixture_scan_bytes(spark, "embeddings") * 64
+    )
+    return spark.sql(_pca_power_sql("spark", width=w))
 
 
 def _quantize_int8_sql(dialect: str) -> str:
