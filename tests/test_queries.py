@@ -323,3 +323,32 @@ def test_heavy_arm_geometry_gate(spark, sf_dir):
     finally:
         bio._TABLE_BYTES[key]["lineitem"] = recorded
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+
+def test_registry_sf10_sweep_coverage():
+    """REGISTRATION RULE enforcement (VERDICT r14 #2): every registered
+    query needs BOTH an oracle row and an sf10 sweep record. The sweep
+    record is the newest committed bench_results/sf10_sweep_*.json
+    (written by `tools/check_oracle.py /tmp/sf10 --resume <file>`); a
+    new spec added without running its sf10 sweep fails HERE, in the
+    same commit series — the gap this rule existed to close kept
+    reopening when enforcement lived only in prose."""
+    import glob
+    import json
+    import os
+
+    import bdt_spark.plans as plans
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "bench_results", "sf10_sweep_*.json")))
+    assert files, "no committed sf10 sweep state (bench_results/sf10_sweep_*.json)"
+    with open(files[-1]) as f:
+        state = json.load(f)
+    missing = sorted(q for q in plans.all_queries() if q not in state)
+    assert not missing, (
+        f"queries without an sf10 sweep record: {missing} — run "
+        f"`python tools/check_oracle.py /tmp/sf10 --resume {files[-1]} "
+        f"{' '.join(missing)}` and commit the updated state"
+    )
+    bad = {q: v for q, v in state.items() if not str(v).startswith(("PASS", "SKIP"))}
+    assert not bad, f"non-green sf10 sweep records: {bad}"
