@@ -90,6 +90,10 @@ FANOUT_DOCS_QUERIES: frozenset[str] = frozenset({
     "text_duplicate_span_ratio",       # 0.24x  ( 4.8 -> 1.1 s)
     "text_inverted_index",             # 0.35x  ( 2.6 -> 0.9 s)
     "tokens_bpe_merge_candidates",     # 0.80x  ( 1.3 -> 1.0 s)
+    "graph_pagerank_neardup",          # 0.32x  (113.3 -> 36.8 s, r15 sf10
+    #   A/B: its pairs CTE inlines the minhash signature SQL, whose
+    #   shingle+md5 CPU ran on the 4 under-split scan tasks — the same
+    #   stage the dedup_ngram family measured at 0.06-0.62x)
     # Measured NON-members (fan-out net-negative or noise): pmi 1.03x,
     # idf_rarity 1.12x, unigram_logprob 0.92x, topk_terms 0.91x,
     # feature_auc 0.98x, repetition_filter 1.47x, outlier_clipping
@@ -98,6 +102,9 @@ FANOUT_DOCS_QUERIES: frozenset[str] = frozenset({
     # 2.13x, exact_normalized 1.31x, incremental_snapshot 1.56x —
     # their dominant stage is a cheap partial aggregate that cannot
     # amortize a corpus exchange (exactly the r11 verdict's diagnosis).
+    # dedup_connected_components measured neutral (64.0 -> 65.9 s, r15
+    # sf10): it builds pairs through the dedup_minhash_lsh @query, whose
+    # operator path already reads a fanned documents table.
 })
 
 
