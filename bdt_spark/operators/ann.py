@@ -120,9 +120,17 @@ def _driver_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
     with zero cache residue. IEEE-754 doubles roundtrip bit-exactly
     through collect/createDataFrame, so both index writes see identical
     centroid values. ONLY for frames that are driver-size by
-    construction (k centroid rows)."""
+    construction (k centroid rows).
+
+    Recreated as a JVM LocalRelation (operators/localrel.py): the
+    centroid frame is re-scanned by every Lloyd-iteration assignment
+    join and every probe, and createDataFrame's pickled-RDD scan pays a
+    Python-worker round each time (guide §4.1); doubles render via
+    shortest-repr so the bit-exactness guarantee is unchanged."""
+    from bdt_spark.operators.localrel import local_relation
+
     rows = df.collect()
-    return spark.createDataFrame(rows, schema=df.schema)
+    return local_relation(spark, rows, df.schema)
 
 
 def build_ivf_index(

@@ -118,7 +118,15 @@ def with_global_order(
                 True,
             )
         )
-    off_df = spark.createDataFrame(
+    # LocalRelation, not createDataFrame: the offsets frame is scanned by
+    # every downstream job (broadcast build per pass, chained passes embed
+    # earlier passes' joins), and a pickled-RDD scan pays a Python-worker
+    # round each time — measured ~1.3 s of blocked executor time per
+    # 32-task scan at sf0.1 (operators/localrel.py; guide §4.1).
+    from bdt_spark.operators.localrel import local_relation
+
+    off_df = local_relation(
+        spark,
         [
             tuple([pid, off["__go_off_cnt"]]
                   + [off[f"__go_off_{out}"] for out in running])

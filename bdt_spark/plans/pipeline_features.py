@@ -419,8 +419,13 @@ def agg_frequent_items_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= shards x (k+1) rows (104 here; 130k even at 10k shards),
     # regardless of corpus size.
     rows = summaries.collect()
-    spark.createDataFrame(
-        rows, "shard bigint, item bigint, est bigint"
+    from bdt_spark.operators.localrel import local_relation
+
+    # LocalRelation, not createDataFrame: the tail SQL reads this view
+    # from several CTE branches — a pickled-RDD scan would pay a
+    # Python-worker round per branch per action (guide §4.1).
+    local_relation(
+        spark, rows, "shard bigint, item bigint, est bigint"
     ).createOrReplaceTempView("mg_summaries")
     return spark.sql(
         _MG_TAIL_SQL.format(

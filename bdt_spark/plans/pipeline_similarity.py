@@ -351,8 +351,10 @@ def similarity_ivf_recall_curve(spark, sf_dir):
         truth.unpersist()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "nprobe int, recall_ok boolean"
+    from bdt_spark.operators.localrel import local_relation
+
+    return local_relation(
+        spark, rows, "nprobe int, recall_ok boolean"
     ).orderBy("nprobe")
 
 
@@ -435,7 +437,10 @@ def similarity_ivf_incremental(spark, sf_dir):
     finally:
         shutil.rmtree(inc_path, ignore_errors=True)
         shutil.rmtree(full_path, ignore_errors=True)
-    return spark.createDataFrame(
+    from bdt_spark.operators.localrel import local_relation
+
+    return local_relation(
+        spark,
         [
             ("exact_at_full_nprobe", exact_ok),
             ("increments_probed", increments_probed),

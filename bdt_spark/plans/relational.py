@@ -1401,8 +1401,10 @@ def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in ("region", "nation", "customer"):
         for i, f in enumerate(spark.table(tbl).schema.fields, start=1):
             rows.append((tbl, f.name, i))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal int"
+    from bdt_spark.operators.localrel import local_relation
+
+    return local_relation(
+        spark, rows, "table_name string, column_name string, ordinal int"
     ).orderBy("table_name", "ordinal")
 
 

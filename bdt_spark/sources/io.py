@@ -264,8 +264,13 @@ def _read_avro(spark: SparkSession, path: str) -> DataFrame:
                     columns=cols,
                 )
 
-    splits_df = spark.createDataFrame(
-        splits, "path string, start long, stop long"
+    from bdt_spark.operators.localrel import local_relation
+
+    # LocalRelation (no pickled-RDD scan): the decode itself is Python
+    # (mapInPandas), but the split list should not cost an extra
+    # Python-worker round before the repartition (guide §4.1).
+    splits_df = local_relation(
+        spark, splits, "path string, start long, stop long"
     ).repartition(len(splits))
     return splits_df.mapInPandas(_decode_ranges, schema=spark_schema)
 
