@@ -118,19 +118,50 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
         struct = StructType.fromDDL(schema)
     else:
         struct = schema
+    # One normalization shared by the render AND fallback paths (ADVICE
+    # r15): a scalar row is (r,) in both, and a dict row fails loudly in
+    # both instead of silently becoming its key tuple in one of them.
+    norm = [
+        tuple(r) if isinstance(r, (Row, tuple, list)) else (r,) for r in rows
+    ]
     try:
-        cols = ", ".join(f"`{f.name}`" for f in struct.fields)
-        null_row = ", ".join(
-            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
-            for f in struct.fields
-        )
+        # The VALUES renderer escapes strings for the DEFAULT parser
+        # mode; under escapedStringLiterals backslash escapes are
+        # literal and `\'` no longer escapes a quote (ADVICE r15) —
+        # take the createDataFrame path instead of corrupting literals.
+        if (
+            spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            == "true"
+        ):
+            raise _Unsupported("escapedStringLiterals session")
         if not rows:
+            if any(not f.nullable for f in struct.fields):
+                # a WHERE 1=0 projection of CAST(NULL ...) columns is
+                # all-nullable and cannot express a non-nullable field;
+                # an empty createDataFrame schedules zero tasks, so the
+                # Python-boundary cost this module exists to avoid is
+                # nil here anyway
+                raise _Unsupported("empty rows with non-nullable field")
+            null_row = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in struct.fields
+            )
             return spark.sql(f"SELECT {null_row} WHERE 1=0")
         rendered = []
-        for r in rows:
-            vals = tuple(r) if isinstance(r, (Row, tuple, list)) else (r,)
+        for vals in norm:
             if len(vals) != len(struct.fields):
                 raise _Unsupported("row arity mismatch")
+            for v, f in zip(vals, struct.fields):
+                # declared non-nullable enforcement (ADVICE r15), the
+                # check createDataFrame's verifier applies — loud
+                # ValueError, not a silent nullable column
+                if v is None and not f.nullable:
+                    raise ValueError(
+                        f"field {f.name}: This field is not nullable, "
+                        "but got None"
+                    )
             rendered.append(
                 "("
                 + ", ".join(
@@ -140,9 +171,26 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
                 + ")"
             )
         body = ", ".join(rendered)
-        sql = f"SELECT * FROM (VALUES {body}) AS __lr({cols})"
+        # Nullability parity with createDataFrame (ADVICE r15): VALUES
+        # derives nullability from the literals, so a nullable-DECLARED
+        # column with no NULL rows came back nullable=False. Wrapping
+        # declared-nullable fields in `if(true, c, NULL)` widens them at
+        # analysis time; the optimizer still collapses the projection
+        # into the LocalRelation (plan stays LocalTableScan — asserted
+        # in tests). Remaining divergence, documented: nested element
+        # nullability (array containsNull) and non-nullable FRACTIONAL
+        # columns may come back nullable, because the renderer's
+        # string->double CASTs are nullable expressions.
+        proj = ", ".join(
+            f"if(true, `{f.name}`, NULL) AS `{f.name}`"
+            if f.nullable
+            else f"`{f.name}`"
+            for f in struct.fields
+        )
+        cols = ", ".join(f"`{f.name}`" for f in struct.fields)
+        sql = f"SELECT {proj} FROM (VALUES {body}) AS __lr({cols})"
         if len(sql) > _MAX_SQL_BYTES:
             raise _Unsupported("rendered SQL too large")
         return spark.sql(sql)
     except _Unsupported:
-        return spark.createDataFrame([tuple(r) for r in rows], struct)
+        return spark.createDataFrame(norm, struct)

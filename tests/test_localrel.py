@@ -81,3 +81,57 @@ def test_rows_from_collect_roundtrip(spark):
     back = local_relation(spark, rows, src.schema)
     assert sorted(map(str, back.collect())) == sorted(map(str, rows))
     assert "LocalTableScan" in _plan(back)
+
+
+# --- ADVICE r15 fixes: nullability parity, row normalization, parser guard ---
+
+
+def test_declared_nullability_parity(spark):
+    # nullable-declared columns with no NULL rows must come back
+    # nullable=True, as createDataFrame returns them (ADVICE r15 #1)
+    a = local_relation(spark, [(1, "x")], "a bigint, b string")
+    b = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    assert [f.nullable for f in a.schema.fields] == [
+        f.nullable for f in b.schema.fields
+    ]
+    assert "LocalTableScan" in _plan(a)
+
+
+def test_non_nullable_none_raises(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    s = StructType([StructField("a", LongType(), False)])
+    df = local_relation(spark, [(1,), (2,)], s)
+    assert not df.schema.fields[0].nullable
+    assert [r.a for r in df.collect()] == [1, 2]
+    with pytest.raises(ValueError, match="not nullable"):
+        local_relation(spark, [(1,), (None,)], s)
+
+
+def test_scalar_row_fallback_parity(spark):
+    # scalar (non-tuple) rows must work through BOTH the render path and
+    # the createDataFrame fallback (ADVICE r15 #2); map type forces the
+    # fallback
+    got = local_relation(spark, [1, 2], "x int")
+    assert sorted(r.x for r in got.collect()) == [1, 2]
+    fb = local_relation(spark, [{"a": 1}, {"b": 2}], "m map<string,int>")
+    assert sorted(str(r.m) for r in fb.collect()) == [
+        "{'a': 1}",
+        "{'b': 2}",
+    ]
+
+
+def test_escaped_string_literals_guard(spark):
+    # under escapedStringLiterals the VALUES renderer's escaping is
+    # wrong — local_relation must detect the session conf and fall back
+    # (ADVICE r15 #3); the data must still round-trip exactly
+    rows = [("a'b\\c",), ("plain",)]
+    key = "spark.sql.parser.escapedStringLiterals"
+    spark.conf.set(key, "true")
+    try:
+        df = local_relation(spark, rows, "s string")
+        assert sorted(r.s for r in df.collect()) == sorted(
+            r[0] for r in rows
+        )
+    finally:
+        spark.conf.set(key, "false")
