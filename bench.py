@@ -131,6 +131,27 @@ STABLE_SET = [
     "compare_parquet",
 ]
 
+# sf10 driver-protocol point (VERDICT r15 #2): the sf0.1 suite is
+# fixed-overhead-bound (~0.8 s/query of per-job overhead; 30/62 core-
+# scaling ratios <=1.05), so real plan wins are invisible in the
+# headline. These are the queries whose sf10 Spark-only wall is >=5 s —
+# big enough that a plan regression/improvement moves the number past
+# host noise. Runs only when the sf10 dir exists (generated once via
+# tools/gen_scale.py, like the sf1 block); medians land in
+# `sf10_queries`/`sf10_total` (shed from the stdout line first if the
+# driver capture budget is tight — the committed sidecar keeps them).
+SF10_SUBSET = [
+    "customer_rfm_segmentation",
+    "dedup_embedding_cosine",
+    "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
+    "dedup_minhash_lsh_k64",
+    "text_winnowing_fingerprints",
+    "text_tfidf_topk_similar",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+]
+
 # Measurable-regression subset re-run at sf1 when the scaled dir exists
 # (VERDICT r6 #8: at sf0.1 most queries are sub-second and host noise
 # dominates round-over-round deltas; the sf1 numbers are the trackable
@@ -278,6 +299,50 @@ def _prev_round_common(timings: dict[str, float]) -> dict | None:
         "common_set_total": round(sum(timings[q] for q in common), 3),
         "common_set_total_prev": round(sum(pq[q] for q in common), 3),
     }
+
+
+def render_line(out: dict, budget: int = 1900) -> str:
+    """Render the driver-facing JSON line under two defenses against the
+    driver's ~2000-byte tail-only stdout capture (VERDICT r15 #5:
+    BENCH_r14 arrived front-truncated past parseability and cost the
+    round its comparison).
+
+    1. SHED to fit `budget`: drop the scaled-point per-query maps (the
+       committed sidecar keeps them), then headline float precision.
+    2. ORDER for tail survival: the headline `queries` map and the
+       fields after it (`sf`, `reps`, `protocol`) are rendered LAST, so
+       even when the line cannot fit the capture (62+ queries is
+       ~1.6 KB of names alone) the captured tail still contains the
+       complete map — exactly what the brace-matching recovery in
+       _prev_round_common (and the r14 judge) reads back. The tail
+       invariant `line[index("queries"):]` <= budget is asserted by
+       test at 75 queries.
+
+    MUTATES `out`; returns the line to print."""
+    tail_keys = ("queries", "sf", "reps", "protocol")
+    ordered = {k: v for k, v in out.items() if k not in tail_keys}
+    ordered.update({k: out[k] for k in tail_keys if k in out})
+    line = json.dumps(ordered, separators=(",", ":"))
+    for k in ("sf1_queries", "sf10_queries"):
+        if len(line) <= budget:
+            break
+        ordered.pop(k, None)
+        line = json.dumps(ordered, separators=(",", ":"))
+    if len(line) > budget and "queries" in ordered:
+        ordered["queries"] = {
+            k: round(v, 2) for k, v in ordered["queries"].items()
+        }
+        line = json.dumps(ordered, separators=(",", ":"))
+    if len(line) > budget:
+        # last lossless shave: reps/protocol are per-round constants the
+        # sidecar keeps; `sf` stays (driver-required). At 62 queries this
+        # is what brings the tail section under the capture; past ~63
+        # queries the names alone outgrow it — the map is still rendered
+        # last so a truncated capture loses head fields first.
+        for k in ("protocol", "reps"):
+            ordered.pop(k, None)
+        line = json.dumps(ordered, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -435,6 +500,39 @@ def main() -> None:
         detail["sf1_queries"] = sf1_timings
         detail["sf1_total"] = sf1_total
 
+    # sf10 driver point (VERDICT r15 #2): only when the scaled dir is
+    # present; reps default 2 (each rep is 5-35 s — the median protocol
+    # is the same, the rep count bounds the added wall time)
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+    if (
+        os.path.isdir(sf10_dir)
+        and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1"
+    ):
+        sf10_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF10_REPS", "2"))
+        sf10_timings: dict[str, float] = {}
+        sf10_runs: dict[str, list[float]] = {}
+        load_fixture_tables(spark, sf10_dir, force=True)
+        for name in SF10_SUBSET:
+            if name not in all_names:
+                continue
+            try:
+                sf10_timings[name], sf10_runs[name] = timed_reps(
+                    lambda: run_query(spark, name, sf10_dir), sf10_reps,
+                    name=f"sf10:{name}",
+                )
+            except Exception as e:
+                print(f"bench error sf10 {name}: {e}", file=sys.stderr)
+                sf10_timings[name] = -1.0
+            _gc()
+        sf10_total = round(
+            sum(v for v in sf10_timings.values() if v > 0), 3
+        )
+        out["sf10_queries"] = sf10_timings
+        out["sf10_total"] = sf10_total
+        detail["sf10_runs"] = sf10_runs
+        detail["sf10_queries"] = sf10_timings
+        detail["sf10_total"] = sf10_total
+
     # Full diagnostics to the sidecar; best-effort (bench numbers must
     # still print even on a read-only checkout).
     try:
@@ -444,17 +542,7 @@ def main() -> None:
     except OSError as e:
         print(f"bench sidecar write failed: {e}", file=sys.stderr)
 
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # Degrade gracefully: the driver needs {metric,value,unit,queries,
-        # sf} — shed the sf1 block first (it lives in the sidecar), then
-        # precision, before ever exceeding the 2000-byte tail capture.
-        out.pop("sf1_queries", None)
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(render_line(out))
     spark.stop()
 
 

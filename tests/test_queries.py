@@ -78,6 +78,86 @@ def test_bench_stable_set_frozen():
     ), "STABLE_SET content changed — it must stay the frozen r01 list"
 
 
+def test_bench_line_fits_driver_capture():
+    """VERDICT r15 #5: the driver records only the last ~2000 bytes of
+    bench stdout; BENCH_r14 arrived front-truncated past parseability.
+    render_line must shed scaled-point maps and precision so the final
+    JSON line stays inside the capture budget even at 70+ queries —
+    and must still parse with every driver-required field."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import render_line
+
+    queries = {f"operator_family_query_name_{i:02d}": 12.345 for i in range(75)}
+    out = {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "stable_set_total": 12.345,
+        "common_set_round": "r15",
+        "common_set_n": 62,
+        "common_set_total": 56.403,
+        "common_set_total_prev": 51.76,
+        "queries": dict(queries),
+        "sf": "0.1",
+        "reps": 3,
+        "protocol": "median",
+        "sf1_queries": {k: v for k, v in list(queries.items())[:18]},
+        "sf1_total": 65.084,
+        "sf10_queries": {k: v for k, v in list(queries.items())[:9]},
+        "sf10_total": 180.5,
+    }
+    line = render_line(out)
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    assert len(parsed["queries"]) == 75  # shed diagnostics, never queries
+    # the scaled-point maps were shed (sidecar keeps them), totals stay
+    assert "sf1_queries" not in parsed and "sf10_queries" not in parsed
+    assert parsed["sf1_total"] == 65.084 and parsed["sf10_total"] == 180.5
+    # queries is rendered LAST so a front-truncated capture loses head
+    # fields first, keeping the map brace-matchable from the tail
+    assert line.rstrip("}").endswith('"protocol":"median"') or \
+        line.index('"queries"') > line.index('"sf10_total"')
+    # tail-survival invariant at the REAL current query set: the
+    # complete headline map + required fields after it fit the driver's
+    # ~2000-byte tail capture. Growth note: each added headline query
+    # costs ~30 bytes of line budget; past ~63 entries the names alone
+    # outgrow the capture and only the full-line parse (which the
+    # driver also runs) stays lossless.
+    from bench import HEADLINE, PIPELINE, STABLE_SET
+
+    real = {}
+    for n in HEADLINE + PIPELINE + ["register_infer", "convert_parquet_csv",
+                                    "compare_parquet"]:
+        real[n] = 3.141
+    out_real = {
+        "metric": "headline_queries_total", "value": 56.4, "unit": "sec",
+        "stable_set_total": 12.3, "common_set_round": "r15",
+        "common_set_n": len(real), "common_set_total": 56.4,
+        "common_set_total_prev": 51.8, "queries": real, "sf": "0.1",
+        "reps": 3, "protocol": "median",
+        "sf1_queries": {k: 3.0 for k in list(real)[:18]}, "sf1_total": 60.0,
+        "sf10_queries": {k: 9.0 for k in list(real)[:9]}, "sf10_total": 180.0,
+    }
+    line_real = render_line(out_real)
+    assert json.loads(line_real)["queries"] == {
+        k: 3.14 for k in real
+    }  # precision shed, no entry lost
+    assert len(line_real) - line_real.index('"queries"') <= 2000, (
+        len(line_real), len(line_real) - line_real.index('"queries"'))
+    # small payloads shed nothing
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"a": 1.234}, "sf": "0.1", "sf1_queries": {"a": 1.0}}
+    assert json.loads(render_line(dict(small)))["queries"]["a"] == 1.234
+    assert "sf1_queries" in json.loads(render_line(dict(small)))
+
+
 def test_oracle_coverage():
     specs = plans.all_queries()
     no_oracle = [n for n, s in specs.items() if s.oracle is None]
