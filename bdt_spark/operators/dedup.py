@@ -572,8 +572,15 @@ def embedding_neardup_pairs(
         p.count()
         return p
 
+    # keyed repartition, not round-robin (guide §2.4/§2.5, r16): hashing
+    # by the unique id spreads identically, skips the sort-before-
+    # repartition a keyless round-robin pays (SPARK-23207 determinism
+    # sort over the full rows), and the exact-cosine verify joins below
+    # join v on vec_id — a hashpartitioning(vec_id) child satisfies
+    # their distribution, so the corpus-sized v side of BOTH joins
+    # shuffles zero bytes (exchange only on the small candidate side).
     v = _mat(
-        df.repartition(n_partitions).select(
+        df.repartition(n_partitions, F.col(id_col)).select(
             F.col(id_col).alias("vec_id"),
             F.col(emb_col).alias("embedding"),
             F.expr(nrm_guarded).alias("nrm"),
@@ -581,13 +588,17 @@ def embedding_neardup_pairs(
         )
     )
 
-    buckets = None
-    for b in range(n_bands):
-        part = v.select(
-            "vec_id",
-            (F.lit(b * (1 << n_planes)) + F.col(f"bucket{b}")).alias("bkey"),
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # single-pass bucket emission (r16): the former per-band union of
+    # projections scanned/recomputed v once PER BAND; posexplode emits
+    # every band key in one pass (pos = band index supplies the
+    # band-offset term), so the bucket build reads v exactly once.
+    buckets = v.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(n_bands)])),
+    ).select(
+        "vec_id",
+        (F.col("pos") * (1 << n_planes) + F.col("col")).alias("bkey"),
+    )
     if hot_bucket_cap:  # falsy cap disables capping, like minhash_pairs
         hot = (
             buckets.groupBy("bkey")

@@ -933,11 +933,17 @@ def _incremental_minhash_sql(
             # `width` is derived from the documents scan bytes at call
             # time (io.exchange_width_for_bytes) — an explicit-width
             # exchange is AQE-exempt, so a literal here was the r14
-            # verdict's one coded-in 100x bottleneck.
+            # verdict's one coded-in 100x bottleneck. Keyed by doc_id
+            # (r16, guide §2.4/§2.5): the keyless form was round-robin —
+            # it paid the SPARK-23207 determinism sort over the full
+            # signature rows AND left the verify joins (ON doc_id)
+            # needing their own full-width exchanges of both sig
+            # tables; hashpartitioning(doc_id) satisfies those joins'
+            # distribution, so the signature streams shuffle once.
             return f"""
     {p}sh AS (SELECT doc_id, {shingles} AS shingles FROM {src}),
     {p}dig AS (SELECT doc_id, {digests} FROM {p}sh),
-    {p}sig AS (SELECT /*+ REPARTITION({width}) */ doc_id,
+    {p}sig AS (SELECT /*+ REPARTITION({width}, doc_id) */ doc_id,
          {lanes}
       FROM {p}dig)"""
         return f"""
@@ -1067,6 +1073,19 @@ def _incremental_embedding_sql(
     )
 
     def band_union(src: str) -> str:
+        if spark:
+            # single-pass bucket emission (r16, guide §2.4): the UNION
+            # ALL form read `src` once per band — on the bare arm that
+            # recomputes the 48 sparse-plane dots per band, on the
+            # exchange arm it still adds a plan branch per band.
+            # posexplode emits both band keys in one pass (pos = band
+            # index supplies the offset term).
+            arr = ", ".join(f"bucket{b}" for b in range(NEARDUP_BANDS))
+            return (
+                f"      SELECT vec_id, pos * {1 << NEARDUP_PLANES} + bucket"
+                f" AS bkey\n      FROM {src}"
+                f" LATERAL VIEW POSEXPLODE(array({arr})) t AS pos, bucket"
+            )
         return "\n      UNION ALL\n".join(
             f"      SELECT vec_id, {b} * {1 << NEARDUP_PLANES} + bucket{b}"
             f" AS bkey FROM {src}"
@@ -1088,20 +1107,25 @@ def _incremental_embedding_sql(
     ),
     cv AS (
       -- `exchange` arm (spark, size-gated at registration): cv/iv
-      -- inline into three consumers each (two band-union selects + the
-      -- cosine verify), so the 48 sparse-plane dots + norm compute 3x;
-      -- a REPARTITION above the bucketed projection makes them a
-      -- ReusedExchange computed once. The exchange is FIXED overhead,
-      -- the recompute saving PROPORTIONAL to corpus size, so small
-      -- corpora keep the bare plan (measured: sf100 28.8 -> 24.4 s
-      -- with the exchange; sf0.1 ~1 s slower with it).
-      SELECT {f"/*+ REPARTITION({width}) */ " if exchange else ""}vec_id,
+      -- inline into multiple consumers (bucket explode + the cosine
+      -- verify), so the 48 sparse-plane dots + norm would compute per
+      -- consumer; a REPARTITION above the bucketed projection makes
+      -- them a ReusedExchange computed once. The exchange is FIXED
+      -- overhead, the recompute saving PROPORTIONAL to corpus size, so
+      -- small corpora keep the bare plan (measured: sf100 28.8 ->
+      -- 24.4 s with the exchange; sf0.1 ~1 s slower with it). Keyed by
+      -- vec_id (r16): round-robin paid the SPARK-23207 determinism
+      -- sort AND left the verify joins (ON vec_id) needing their own
+      -- full-width exchanges of cv/iv; hashpartitioning(vec_id)
+      -- satisfies the joins' distribution, so the corpus-sized sides
+      -- shuffle once total.
+      SELECT {f"/*+ REPARTITION({width}, vec_id) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM corpus
     ),
     iv AS (
-      SELECT {f"/*+ REPARTITION({width}) */ " if exchange else ""}vec_id,
+      SELECT {f"/*+ REPARTITION({width}, vec_id) */ " if exchange else ""}vec_id,
              embedding, {_norm(dialect, "embedding")} AS nrm,
              {band_cols}
       FROM incoming
