@@ -43,7 +43,7 @@ def _topk_bruteforce_sql(dialect: str, width: int = 32) -> str:
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: one-file corpus = one partition; without it the whole
     # query x corpus scoring runs as a single task (see _cosine_neardup_sql)
-    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}, vec_id) */ " if dialect == "spark" else ""
     return f"""
     WITH v AS (
       SELECT {hint}vec_id, embedding, {_norm(dialect, "embedding")} AS nrm
@@ -144,7 +144,7 @@ def _lsh_topk_sql(dialect: str, width: int = 32) -> str:
     bucket = _plane_bucket_expr(dialect)
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: see _cosine_neardup_sql — avoids a 1-task bucket join
-    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}, vec_id) */ " if dialect == "spark" else ""
     return f"""
     WITH bucketed AS (
       SELECT {hint}vec_id, embedding, CAST({bucket} AS INT) AS bucket,
@@ -247,7 +247,7 @@ def _ivf_topk_sql(dialect: str, width: int = 32) -> str:
         )
     cos = _cos_pre(dialect, "q.embedding", "c.embedding", "q.nrm", "c.nrm")
     # REPARTITION: see _cosine_neardup_sql — parallelize the probe scoring
-    hint = f"/*+ REPARTITION({width}) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}, vec_id) */ " if dialect == "spark" else ""
     return f"""
     WITH {_centroids_cte(dialect)},
     v AS (
