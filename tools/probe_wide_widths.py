@@ -116,7 +116,10 @@ def _executed_plan(df) -> str:
 
 def main() -> None:
     mode, sf_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    spark = get_spark(f"probe_wide_{mode}")
+    # UI on: the task-quantile evidence reads the status REST API
+    spark = get_spark(
+        f"probe_wide_{mode}", extra_conf={"spark.ui.enabled": "true"}
+    )
     load_fixture_tables(spark, sf_dir, force=True)
     res: dict = {"mode": mode, "sf_dir": sf_dir}
 
