@@ -188,6 +188,12 @@ def main() -> None:
     from bdt_spark.operators.cacheutil import release
 
     release(wide_df)
+    # checkpoint the wide-arm evidence before the floor arm: the control
+    # run can die where the wide run survived (observed: minhash_pairs
+    # floor w=32 OOMs the default 8g heap on the 576 MB shard — 2x the
+    # rows per persisted partition — while the derived w=64 completes)
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
 
     # FLOOR (literal 32) run — row-identity control
     spark.sparkContext.setJobDescription(f"probe_wide_{mode}: floor w=32")
