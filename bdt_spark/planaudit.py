@@ -312,6 +312,28 @@ BROADCAST_GENERATE_JUSTIFIED: dict[str, tuple[int, str]] = {
         "probe/verify joins themselves are pinned MERGE — no "
         "corpus-derived side can be statically broadcast"
     ),
+    "dedup_embedding_cosine": (3,
+        "the Generate is the r16 single-pass posexplode of the "
+        "CONSTANT-width band array (n_bands=2 — fixed multiplicity, no "
+        "estimate compounding; the pre-r16 UNION ALL form built the "
+        "identical relations without a Generate node). Flagged builds: "
+        "the forced-broadcast hot-bucket anti-join key set (hard-"
+        "bounded at n_rows/cap single-BIGINT keys) and candidate-join "
+        "sides derived from the bucketed projection v, which the scale "
+        "arm (EAGER_PERSIST_MIN_BYTES gate) materializes so joins plan "
+        "from true cached sizes — the dedup_minhash_lsh doctrine; "
+        "measured sf100: 39.4 s (r15 sweep)"
+    ),
+    "dedup_incremental_embedding": (3,
+        "the Generate is the r16 single-pass LATERAL VIEW POSEXPLODE "
+        "of the CONSTANT-width band array (n_bands=2 — fixed "
+        "multiplicity; pre-r16 UNION ALL built the same relations "
+        "Generate-free). Flagged builds: the hot-bucket NOT-IN key set "
+        "(HAVING COUNT(*) > cap — hard-bounded at n_rows/cap keys, "
+        "inlines into two consumers) and the INCOMING-batch bucket "
+        "side (batch-sized by construction, never the corpus; corpus "
+        "state is always the probe join's streamed side)"
+    ),
     "text_duplicate_span_ratio": (1,
         "build is the per-shingle frequency table above the shingle agg "
         "shuffle (AQE re-plans from its true bytes); no HAVING "
