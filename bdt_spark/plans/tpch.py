@@ -372,22 +372,58 @@ _Q18_SQL = f"""
 # sizes the gate always picks the shuffle semi-join.
 _BIG_FACT_MIN_BYTES = 1 << 30
 
+# r16 Spark arm (guide §2.3/§2.4): the oracle text scans lineitem TWICE
+# — once for the HAVING subquery, once joined raw into the outer
+# aggregation — but the outer GROUP BY's sum(l_quantity) is a function
+# of o_orderkey alone, i.e. EXACTLY the per-orderkey sum the subquery
+# already computes. Aggregating lineitem once and joining the (orderkey,
+# qty) relation removes a full lineitem scan AND the raw-lineitem
+# shuffle into the join (sf10 profile: shuffle writes 489+439 MB -> 439;
+# warm sf10 10.1 -> 6.3 s, 1.61x; rows identical at sf0.1/sf10).
+# Equivalence: decimal sums are accumulation-order-free, so
+# SUM(per-orderkey decimal sums) == dsum over the group's raw rows; the
+# outer GROUP BY + SUM(qty) is kept so even pathological duplicate
+# orders/customer rows multiply the sum exactly as the oracle form
+# does. The HAVING keeps the oracle's plain-double comparison
+# (l_quantity is integer-valued in TPC-H, sums exact in FP).
+_Q18_SPARK = f"""
+    WITH q AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT {{hints}}c_name, c_custkey, o_orderkey, o_orderdate,
+           o_totalprice,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN q ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """
+
 
 @query(
     "tpch_q18_large_volume",
     oracle=_Q18_SQL.format(semi_hint="", dim_hint=""),
     tags=("tpch", "in-subquery", "having"),
-    doc="TPC-H q18: large-volume customers via HAVING + IN subquery. The "
-    "semi-join build side (orderkeys with SUM(l_quantity) > 150) is a "
-    "fixed ~20% of ALL orders — linear in the fact table — but its "
+    doc="TPC-H q18: large-volume customers via HAVING + IN subquery. "
+    "Spark arm (r16, guide §2.3/§2.4): lineitem is aggregated ONCE to "
+    "(l_orderkey, qty) and that relation joins orders/customer — the "
+    "oracle form's second raw-lineitem scan + join shuffle is removed "
+    "(sf10 warm 10.1 -> 6.3 s, 1.61x; rows identical — decimal sums "
+    "re-aggregate exactly, see _Q18_SPARK). The q relation is a fixed "
+    "~20% of ALL orders — linear in the fact table — but its "
     "agg+HAVING static estimate reads broadcast-small at every scale "
     "(the broadcast-over-Generate estimate family, without the "
-    "explode). The Spark side therefore picks the semi-join strategy "
-    "from the exact lineitem scan bytes: broadcast below "
-    "_BIG_FACT_MIN_BYTES, /*+ MERGE */ shuffle semi-join above "
-    "(sf100 measured: the static broadcast dies at 29.3M keys). The "
-    "oracle is the same text without the hint; DuckDB plans its own "
-    "semi-join.",
+    "explode), so the join strategy is picked from the exact lineitem "
+    "scan bytes: planner-chosen broadcast below _BIG_FACT_MIN_BYTES, "
+    "/*+ MERGE */ shuffle joins above (sf100 measured on the pre-r16 "
+    "semi form: the static broadcast dies at 29.3M keys; same estimate "
+    "family, same fix). The oracle keeps the declarative IN-subquery "
+    "text; DuckDB plans its own semi-join.",
 )
 def tpch_q18_large_volume(spark, sf_dir):
     from bdt_spark.sources.io import ensure_heavy_arm_geometry, fixture_scan_bytes
@@ -401,9 +437,8 @@ def tpch_q18_large_volume(spark, sf_dir):
         # that selected the arm (see ensure_heavy_arm_geometry).
         ensure_heavy_arm_geometry(spark, "lineitem")
     return spark.sql(
-        _Q18_SQL.format(
-            semi_hint="/*+ MERGE */ " if big else "",
-            dim_hint="/*+ MERGE(customer) */ " if big else "",
+        _Q18_SPARK.format(
+            hints="/*+ MERGE(q), MERGE(customer) */ " if big else "",
         )
     )
 

@@ -341,6 +341,7 @@ def test_q21_gate_both_arms_agree(spark, sf_dir):
     )
 
     small_rows = q21(spark, sf_dir).collect()
+    q18_small_rows = q18(spark, sf_dir).collect()
 
     recorded = bio._TABLE_BYTES[key]["lineitem"]
     parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -348,9 +349,16 @@ def test_q21_gate_both_arms_agree(spark, sf_dir):
     try:
         big_rows = q21(spark, sf_dir).collect()
         assert big_rows == small_rows
-        plan = q18(spark, sf_dir)._jdf.queryExecution().executedPlan()
-        text = plan.toString()
-        assert "SortMergeJoin" in text and "LeftSemi" in text
+        # q18 big arm (r16 single-agg rewrite): the agg-derived q
+        # relation's broadcast-small static estimate is the sf100
+        # death class, so the big arm must plan its joins shuffle-side
+        # (no static BroadcastExchange anywhere; AQE may still demote
+        # at runtime from true sizes — the safe direction).
+        q18_df = q18(spark, sf_dir)
+        text = q18_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in text
+        assert "BroadcastExchange" not in text
+        assert q18_df.collect() == q18_small_rows
     finally:
         bio._TABLE_BYTES[key]["lineitem"] = recorded
         # the big arms raise shuffle partitions (heavy-arm geometry);
