@@ -45,9 +45,11 @@ def main() -> None:
     )
 
     arms = {
-        "q18_small": tpch._Q18_SQL.format(semi_hint="", dim_hint=""),
-        "q18_big": tpch._Q18_SQL.format(
-            semi_hint="/*+ MERGE */ ", dim_hint="/*+ MERGE(customer) */ "
+        # r16: the Spark side is the single-agg rewrite (_Q18_SPARK);
+        # the arms differ only in the MERGE hints the big gate adds
+        "q18_small": tpch._Q18_SPARK.format(hints=""),
+        "q18_big": tpch._Q18_SPARK.format(
+            hints="/*+ MERGE(q), MERGE(customer) */ "
         ),
         "q21_small": tpch._Q21_ORACLE,
         "q21_big": tpch._Q21_SPARK,
