@@ -291,9 +291,7 @@ sql_query(
 )
 
 # --- q15: top supplier (scalar subquery over an aggregate CTE) --------------
-sql_query(
-    "tpch_q15_top_supplier",
-    f"""
+_Q15_REVENUE_CTE = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_rev
@@ -301,14 +299,50 @@ sql_query(
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
-    )
+    )"""
+
+_Q15_ORACLE = (
+    _Q15_REVENUE_CTE
+    + """
     SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
     FROM supplier
     JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
     ORDER BY s_suppkey
-    """,
+    """
+)
+
+# r16 Spark arm (guide §2.4): the oracle form references `revenue`
+# twice — Spark inlines the CTE, so the scalar MAX subquery re-scans
+# and re-aggregates lineitem from scratch (executed sf10 plan: 2
+# lineitem scans). `MAX() OVER ()` derives the same exact maximum
+# (decimal sums, order-free) from the ONE revenue relation. The empty
+# window frame moves `revenue` to a single partition, which is safe at
+# any corpus scale: revenue has at most one row per supplier — a
+# dim-cardinality relation, never fact-sized.
+_Q15_SPARK = (
+    _Q15_REVENUE_CTE
+    + """
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN (SELECT supplier_no, total_rev,
+                 MAX(total_rev) OVER () AS max_rev
+          FROM revenue) r ON s_suppkey = supplier_no
+    WHERE total_rev = max_rev
+    ORDER BY s_suppkey
+    """
+)
+
+sql_query(
+    "tpch_q15_top_supplier",
+    _Q15_SPARK,
+    oracle=_Q15_ORACLE,
     tags=("tpch", "cte", "scalar-subquery"),
+    doc="TPC-H q15: top supplier by quarterly revenue. Spark arm "
+    "replaces the oracle's scalar MAX(revenue) subquery — which "
+    "re-scans lineitem under CTE inlining — with MAX() OVER () on the "
+    "single revenue relation: lineitem scans 2 -> 1 (r16, guide §2.4); "
+    "identical rows (decimal max over the same aggregate).",
 )
 
 # --- q16: brand/type/size counts with NOT IN subquery -----------------------
@@ -330,9 +364,7 @@ sql_query(
 )
 
 # --- q17: small-quantity-order revenue (correlated scalar subquery) ---------
-sql_query(
-    "tpch_q17_small_quantity",
-    """
+_Q17_ORACLE = """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0
            AS avg_yearly
     FROM lineitem
@@ -341,8 +373,44 @@ sql_query(
       AND l_quantity < (
         SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
         WHERE l2.l_partkey = p_partkey)
-    """,
+    """
+
+# r16 Spark arm (guide §2.3/§2.4): Spark decorrelates the scalar AVG
+# into a SECOND full lineitem scan aggregated over EVERY partkey, then
+# joins — it cannot see that only Brand#3 partkeys are ever probed.
+# The window form computes the identical per-partkey average on the
+# ONE brand-filtered join result: lineitem scans 2 -> 1 and the agg
+# shuffle shrinks from all parts to the brand's share (~1/25 at the
+# fixture's brand cardinality). Equivalence: the join only filters
+# WHICH partkeys survive, never drops rows within a partkey, so the
+# window partition holds exactly the subquery's row set per partkey
+# (duplicate part rows would scale sum and count equally — AVG is
+# duplication-invariant, and outer-row multiplicity matches the
+# oracle's join); l_quantity is integer-valued, so the double AVG is
+# accumulation-order-exact in both engines.
+_Q17_SPARK = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM (
+      SELECT l_extendedprice, l_quantity,
+             AVG(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3'
+    ) q
+    WHERE l_quantity < 0.5 * part_avg
+    """
+
+sql_query(
+    "tpch_q17_small_quantity",
+    _Q17_SPARK,
+    oracle=_Q17_ORACLE,
     tags=("tpch", "correlated-subquery"),
+    doc="TPC-H q17: small-quantity-order revenue. Spark arm replaces "
+    "the decorrelated all-parts lineitem re-aggregation with a window "
+    "AVG over the brand-filtered join (r16, guide §2.3/§2.4): lineitem "
+    "scans 2 -> 1, agg shuffle restricted to the probed brand's rows; "
+    "identical rows (see _Q17_SPARK comment for the proof sketch).",
 )
 
 # --- q18: large volume customers (HAVING + IN subquery) ---------------------
