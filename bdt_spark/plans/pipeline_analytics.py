@@ -594,9 +594,63 @@ def _anomaly_mad_sql(dialect: str) -> str:
     """
 
 
-sql_query(
+# r16 (guide §2.4): the daily CTE inlines into FOUR consumers (med,
+# mad, and two final-join legs) — four full events scans + four
+# corpus aggregations in the executed plan, for a rollup that is only
+# keys x days rows. Above the gate the Spark arm materializes the
+# rollup once and the med/mad/scoring tail reads the cache (events
+# scans 4 -> 1); below it the bare inline plan runs (the persist's
+# fixed cost exceeds three recomputes of a small scan).
+_ANOMALY_DAILY_SPARK = """
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _anomaly_tail_spark(src: str) -> str:
+    return f"""
+    WITH med AS (
+      SELECT event_type, CAST(PERCENTILE(cnt, 0.5) AS DOUBLE) AS med
+      FROM {src} GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type,
+             CAST(PERCENTILE(ABS(d.cnt - m.med), 0.5) AS DOUBLE) AS mad
+      FROM {src} d JOIN med m ON d.event_type = m.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, CAST(d.d AS TIMESTAMP) AS day_ts, d.cnt,
+           m.med, a.mad,
+           CASE WHEN a.mad = 0 THEN NULL
+                ELSE ROUND((d.cnt - m.med) / (1.4826 * a.mad), 6)
+           END AS robust_z,
+           CASE WHEN a.mad = 0 THEN CAST(NULL AS BOOLEAN)
+                ELSE CAST(ABS(d.cnt - m.med) > 3 * 1.4826 * a.mad
+                          AS BOOLEAN)
+           END AS is_anomaly
+    FROM {src} d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    ORDER BY d.event_type, day_ts
+    """
+
+
+# Interleaved 3-rep A/B: the persist arm measured SLOWER at both local
+# points (sf0.1/4.3 MB: 0.33 vs 0.34 s; sf10/34 MB: 0.47 vs 0.79 s) —
+# four map-side-partial aggregations of a small scan cost less than
+# one persist+count round trip. The crossover is above the local
+# regime; the arm exists for corpus-scale I/O (four full events scans
+# -> one), the same fixed-cost-vs-proportional-saving doctrine as
+# _INC_EMB_EXCHANGE_MIN_BYTES. Executed above the gate on a 1.17 GB
+# / 350M-row events shard
+# (bench_results/r16_probes/anomaly_events_shard.json): rows
+# identical, gated warm 2.7 s vs bare 3.0 s.
+_ANOMALY_MATERIALIZE_MIN_BYTES = 1 << 30
+
+
+@query(
     "events_anomaly_robust_zscore",
-    _anomaly_mad_sql("spark"),
     oracle=_anomaly_mad_sql("duck"),
     tags=("events", "timeseries", "anomaly", "robust-stats"),
     doc="Robust anomaly scoring of the daily event-volume series — "
@@ -612,8 +666,23 @@ sql_query(
     "under normality); |z| > 3 flags. Exact cross-engine: counts are "
     "BIGINTs, both engines' percentile/quantile_cont use the same "
     "linear interpolation, and the scoring arithmetic is IEEE-"
-    "deterministic. Dialect split: PERCENTILE vs QUANTILE_CONT.",
+    "deterministic. Dialect split: PERCENTILE vs QUANTILE_CONT. "
+    "r16 (guide §2.4): above _ANOMALY_MATERIALIZE_MIN_BYTES the "
+    "Spark arm persists the daily rollup once (events scans 4 -> 1); "
+    "identical rows either way, oracle text unchanged.",
 )
+def events_anomaly_robust_zscore(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.sources.io import fixture_scan_bytes
+
+    load_fixture_tables(spark, sf_dir)
+    if fixture_scan_bytes(spark, "events") < _ANOMALY_MATERIALIZE_MIN_BYTES:
+        return spark.sql(_anomaly_mad_sql("spark"))
+    daily = spark.sql(_ANOMALY_DAILY_SPARK).persist()
+    daily.count()  # eager: 4 consumers in ONE action recompute a lazy cache
+    daily.createOrReplaceTempView("__anomaly_daily")
+    out = spark.sql(_anomaly_tail_spark("__anomaly_daily"))
+    return transfer_ownership(out, daily)
 
 
 def _twap_sql(dialect: str) -> str:
@@ -938,9 +1007,7 @@ sql_query(
 )
 
 
-sql_query(
-    "orders_market_basket_lift",
-    """
+_BASKET_ORACLE = """
     WITH basket AS (
       SELECT DISTINCT l_orderkey,
              CAST(l_partkey % 50 AS BIGINT) AS category
@@ -972,21 +1039,106 @@ sql_query(
     CROSS JOIN n
     ORDER BY lift DESC, cat_a, cat_b
     LIMIT 25
-    """,
+    """
+
+# r16 Spark arm (guide §2.3/§2.4): the oracle's basket self-join
+# shuffles and sort-merges the (orderkey, category) relation against
+# itself, and the CTE inlines into four consumers — five lineitem
+# scans + five DISTINCT shuffles executed. The per-order ARRAY form
+# collapses each order's distinct categories into one sorted array
+# (one shuffle by orderkey) and explodes index-ordered pairs MAP-SIDE:
+# the self-join disappears entirely. Equivalence: collect_set dedups
+# exactly like DISTINCT (and drops NULL categories, which the
+# self-join's `<` and the margin joins' equality drop anyway);
+# sort_array makes pos_a < pos_b ⟺ cat_a < cat_b (distinct sorted
+# values); n_orders = one array row per orderkey. Rows proven
+# identical at sf0.001/0.01/0.1/sf10.
+_BASKET_PER_ORDER = """
+      SELECT l_orderkey,
+             sort_array(collect_set(CAST(l_partkey % 50 AS BIGINT))) AS cats
+      FROM lineitem GROUP BY l_orderkey
+"""
+
+_BASKET_TAIL = """
+    cat_n AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {src} LATERAL VIEW explode(cats) t AS category
+      GROUP BY category
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM {src}
+    ),
+    pairs AS (
+      SELECT cat_a, cat_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM {src}
+      LATERAL VIEW posexplode(cats) ta AS pa, cat_a
+      LATERAL VIEW posexplode(cats) tb AS pb, cat_b
+      WHERE pa < pb
+      GROUP BY cat_a, cat_b
+      HAVING COUNT(*) >= 10
+    )
+    SELECT p.cat_a, p.cat_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+           ROUND(CAST(n.n_orders * p.c_ab AS DOUBLE)
+                 / (ca.c * cb.c), 6) AS lift,
+           ROUND(CAST(p.c_ab AS DOUBLE) / ca.c, 6) AS confidence_a_to_b
+    FROM pairs p
+    JOIN cat_n ca ON p.cat_a = ca.category
+    JOIN cat_n cb ON p.cat_b = cb.category
+    CROSS JOIN n
+    ORDER BY lift DESC, cat_a, cat_b
+    LIMIT 25
+    """
+
+_BASKET_ARRAY_BARE = (
+    "\n    WITH per_order AS (" + _BASKET_PER_ORDER + "    ),\n"
+    + _BASKET_TAIL.format(src="per_order")
+)
+
+# lineitem scan bytes above which per_order is additionally persisted
+# so its three consumers read the cache (lineitem scans 4 -> 1)
+# instead of re-running the scan + collect_set aggregation each.
+# Interleaved 3-rep A/B, warm: sf0.1 (73 MB) bare 0.76 s vs persisted
+# 1.42 s (fixed persist cost loses); sf10 (647 MB) bare 12.99 s vs
+# persisted 8.70 s (vs 18.13 s for the pre-r16 self-join form — 2.08x
+# total). 256 MiB sits between the measured regimes. The cache is one
+# row per order with a <=50-element array — strictly smaller than its
+# source columns (the minhash_pairs buckets-cache doctrine).
+_BASKET_MATERIALIZE_MIN_BYTES = 256 << 20
+
+
+@query(
+    "orders_market_basket_lift",
+    oracle=_BASKET_ORACLE,
     tags=("join", "market-basket", "association-rules"),
     doc="Market-basket association rules over order line items: "
     "support, confidence and lift for category pairs bought "
-    "together (the Apriori 2-itemset pass, expressed as one "
-    "declarative plan). The basket self-join is bounded exactly "
-    "like the PMI query: items collapse to DISTINCT (order, "
-    "category) first, so per-order fan-out is capped by the "
-    "category vocabulary (50) independent of line-item count, and "
-    "total pair volume is linear in orders. Lift is the exact "
-    "integer ratio n*c_ab/(c_a*c_b); the category margins join "
-    "back broadcast-sized. Support floor (>= 10 orders) prunes "
-    "noise pre-ranking. Common-subset SQL, oracle is the same "
-    "text.",
+    "together (the Apriori 2-itemset pass). Items collapse to "
+    "per-order DISTINCT categories first, so per-order fan-out is "
+    "capped by the category vocabulary (50) independent of line-item "
+    "count, and total pair volume is linear in orders. Lift is the "
+    "exact integer ratio n*c_ab/(c_a*c_b); the category margins join "
+    "back broadcast-sized. Support floor (>= 10 orders) prunes noise "
+    "pre-ranking. r16 (guide §2.3/§2.4): the Spark arm generates "
+    "index-ordered pairs map-side from a per-order sorted category "
+    "array — the oracle form's corpus self-join disappears (sf10 "
+    "18.1 -> 13.0 s bare, -> 8.7 s with the gated per_order persist "
+    "above _BASKET_MATERIALIZE_MIN_BYTES, 2.08x; rows identical at "
+    "four SFs). Oracle keeps the declarative self-join text.",
 )
+def orders_market_basket_lift(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.sources.io import fixture_scan_bytes
+
+    load_fixture_tables(spark, sf_dir)
+    if fixture_scan_bytes(spark, "lineitem") < _BASKET_MATERIALIZE_MIN_BYTES:
+        return spark.sql(_BASKET_ARRAY_BARE)
+    per_order = spark.sql(_BASKET_PER_ORDER).persist()
+    per_order.count()  # eager: 3 consumers in ONE action recompute a lazy cache
+    per_order.createOrReplaceTempView("__basket_per_order")
+    out = spark.sql(
+        "WITH " + _BASKET_TAIL.format(src="__basket_per_order").lstrip()
+    )
+    return transfer_ownership(out, per_order)
 
 
 _RFM_PER_CUST = """

@@ -212,9 +212,7 @@ sql_query(
 )
 
 
-sql_query(
-    "quality_constraint_report",
-    """
+_CONSTRAINT_REPORT_ORACLE = """
     WITH uniq AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
@@ -250,20 +248,81 @@ sql_query(
            o.orphan_lineitems = 0 AS fk_lineitem_orders_ok,
            c.childless_orders
     FROM uniq u CROSS JOIN nulls n CROSS JOIN orphans o CROSS JOIN childless c
-    """,
+    """
+
+# r16 Spark arm (guide §2.3/§2.4): the declarative report's four legs
+# executed as FOUR orders scans + TWO lineitem scans (uniq, nulls, and
+# one side of each NOT EXISTS each re-scan orders; both FK probes scan
+# lineitem). Every check is a function of the per-orderkey rollups of
+# the two tables, so one scan of each + one FULL OUTER join on the key
+# computes the whole report: per-key aggs have unique keys (no row
+# multiplication), a NULL key never equi-joins (matching the NOT
+# EXISTS null-semantics — a NULL-key lineitem row is an orphan, a
+# NULL-key orders row is childless), orphan/childless sides are
+# recognized by the other side's COUNT being NULL (COUNT >= 1 on every
+# real group), n_keys counts non-NULL key groups exactly like
+# COUNT(DISTINCT), and row-level counts re-weight by the group sizes
+# (duplicate keys multiply exactly as the scans did). COALESCE pins
+# the empty-table case to the legs' COUNT(*) = 0.
+_CONSTRAINT_REPORT_SPARK = """
+    WITH o_per AS (
+      SELECT o_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npp,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM orders GROUP BY o_orderkey
+    ),
+    l_per AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS ln
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.n, o.nc, o.np, o.npp, o.nb, l.ln
+      FROM o_per o FULL OUTER JOIN l_per l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT
+      CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+      CAST(COUNT(CASE WHEN n IS NOT NULL AND o_orderkey IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_keys,
+      COALESCE(SUM(n), 0) =
+        COUNT(CASE WHEN n IS NOT NULL AND o_orderkey IS NOT NULL
+                   THEN 1 END) AS pk_unique,
+      CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS null_custkey,
+      CAST(COALESCE(SUM(np), 0) AS BIGINT) AS null_price,
+      CAST(COALESCE(SUM(npp), 0) AS BIGINT) AS nonpositive_price,
+      CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS bad_status,
+      CAST(COALESCE(SUM(CASE WHEN n IS NULL THEN ln END), 0) AS BIGINT)
+        AS orphan_lineitems,
+      COALESCE(SUM(CASE WHEN n IS NULL THEN ln END), 0) = 0
+        AS fk_lineitem_orders_ok,
+      CAST(COALESCE(SUM(CASE WHEN ln IS NULL THEN n END), 0) AS BIGINT)
+        AS childless_orders
+    FROM j
+    """
+
+sql_query(
+    "quality_constraint_report",
+    _CONSTRAINT_REPORT_SPARK,
+    oracle=_CONSTRAINT_REPORT_ORACLE,
     tags=("quality", "validation", "constraints"),
-    doc="Data-contract validation report as ONE declarative pass — the "
-    "expectation-suite shape (null counts, domain checks, PK uniqueness, "
-    "FK referential integrity both directions) a production pipeline "
-    "runs before promoting an ingest batch. Single-table checks fold "
-    "into one scan each (all CASE-sum aggregates); the FK checks are "
-    "null-safe anti-join semantics via NOT EXISTS (at scale these "
-    "become one shuffle each on the join key, or broadcast when the "
-    "parent side is a dim); the four 1-row legs meet in broadcast cross "
-    "joins. Booleans make the report self-asserting: pk_unique and "
-    "fk_lineitem_orders_ok must be TRUE on a healthy batch; the counts "
-    "quantify any violation for triage. Common-subset SQL, oracle is "
-    "the same text.",
+    doc="Data-contract validation report — the expectation-suite shape "
+    "(null counts, domain checks, PK uniqueness, FK referential "
+    "integrity both directions) a production pipeline runs before "
+    "promoting an ingest batch. Booleans make the report "
+    "self-asserting: pk_unique and fk_lineitem_orders_ok must be TRUE "
+    "on a healthy batch; the counts quantify any violation for triage. "
+    "r16 (guide §2.3/§2.4): the Spark arm computes every check from "
+    "per-orderkey rollups met in ONE full-outer join — orders scans "
+    "4 -> 1, lineitem scans 2 -> 1, the anti-join shuffles replaced by "
+    "two keyed aggregations (see _CONSTRAINT_REPORT_SPARK for the "
+    "null-semantics proof sketch). Oracle keeps the declarative "
+    "four-leg text; rows identical.",
 )
 
 
@@ -679,9 +738,7 @@ def features_quantile_binning(spark, sf_dir):
     return transfer_ownership(out, ordered)
 
 
-sql_query(
-    "pipeline_delete_propagation",
-    """
+_DELETE_PROP_ORACLE = """
     WITH tombstones AS (
       SELECT DISTINCT user_id FROM events WHERE user_id % 499 = 0
     ),
@@ -713,7 +770,52 @@ sql_query(
            CAST(l.leaked = 0 AS BOOLEAN) AS no_leak
     FROM total t CROSS JOIN affected a CROSS JOIN survivors s
     CROSS JOIN leak l
-    """,
+    """
+
+# r16 Spark arm (guide §2.3/§2.4): the declarative report inlines the
+# tombstone CTE into four counting legs — EIGHT events scans in the
+# executed plan. But tombstone membership of an event row is a
+# function of its OWN user_id (tombstones = DISTINCT user_id FROM
+# events WHERE user_id % 499 = 0, joined back on equality — the
+# equi-join succeeds iff e.user_id % 499 = 0 AND e.user_id IS NOT
+# NULL, and every such user_id is in the list by construction), so
+# the whole report folds into ONE scan + one per-user aggregation:
+# per_user has exactly one row per distinct user_id (plus one NULL
+# group), making COUNT(CASE ...) over it the COUNT(DISTINCT ...) of
+# the legs. NULL semantics preserved: a NULL user_id never joins and
+# never matches EXISTS, so it is a survivor row ('tomb IS NOT TRUE'
+# covers NULL % 499 = NULL) and is excluded from both user counts
+# (the CASE yields NULL user_id, which COUNT skips). COALESCE pins
+# the empty-table case to the legs' COUNT(*)=0. The leak invariant
+# stays structurally zero (tomb AND NOT tomb).
+_DELETE_PROP_SPARK = """
+    WITH per_user AS (
+      SELECT user_id, user_id % 499 = 0 AS tomb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COALESCE(SUM(n), 0) AS BIGINT) AS rows_before,
+      CAST(COALESCE(SUM(CASE WHEN tomb THEN n END), 0) AS BIGINT)
+        AS event_rows_hit,
+      CAST(COUNT(CASE WHEN tomb THEN user_id END) AS BIGINT) AS users_hit,
+      CAST(COALESCE(SUM(CASE WHEN tomb IS NOT TRUE THEN n END), 0)
+           AS BIGINT) AS rows_after,
+      CAST(COUNT(CASE WHEN tomb IS NOT TRUE THEN user_id END) AS BIGINT)
+        AS users_after,
+      CAST(COALESCE(SUM(n), 0) =
+             COALESCE(SUM(CASE WHEN tomb THEN n END), 0)
+           + COALESCE(SUM(CASE WHEN tomb IS NOT TRUE THEN n END), 0)
+           AS BOOLEAN) AS partition_exact,
+      CAST(COALESCE(SUM(CASE WHEN tomb AND tomb IS NOT TRUE THEN n END), 0)
+           = 0 AS BOOLEAN) AS no_leak
+    FROM per_user
+    """
+
+sql_query(
+    "pipeline_delete_propagation",
+    _DELETE_PROP_SPARK,
+    oracle=_DELETE_PROP_ORACLE,
     tags=("pipeline", "deletion", "compliance"),
     doc="Right-to-be-forgotten propagation audit — the report a "
     "deletion pipeline emits before and after applying a tombstone "

@@ -361,6 +361,21 @@ def _lang_temperature_sql(dialect: str) -> str:
         if dialect == "spark"
         else "md5(CAST(doc_id AS VARCHAR))"
     )
+    # r16 (guide §2.4), Spark side only: the scalar subquery
+    # `(SELECT SUM(base_take) FROM quota)` re-expands the inlined
+    # quota -> weights -> counts chain, i.e. a THIRD documents scan in
+    # the executed plan; SUM(base_take) OVER () derives the identical
+    # integer total from the alloc pass's own rows (same set, exact
+    # BIGINT arithmetic). Oracle text keeps the declarative scalar
+    # form. Executed-plan documents scans: 3 -> 2 (the remaining two —
+    # the counts aggregate and the per-lang ranking window — consume
+    # the corpus differently and cannot share a scan without a
+    # corpus-sized cache the tiny allocation table does not justify).
+    remaining = (
+        f"{budget} - SUM(base_take) OVER ()"
+        if dialect == "spark"
+        else f"{budget} - (SELECT SUM(base_take) FROM quota)"
+    )
     return f"""
     WITH counts AS (
       SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
@@ -382,7 +397,7 @@ def _lang_temperature_sql(dialect: str) -> str:
     alloc AS (
       SELECT lang, n_docs, w,
              base_take + CASE WHEN frac_rank <=
-               {budget} - (SELECT SUM(base_take) FROM quota)
+               {remaining}
                THEN 1 ELSE 0 END AS take_n
       FROM quota
     ),

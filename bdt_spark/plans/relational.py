@@ -478,9 +478,7 @@ sql_query(
     "is exactly what a property oracle must not do.",
 )
 
-sql_query(
-    "agg_hll_sketch_merge",
-    """
+_HLL_MERGE_SPARK_BARE = """
     WITH shard_sketches AS (
       SELECT event_type, HLL_SKETCH_AGG(user_id, 16) AS sk,
              COUNT(DISTINCT user_id) AS exact_users
@@ -503,7 +501,77 @@ sql_query(
              AS merge_monotone
     FROM shard_sketches s CROSS JOIN merged m CROSS JOIN exact_total e
     ORDER BY event_type
-    """,
+    """
+
+# r16 scale arm (guide §2.3/§2.4): the bare form executes THREE full
+# events scans (shard_sketches inlines into the merged fold AND the
+# final projection; exact_total is a third corpus COUNT DISTINCT).
+# Every downstream value is a function of the DISTINCT (event_type,
+# user_id) rollup: an HLL sketch's register state after inserting a
+# multiset equals the state after inserting its set (insertion is
+# idempotent per hashed value — Datasketches semantics, so estimates
+# are bit-identical), per-type COUNT(DISTINCT user_id) is COUNT(non-
+# null) over the rollup, and the corpus-wide exact_total is COUNT
+# (DISTINCT) over it. Above the gate the rollup is persisted once and
+# all three consumers read the cache (events scans 3 -> 1); below it
+# three aggregations of a small scan are cheaper than a persist+count
+# round trip (the anomaly-zscore measurement). Validated on a 1.17 GB
+# / 350M-row events shard: rows identical, gated 34.4 s vs bare
+# 110.6 s collect (3.2x)
+# (bench_results/r16_probes/anomaly_events_shard.json).
+_HLL_PAIRS_SPARK = """
+      SELECT event_type, user_id FROM events
+      GROUP BY event_type, user_id
+"""
+
+
+def _hll_merge_tail_spark(src: str) -> str:
+    return f"""
+    WITH shard_sketches AS (
+      SELECT event_type, HLL_SKETCH_AGG(user_id, 16) AS sk,
+             CAST(COUNT(user_id) AS BIGINT) AS exact_users
+      FROM {src} GROUP BY event_type
+    ),
+    merged AS (
+      SELECT HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk, false)) AS est_merged
+      FROM shard_sketches
+    ),
+    exact_total AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_total FROM {src}
+    )
+    SELECT s.event_type,
+           CAST(s.exact_users AS BIGINT) AS exact_users,
+           ABS(CAST(HLL_SKETCH_ESTIMATE(s.sk) AS DOUBLE) / s.exact_users
+               - 1.0) < 0.02 AS shard_within_2pct,
+           ABS(CAST(m.est_merged AS DOUBLE) / e.exact_total
+               - 1.0) < 0.02 AS merged_within_2pct,
+           CAST(m.est_merged >= HLL_SKETCH_ESTIMATE(s.sk) * 0.99 AS BOOLEAN)
+             AS merge_monotone
+    FROM shard_sketches s CROSS JOIN merged m CROSS JOIN exact_total e
+    ORDER BY event_type
+    """
+
+
+_HLL_MATERIALIZE_MIN_BYTES = 1 << 30
+
+
+def _agg_hll_sketch_merge_fn(spark, sf_dir):
+    from bdt_spark.operators.cacheutil import transfer_ownership
+    from bdt_spark.sources.io import fixture_scan_bytes
+    from bdt_spark.sources.io import load_fixture_tables as _load
+
+    _load(spark, sf_dir)
+    if fixture_scan_bytes(spark, "events") < _HLL_MATERIALIZE_MIN_BYTES:
+        return spark.sql(_HLL_MERGE_SPARK_BARE)
+    pairs = spark.sql(_HLL_PAIRS_SPARK).persist()
+    pairs.count()  # eager: 3 consumers in ONE action recompute a lazy cache
+    pairs.createOrReplaceTempView("__hll_type_user_pairs")
+    out = spark.sql(_hll_merge_tail_spark("__hll_type_user_pairs"))
+    return transfer_ownership(out, pairs)
+
+
+query(
+    "agg_hll_sketch_merge",
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -534,8 +602,13 @@ sql_query(
     "still catches a merge that drops a disjoint shard or returns "
     "garbage). The exact_users column is a real "
     "cross-engine value check. Cross joins are against 1-row "
-    "aggregates (broadcast).",
-)
+    "aggregates (broadcast). r16 (guide §2.3/§2.4): above "
+    "_HLL_MATERIALIZE_MIN_BYTES the Spark arm persists the DISTINCT "
+    "(event_type, user_id) rollup and all three consumers read the "
+    "cache — events scans 3 -> 1, sketches bit-identical (HLL insert "
+    "is idempotent per hashed value); below the gate the bare "
+    "declarative plan runs. Rows identical either way.",
+)(_agg_hll_sketch_merge_fn)
 
 # ---------------------------------------------------------------------------
 # B5 — window functions
