@@ -97,6 +97,19 @@ PIPELINE = [
     "dedup_incremental_minhash",
     "dedup_incremental_embedding",
     "tokens_doc_chunking",
+    # round-16: the two TPC-H arms restructured by the q18-pattern
+    # rewrites enter the tracked set so the driver's own numbers pin
+    # them round-over-round (ADD-only per the bench contract; existing
+    # entries untouched). The six other scan-collapse queries
+    # (market_basket, delete_propagation, constraint_report,
+    # anomaly_zscore, language_temperature, hll_merge) are deliberately
+    # NOT added: at 70 tracked queries the `queries` map alone outgrows
+    # the driver's ~2000-byte stdout tail capture (the guard test
+    # below), which would cost EVERY query its round-over-round
+    # comparison — they stay pinned by the committed sidecars and the
+    # oracle sweep instead.
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
 ]
 
 # FROZEN cross-round comparison set (VERDICT r10 #1): exactly the 23

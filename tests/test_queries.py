@@ -413,6 +413,44 @@ def test_heavy_arm_geometry_gate(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", parts)
 
 
+def test_r16_materialize_gate_arms_agree(spark, sf_dir):
+    """r16 scan-collapse gates: orders_market_basket_lift,
+    events_anomaly_robust_zscore, and agg_hll_sketch_merge pick between
+    a bare inline plan and a persist-the-shared-rollup plan from exact
+    fixture scan bytes (the pmi materialization doctrine). The arms are
+    different PLANS of the same relation, so they must return identical
+    rows; pin both directions at fixture scale by monkeypatching the
+    recorded bytes across each gate."""
+    from bdt_spark.operators.cacheutil import release
+    from bdt_spark.sources import io as bio
+
+    key = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    bio.load_fixture_tables(spark, sf_dir)
+    cases = [
+        ("orders_market_basket_lift", "lineitem"),
+        ("events_anomaly_robust_zscore", "events"),
+        ("agg_hll_sketch_merge", "events"),
+    ]
+    for name, table in cases:
+        fn = plans.get_query(name).fn
+        recorded = bio._TABLE_BYTES[key][table]
+        try:
+            df = fn(spark, sf_dir)  # fixture scale: bare arm
+            bare_rows = df.collect()
+            release(df)
+            bio._TABLE_BYTES[key][table] = 2 << 30  # force the persist arm
+            df = fn(spark, sf_dir)
+            gated_rows = df.collect()
+            release(df)
+        finally:
+            bio._TABLE_BYTES[key][table] = recorded
+        assert gated_rows == bare_rows, f"{name}: gate arms diverge"
+
+
 def test_registry_sf10_sweep_coverage():
     """REGISTRATION RULE enforcement (VERDICT r14 #2): every registered
     query needs BOTH an oracle row and an sf10 sweep record. The sweep
